@@ -1,0 +1,225 @@
+"""Stateful / correlation operators — the CEP surface.
+
+The reference keeps correlation state in its sinks; this engine promotes
+those behaviors to first-class windowed/stateful DataFrame operators:
+
+* up/down pair resolution  (alerta sink, transport/alerta.py:46-69)
+* per-entity state gauges  (prometheus sink, transport/prometheus.py:70-93)
+* event counters           (transport/prometheus.py:29-596)
+* flap detection           (derived: K transitions within a sliding window)
+* session windows per conversation
+* agent↔tool turn pairing  (graft-specific stream-stream interval join)
+
+Everything here is declarative DataFrame ops — Catalyst plans the
+shuffles; every operator shuffles at most once on its natural key.
+Streaming variants reuse the same column expressions with watermarks.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: canonical up/down error pairs (alerta sink semantics,
+#: transport/alerta.py:46-56): UP error closes the DOWN alert of the
+#: same (host, entity).
+UP_DOWN_PAIRS: dict = {
+    "INTERFACE_UP": ("interface", 1),
+    "INTERFACE_DOWN": ("interface", 0),
+    "OSPF_NEIGHBOR_UP": ("ospf_neighbor", 1),
+    "OSPF_NEIGHBOR_DOWN": ("ospf_neighbor", 0),
+    "ISIS_NEIGHBOR_UP": ("isis_neighbor", 1),
+    "ISIS_NEIGHBOR_DOWN": ("isis_neighbor", 0),
+    "BFD_STATE_CHANGE": ("bfd_session", None),
+    "BGP_NEIGHBOR_STATE_CHANGED": ("bgp_neighbor", None),
+}
+
+
+def state_events(env: DataFrame, pairs: Mapping = None) -> DataFrame:
+    """Envelope rows → state-change events ``(host, family, entity,
+    state01, ts …)`` for the paired up/down errors.
+
+    The pair table is tiny → broadcast hash join (no shuffle of the
+    event stream).  Errors carrying an explicit profile-level ``state``
+    column (M9) override the pair-derived value.
+    """
+    pairs = pairs or UP_DOWN_PAIRS
+    spark = env.sparkSession
+    pair_rows = [
+        (error, family, state) for error, (family, state) in pairs.items()
+    ]
+    pair_df = spark.createDataFrame(
+        pair_rows, "error string, family string, pair_state int"
+    )
+    return (
+        env.join(F.broadcast(pair_df), on="error", how="inner")
+        .withColumn(
+            "state01",
+            F.coalesce(F.col("state").cast("int"), F.col("pair_state")),
+        )
+        .filter(F.col("state01").isNotNull() & F.col("entity").isNotNull())
+        .drop("pair_state")
+    )
+
+
+def last_state_gauge(events: DataFrame) -> DataFrame:
+    """Latest state per (host, family, entity) — the prometheus gauge
+    semantics (transport/prometheus.py:70-93), batch form.
+
+    ``max_by`` over an ordering struct → single partial-aggregating
+    shuffle, no window sort.
+    """
+    ordering = F.struct(F.col("ts"), F.col("turn_idx"))
+    return events.groupBy("host", "family", "entity").agg(
+        F.max_by("state01", ordering).alias("state"),
+        F.max_by("error", ordering).alias("last_error"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """State *changes* per (host, family, entity): rows where the state
+    differs from the previous state of the same key (alerta open/close
+    resolution, transport/alerta.py:57-69).
+
+    ``status``: 'open' when the entity went down, 'closed' when it came
+    back up.  One shuffle (window partition by key).
+    """
+    w = Window.partitionBy("host", "family", "entity").orderBy("ts", "turn_idx")
+    prev = F.lag("state01").over(w)
+    return (
+        events.withColumn("prev_state", prev)
+        .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state01")))
+        .withColumn(
+            "status",
+            F.when(F.col("state01") == 0, F.lit("open")).otherwise(F.lit("closed")),
+        )
+    )
+
+
+def flaps(
+    transition_df: DataFrame,
+    window: str = "60 seconds",
+    slide: str = "10 seconds",
+    min_transitions: int = 3,
+) -> DataFrame:
+    """Flap detection: ≥ ``min_transitions`` state changes of one
+    (host, family, entity) within a sliding window."""
+    return (
+        transition_df.groupBy(
+            F.window("ts", window, slide).alias("win"),
+            "host",
+            "family",
+            "entity",
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .filter(F.col("n_transitions") >= min_transitions)
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "family",
+            "entity",
+            "n_transitions",
+        )
+    )
+
+
+def event_counts(
+    env: DataFrame,
+    window: str = "300 seconds",
+    keys: Sequence[str] = ("error", "host"),
+) -> DataFrame:
+    """Tumbling-window event counters (prometheus counter semantics).
+    Works identically on batch and streaming input (add a watermark
+    upstream for streaming)."""
+    return (
+        env.groupBy(F.window("ts", window).alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "300 seconds",
+    key: str = "conv_id",
+) -> DataFrame:
+    """Session windows per conversation: turns separated by ≥ gap start
+    a new session.  ``F.session_window`` — Spark manages merge state."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("sess"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            key,
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+def agent_tool_pairs(
+    transcripts: DataFrame,
+    horizon_seconds: int = 60,
+    streaming: bool = False,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Pair each ``role='agent'`` turn with the ``role='tool'`` turns
+    that follow it in the same conversation within ``horizon_seconds``
+    (the reference's request/response pairing generalized — C6).
+
+    Batch: left-outer interval join (orphan agent turns keep null tool).
+    Streaming: stream-stream interval join with watermarks on both
+    sides (Spark bounds state to the horizon + watermark delay).
+    """
+    agents = transcripts.filter(F.col("role") == "agent").select(
+        F.col("conv_id"),
+        F.col("turn_idx").alias("agent_turn"),
+        F.col("text").alias("agent_text"),
+        F.col("ts").alias("agent_ts"),
+    )
+    tools = transcripts.filter(F.col("role") == "tool").select(
+        F.col("conv_id").alias("t_conv_id"),
+        F.col("turn_idx").alias("tool_turn"),
+        F.col("tool").alias("tool_name"),
+        F.col("ts").alias("tool_ts"),
+    )
+    if streaming:
+        agents = agents.withWatermark("agent_ts", watermark)
+        tools = tools.withWatermark("tool_ts", watermark)
+    cond = (
+        (agents["conv_id"] == tools["t_conv_id"])
+        & (tools["tool_ts"] >= agents["agent_ts"])
+        & (
+            tools["tool_ts"]
+            <= agents["agent_ts"] + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        )
+    )
+    how = "inner" if streaming else "left_outer"
+    return agents.join(tools, cond, how).drop("t_conv_id")
+
+
+def salted_repartition(df: DataFrame, key: str = "conv_id", salts: int = 8) -> DataFrame:
+    """Explicit skew defusal for hot conversations: repartition by
+    (key, hash(turn_idx) % salts) so one hot key spreads over ``salts``
+    partitions.  Use before *stateless* per-row stages only — keyed
+    state must see all rows of a key (use entity-level sub-keys there).
+    """
+    return df.repartition(
+        F.col(key), F.pmod(F.hash("turn_idx"), F.lit(salts)).alias("_salt")
+    )

@@ -78,6 +78,7 @@ try:  # allow pure-pandas use (unit tests) without a JVM
             T.StructField("state_tag", T.StringType()),
             T.StructField("tag", T.StringType()),
             T.StructField("message", T.StringType()),
+            T.StructField("entity", T.StringType()),
         ]
     )
 except ImportError:  # pragma: no cover
@@ -87,7 +88,7 @@ _OUT_COLS = [
     "conv_id", "turn_idx", "role", "tool", "ts",
     "os", "error", "host", "ip", "timestamp", "facility", "severity",
     "yang_model", "yang_message", "message_details", "state", "state_tag",
-    "tag", "message",
+    "tag", "message", "entity",
 ]
 
 DEFAULT_IP = "127.0.0.1"
@@ -257,6 +258,20 @@ def _build_yang(mapping: dict, captures: dict) -> dict:
 
 _OC_FAILED = object()  # sentinel: profile matched but object generation failed
 
+#: capture names that identify the affected entity, in priority order —
+#: feeds the CEP stage (up/down pairing keys on (host, entity), the
+#: relational analog of the reference's per-entity gauges,
+#: transport/prometheus.py:70-93)
+_ENTITY_KEYS = ("interface", "neighbor", "peer", "user")
+
+
+def _entity_of(captures: dict):
+    for key in _ENTITY_KEYS:
+        val = captures.get(key)
+        if val is not None:
+            return str(val)
+    return None
+
 
 def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
     """Match message profiles against the parsed frame; emit envelopes.
@@ -300,6 +315,7 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
                             yang if yang is not None else _OC_FAILED,
                             mp.state,
                             mp.state_tag if mp.state is not None else None,
+                            _entity_of(det),
                         )
                         matched.loc[i] = True
                     pending = pending.iloc[0:0]
@@ -327,6 +343,7 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
                         yang,
                         mp.state,
                         mp.state_tag if mp.state is not None else None,
+                        _entity_of(captures),
                     )
                     matched.loc[i] = True
                 pending = pending[~hit_mask]
@@ -341,6 +358,7 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
             "yang_message": pd.Series(_col(2), index=parsed.index, dtype=object),
             "state": _col(3),
             "state_tag": _col(4),
+            "entity": _col(5),
             "_matched": matched,
         },
         index=parsed.index,
@@ -395,6 +413,7 @@ def normalize_pandas(
         env["yang_message"] = msg_res["yang_message"].where(~oc_failed, None)
         env["state"] = msg_res["state"]
         env["state_tag"] = msg_res["state_tag"]
+        env["entity"] = msg_res["entity"]
         env["host"] = parsed["host"]
         env["facility"] = parsed["facility"]
         env["severity"] = parsed["severity"]
@@ -421,6 +440,7 @@ def normalize_pandas(
         unk["severity"] = None
         unk["tag"] = None
         unk["message"] = None
+        unk["entity"] = None
         unk["message_details"] = [{"message": t} for t in texts[unk_idx]]
         unk["timestamp"] = None
         out_frames.append(unk)

@@ -1,0 +1,70 @@
+"""End-to-end streaming wiring.
+
+readStream (parquet/Iceberg transcript table) → vectorized normalize →
+watermark → TTL dedup → exactly-once multi-sink foreachBatch.
+
+The reference's process graph (listener → server → device → publisher)
+collapses into this single streaming query; its ZMQ HWM backpressure
+becomes ``maxFilesPerTrigger`` / micro-batch admission; its watchdog
+becomes checkpoint recovery.  Checkpointing makes the query resumable:
+a restart replays the last uncommitted batch, and the idempotent sink
+makes the replay invisible (exactly-once end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators.dedup import dedup_streaming
+from ..operators.normalize import normalize
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+from .sink import SinkSpec, exactly_once_parquet_sink
+
+
+def build_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    registry=None,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "30 seconds",
+    dedup: bool = True,
+    dedup_ttl: float = 5.0,
+):
+    """Transcript parquet dir → normalized (and optionally deduped)
+    streaming DataFrame."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    env = normalize(stream, registry)
+    if dedup:
+        env = dedup_streaming(env, ttl_seconds=dedup_ttl, watermark=watermark)
+    return env
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dirs,
+    checkpoint_dir: str,
+    *,
+    registry=None,
+    sinks=None,
+    **kwargs,
+):
+    """Run the pipeline over all currently-available input
+    (Trigger.AvailableNow), blocking until done.  Re-invoking with new
+    source files resumes from the checkpoint — already-processed files
+    are not re-read, and replayed batches overwrite themselves."""
+    env = build_stream(spark, source_dir, registry=registry, **kwargs)
+    if sinks is None:
+        sinks = [SinkSpec(path=p, send_raw=True, send_unknown=True) for p in sink_dirs]
+    query = (
+        env.writeStream.foreachBatch(exactly_once_parquet_sink(sinks))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

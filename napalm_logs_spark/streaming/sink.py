@@ -1,0 +1,85 @@
+"""Exactly-once multi-sink publishing.
+
+The reference fan-outs each event to N publisher processes, each with
+its own error white/blacklist and optional projection
+(publisher.py:183-209, base.py:206-242).  Here one ``foreachBatch``
+writes every configured sink per micro-batch, idempotently:
+
+* each batch writes to a ``_batch_id=<n>`` subdirectory with
+  ``mode=overwrite`` — a retried/replayed batch overwrites its own
+  directory instead of duplicating rows (idempotent MERGE-by-batch
+  semantics on a plain parquet lakehouse layout; on Iceberg this maps
+  to MERGE on the same key);
+* rows carry per-partition lineage (``_batch_id``,
+  ``_task_partition``) and are sorted within partitions by
+  ``(conv_id, turn_idx)`` — the reference's per-device in-order
+  delivery invariant (device.py:265-276);
+* per-sink error filters replicate the publisher defaults: RAW and
+  UNKNOWN are denied unless the sink opts in (``send_raw`` /
+  ``send_unknown``, base.py:206-242).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """One publisher: output path + filters + projection."""
+
+    path: str
+    whitelist: tuple = ()       # error codes to allow (empty = all)
+    blacklist: tuple = ()       # error codes to deny
+    send_raw: bool = False
+    send_unknown: bool = False
+    strip_message_details: bool = False
+
+
+def _apply_sink_filters(df: DataFrame, sink: SinkSpec) -> DataFrame:
+    denied = set(sink.blacklist)
+    if not sink.send_raw:
+        denied.add("RAW")
+    if not sink.send_unknown:
+        denied.add("UNKNOWN")
+    if sink.whitelist:
+        df = df.filter(F.col("error").isin(list(sink.whitelist)))
+    if denied:
+        df = df.filter(~F.col("error").isin(list(denied)))
+    if sink.strip_message_details and "message_details" in df.columns:
+        df = df.drop("message_details")
+    return df
+
+
+def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
+    """Build a foreachBatch function writing each micro-batch to every
+    sink idempotently with lineage columns and stable ordering."""
+    sinks = list(sinks)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        enriched = (
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .withColumn("_task_partition", F.spark_partition_id())
+            .sortWithinPartitions(*order_cols)
+        )
+        enriched.persist()
+        try:
+            for sink in sinks:
+                out = _apply_sink_filters(enriched, sink)
+                target = os.path.join(sink.path, f"_batch_id={int(batch_id)}")
+                out.write.mode("overwrite").parquet(target)
+        finally:
+            enriched.unpersist()
+
+    return _write
+
+
+def read_sink(spark, path: str) -> DataFrame:
+    """Read a sink directory back (all batches), restoring _batch_id."""
+    return spark.read.option("basePath", path).parquet(path + "/_batch_id=*")

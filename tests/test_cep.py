@@ -1,0 +1,147 @@
+"""CEP operators: up/down pairing, gauges, transitions, flaps,
+sessions, agent↔tool interval join."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.cep import (
+    agent_tool_pairs,
+    event_counts,
+    flaps,
+    last_state_gauge,
+    session_stats,
+    state_events,
+    transitions,
+)
+
+BASE = datetime.datetime(2017, 7, 20, 21, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    """Synthetic envelope rows: xe-0/0/0 flaps on host r1; xe-1 stable."""
+    rows = []
+    seq = [
+        ("INTERFACE_DOWN", "xe-0/0/0", 0),
+        ("INTERFACE_UP", "xe-0/0/0", 10),
+        ("INTERFACE_DOWN", "xe-0/0/0", 20),
+        ("INTERFACE_UP", "xe-0/0/0", 30),
+        ("INTERFACE_DOWN", "xe-1", 5),
+        ("OSPF_NEIGHBOR_UP", "10.0.0.2", 15),
+        ("SOME_OTHER_ERROR", "x", 50),
+    ]
+    for i, (error, entity, off) in enumerate(seq):
+        rows.append(
+            (
+                "conv-1", i, "agent", None,
+                BASE + datetime.timedelta(seconds=off),
+                "junos", error, "r1", entity, None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp,"
+        "os string, error string, host string, entity string, state long",
+    )
+
+
+def test_state_events_broadcast_pairing(env):
+    ev = state_events(env)
+    got = {(r.error, r.family, r.state01) for r in ev.collect()}
+    assert ("INTERFACE_DOWN", "interface", 0) in got
+    assert ("INTERFACE_UP", "interface", 1) in got
+    assert ("OSPF_NEIGHBOR_UP", "ospf_neighbor", 1) in got
+    assert not any(e == "SOME_OTHER_ERROR" for e, _, _ in got)
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_last_state_gauge(env):
+    gauge = {
+        (r.host, r.family, r.entity): r.state
+        for r in last_state_gauge(state_events(env)).collect()
+    }
+    assert gauge[("r1", "interface", "xe-0/0/0")] == 1  # last event UP
+    assert gauge[("r1", "interface", "xe-1")] == 0
+    assert gauge[("r1", "ospf_neighbor", "10.0.0.2")] == 1
+
+
+def test_transitions_open_close(env):
+    tr = transitions(state_events(env))
+    xe0 = sorted(
+        (r.turn_idx, r.status) for r in tr.collect() if r.entity == "xe-0/0/0"
+    )
+    # every state change is a transition (first event included)
+    assert xe0 == [(0, "open"), (1, "closed"), (2, "open"), (3, "closed")]
+
+
+def test_flap_detection(env):
+    fl = flaps(transitions(state_events(env)), "60 seconds", "10 seconds", 3)
+    hits = fl.filter(F.col("entity") == "xe-0/0/0").collect()
+    assert hits and all(r.n_transitions >= 3 for r in hits)
+    assert fl.filter(F.col("entity") == "xe-1").count() == 0
+
+
+def test_event_counts(env):
+    c = {
+        (r.error): r.n
+        for r in event_counts(env, "3600 seconds", keys=("error",)).collect()
+    }
+    assert c["INTERFACE_DOWN"] == 3
+    assert c["INTERFACE_UP"] == 2
+
+
+def test_session_stats(spark):
+    rows = [
+        ("c1", 0, BASE), ("c1", 1, BASE + datetime.timedelta(seconds=30)),
+        ("c1", 2, BASE + datetime.timedelta(seconds=1000)),  # new session
+        ("c2", 0, BASE),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = session_stats(df, gap="300 seconds")
+    per_conv = {}
+    for r in out.collect():
+        per_conv.setdefault(r.conv_id, []).append(r.n_turns)
+    assert sorted(per_conv["c1"]) == [1, 2]
+    assert per_conv["c2"] == [1]
+
+
+def test_agent_tool_pairs_batch(spark):
+    rows = [
+        ("c1", 0, "agent", "do it", None, BASE),
+        ("c1", 1, "tool", None, "grep", BASE + datetime.timedelta(seconds=5)),
+        ("c1", 2, "tool", None, "calc", BASE + datetime.timedelta(seconds=120)),  # beyond horizon
+        ("c2", 0, "agent", "orphan", None, BASE),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = agent_tool_pairs(df, horizon_seconds=60).collect()
+    pairs = {(r.conv_id, r.agent_turn, r.tool_turn) for r in out}
+    assert ("c1", 0, 1) in pairs
+    assert ("c1", 0, 2) not in pairs
+    assert ("c2", 0, None) in pairs  # orphan kept (left outer)
+
+
+def test_agent_tool_pairs_streaming_drops_late(spark, tmp_path):
+    src = str(tmp_path / "pairs_src")
+    rows = [
+        ("c1", 0, "agent", "go", None, BASE),
+        ("c1", 1, "tool", None, "grep", BASE + datetime.timedelta(seconds=5)),
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).parquet(src)
+    out = agent_tool_pairs(stream, horizon_seconds=60, streaming=True)
+    q = (
+        out.writeStream.format("memory").queryName("at_pairs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from at_pairs").collect()
+    assert {(r.agent_turn, r.tool_turn) for r in got} == {(0, 1)}
