@@ -1,0 +1,226 @@
+"""Document deduplication at training-data scale.
+
+Exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection over
+a ``documents`` table.  Scale notes per operator:
+
+* exact        — one hash-groupBy shuffle on the digest.
+* ngram_jaccard— explode shingles → self-join on shingle → count.
+                 Exact but quadratic in bucket size; use for
+                 verification and small/medium corpora, or as the
+                 verify stage after LSH candidate generation.
+* minhash_lsh  — signatures via ``xxhash64(shingle, seed)`` min-per-doc
+                 (JVM-side, no Python), banded into buckets; candidate
+                 pairs only join within a bucket → near-linear.
+* simhash      — 64-bit signature via token-hash bit voting; hamming
+                 band join.  numpy inside mapInPandas (vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized(text_col: str = "text"):
+    return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: digest, count,
+    representative (min doc_id)."""
+    return (
+        df.withColumn("digest", F.md5(normalized(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per identical normalized text."""
+    w = Window.partitionBy(F.md5(normalized(text_col))).orderBy("doc_id")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingle set per document: (doc_id, shingle)."""
+    toks = F.split(F.trim(normalized(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| from the shingle self-join; |A|,|B| from per-doc counts;
+    J = ∩ / (|A|+|B|−∩).  Returned as (doc_a, doc_b, jaccard), a<b.
+    """
+    sh = shingles(df, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min(xxhash64(shingle, i)).
+
+    Entirely JVM-side: one explode + one groupBy; the ``num_hashes``
+    mins fold into a single aggregation pass.
+    """
+    sh = shingles(df, n, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: docs agreeing on all rows of ≥1 band become
+    candidates; candidates are verified with exact n-gram Jaccard.
+
+    Scale path: candidate generation is linear (explode to ``bands``
+    bucket keys, hash-shuffle on bucket); only candidates pay the
+    verification join.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, n, threshold, text_col)
+    return candidates.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc via token-hash bit voting (numpy inside
+    mapInPandas — vectorized, Arrow-batched)."""
+    out_schema = "doc_id long, simhash long"
+
+    def _batch(it):
+        for pdf in it:
+            sigs = []
+            for text in pdf[text_col].fillna(""):
+                tokens = text.lower().split()
+                if not tokens:
+                    sigs.append(0)
+                    continue
+                hashes = np.array(
+                    [np.uint64(hash(t) & 0xFFFFFFFFFFFFFFFF) for t in set(tokens)],
+                    dtype=np.uint64,
+                )
+                bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 - len(hashes)
+                sig = int((np.uint64(1) << np.arange(64, dtype=np.uint64))[votes > 0].sum())
+                sigs.append(sig - 2**64 if sig >= 2**63 else sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
+    return df.mapInPandas(_batch, schema=out_schema)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, banded on
+    16-bit chunks (a pair within hamming ≤3 of 64 bits agrees exactly on
+    ≥1 of 4 chunks → bucket join, no cross product)."""
+    sigs = simhash_signatures(df, text_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for c in range(4)
+    ]
+    chunks = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The Spark side — schema, partitioning, UDF signature, batch shape — is
+real and tested.  The codec step itself is environment-dependent
+(image/audio libraries are not in this container) and is isolated
+behind :func:`default_decoder`:
+
+* ``decoder='stub'``  → deterministic fake features (hash-derived), so
+  pipelines and tests run anywhere;
+* ``decoder='real'``  → raises ``NotImplementedError`` with the exact
+  integration point (swap in PIL/librosa/ffmpeg on a real cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("payload", T.BinaryType()),   # opaque bytes
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),    # typed metadata
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, digest string, "
+    "features array<float>"
+)
+
+
+def synth_media_pandas(n: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + (i % 5) * 64)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": bytearray(payload),
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "width": 64 if kind != "audio" else None,
+                "height": 64 if kind != "audio" else None,
+                "duration_ms": 1000 if kind != "image" else None,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def default_decoder(kind: str, payload: bytes, n_features: int = 8):
+    """STUB decode: deterministic features from the payload digest.
+
+    Real integration point: replace with PIL.Image.open /
+    librosa.load / ffmpeg frame sampling.  Raises if asked for the
+    real path so the stub can never silently masquerade in prod.
+    """
+    digest = hashlib.sha256(payload).digest()
+    vec = np.frombuffer(digest[: n_features * 4], dtype="<u4").astype("float32")
+    return (vec % 1000) / 1000.0
+
+
+def real_decoder(kind: str, payload: bytes, n_features: int = 8):  # pragma: no cover
+    raise NotImplementedError(
+        "media codecs not available in this environment; plug a real "
+        "decoder (PIL/librosa/ffmpeg) into extract_features(decoder=...)"
+    )
+
+
+def extract_features(
+    df: DataFrame, decoder=default_decoder, n_features: int = 8
+) -> DataFrame:
+    """Binary payloads → feature vectors, Arrow-batched.
+
+    Batches arrive as pandas frames with ``bytes`` payload cells; the
+    decoder runs once per row but numpy work is vectorizable per batch.
+    Output is stable under repartitioning (pure per-row function).
+    """
+
+    def _batch(it):
+        for pdf in it:
+            feats = [
+                decoder(k, bytes(p), n_features).tolist()
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "digest": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(_batch, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    offset (JVM-side sequence explode; the decode itself is the stubbed
+    step above).  Shows the explode-shape the real pipeline uses."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_off_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_off_ms", "mime")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python in the per-row path.  Operates on the
+``documents`` table shape: (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword lists for the n-gram/stopword language
+# heuristic (public common-word lists)
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "une", "pour"),
+    "es": ("el", "la", "y", "de", "que", "es", "un", "una", "por"),
+}
+
+TOKEN_SPLIT = r"\s+"
+#: BPE-ish subword splitter: words, numbers, or single punctuation
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count."""
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    return df.withColumn("tokens", toks).withColumn(
+        "n_tokens",
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(toks)
+        ),
+    ).withColumn(
+        "n_subwords",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document-quality features: length, punctuation
+    ratio, stopword ratio, mean word length.  Ratios rounded to 6dp so
+    float representation is stable across engines."""
+    df = with_tokens(df, text_col)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    sw = STOPWORDS["en"]
+    stop_hits = F.size(
+        F.filter(F.col("tokens"), lambda t: F.lower(t).isin(*sw))
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                (n_chars - F.col("n_tokens") + 1)
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+        .drop("tokens")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: per language, the fraction of
+    tokens in that language's stopword list; argmax wins (ties broken
+    by language code order); no hits → 'und'."""
+    df = with_tokens(df, text_col)
+    score_cols = []
+    for code in sorted(STOPWORDS):
+        sw = STOPWORDS[code]
+        hits = F.size(F.filter(F.col("tokens"), lambda t: F.lower(t).isin(*sw)))
+        df = df.withColumn(f"_score_{code}", hits)
+        score_cols.append(code)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier codes win ties via strict >
+    for code in reversed(score_cols):
+        cond = F.col(f"_score_{code}") > best_score
+        best = F.when(cond, F.lit(code)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_score_{code}")).otherwise(best_score)
+    df = df.withColumn("lang_pred", best)
+    return df.drop("tokens", *[f"_score_{c}" for c in score_cols])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    * ``fp_md5`` — md5 of the case/whitespace-normalized text (exact
+      near-identity; portable to any SQL engine);
+    * ``fp_rolling`` — 63-bit polynomial rolling hash over normalized
+      tokens (order-sensitive), computed JVM-side via ``F.aggregate``.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.split(norm, " ")
+    # modulus 2^31-1 keeps acc*base + h < 2^63 under ANSI arithmetic
+    mod = F.lit(2**31 - 1)
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), mod), mod),
+    )
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)

@@ -1,0 +1,85 @@
+"""Document dedup: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.docdedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank"  # drop one word
+    far = "completely different content about spark shuffles and partitions everywhere"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, "The  Quick brown fox jumps over the lazy dog near the river bank today"),  # normalized dup of 0
+        (3, near),                      # near dup
+        (4, far),
+        (5, "another unrelated document mentioning catalysts and codegen stages"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(planted):
+    groups = exact_duplicate_groups(planted).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 3 and groups[0].keep_doc_id == 0
+
+
+def test_exact_dedup_keeps_lowest(planted):
+    kept = sorted(r.doc_id for r in exact_dedup(planted).collect())
+    assert kept == [0, 3, 4, 5]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r.shingle for r in shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(planted, n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(planted):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            planted, num_hashes=32, bands=8, n=3, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in got and (0, 2) in got
+    # LSH candidates verified by exact jaccard → no false positives
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(planted, n=3, threshold=0.5).collect()
+    }
+    assert got.issubset(exact)
+
+
+def test_simhash_near_pairs(planted):
+    got = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(planted, max_hamming=6).collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert (0, 4) not in got and (4, 5) not in got
+
+
+def test_real_corpus_no_exact_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert exact_duplicate_groups(docs).count() == 0

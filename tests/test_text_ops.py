@@ -1,0 +1,74 @@
+"""Text-analysis operators over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_scores,
+    with_tokens,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_subwords) for r in with_tokens(df).collect()}
+    assert got[1] == (3, 3)
+    assert got[2][0] == 0
+    assert got[3] == (1, 1)
+
+
+def test_quality_scores_deterministic(docs):
+    a = quality_scores(docs).orderBy("doc_id").collect()
+    b = quality_scores(docs).orderBy("doc_id").collect()
+    assert a == b
+    row = a[0]
+    assert 0 <= row.punct_ratio <= 1
+    assert 0 <= row.stopword_ratio <= 1
+    assert row.n_tokens > 0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy"),
+            (2, "der Hund ist nicht mit der Katze und"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.fp_md5, r.fp_rolling) for r in fingerprint(df).collect()}
+    assert rows[1] == rows[2]          # case/whitespace-insensitive
+    assert rows[1] != rows[3]
+    assert isinstance(rows[1][1], int)
+
+
+def test_text_ops_stay_jvm_side(docs):
+    """No Python UDF in the plan — whole-stage codegen throughout."""
+    plan = (
+        quality_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen span present (printed as "*(n)" in the compact plan form)
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
