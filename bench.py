@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total query-suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Extras carry the north-rule evidence: the same normalize job run at two
+parallelism levels (local[N] and local[4N]) on the same input —
+sustained turns/sec at each level, scaling efficiency T(4N)/(4·T(N)),
+and the box's measured pure-CPU scaling ceiling for context (this
+sandbox simulates both "cluster sizes" inside one machine; 8→32 logical
+cores crosses the SMT boundary, so the hardware itself tops out below
+4×).
+
+Methodology per level: one untimed full-width warmup (spawns every
+python worker, compiles the regex registry per worker), then median of
+3 timed runs.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+#: headline queries timed on the sf dir (subset of __spark_entry__.queries)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "c3_tumbling_counts",
+    "c6_interval_join",
+    "a1_dedup_gap",
+    "c2_state_gauge",
+    "t_quality",
+    "t_langid",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "s_knn_cosine",
+    "golden_normalize",
+]
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"nls-bench-{cores}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .getOrCreate()
+    )
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _cpu_scaling_ceiling(n_lo: int, n_hi: int) -> float:
+    """Measured pure-CPU throughput ratio of this box from n_lo to n_hi
+    parallel python processes (bounds any python-worker job)."""
+
+    def _run(n):
+        with mp.Pool(n) as pool:
+            return sum(pool.map(_burn, [0.3] * (4 * n)))
+
+    lo, hi = _run(n_lo), _run(n_hi)
+    return hi / lo / (n_hi / n_lo)
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+_POOL_REG = None
+
+
+def _pool_init():
+    global _POOL_REG
+    from napalm_logs_spark.profiles import load_registry
+
+    _POOL_REG = load_registry()
+
+
+def _pool_normalize(pdf):
+    from napalm_logs_spark.operators.normalize import normalize_pandas
+
+    return len(normalize_pandas(pdf, _POOL_REG))
+
+
+def pandas_stage_scaling(pdf, n_lo: int, n_hi: int, batch: int = 5000):
+    """Scaling of the engine's own hot path (normalize_pandas) in a bare
+    process pool — no JVM, no Arrow.  Separates engine scalability from
+    single-JVM sandbox artifacts."""
+    batches = [pdf.iloc[i : i + batch] for i in range(0, len(pdf), batch)]
+    out = {}
+    for n in (n_lo, n_hi):
+        with mp.Pool(n, initializer=_pool_init) as pool:
+            pool.map(_pool_normalize, batches[: n])  # warm: compile regexes
+            t0 = time.time()
+            pool.map(_pool_normalize, batches, chunksize=1)
+            out[n] = len(pdf) / (time.time() - t0)
+    return out
+
+
+def run_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        fn = q[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def scaling_run(pdf, cores: int, reps: int = 3) -> float:
+    """Sustained normalize throughput (rows/sec) at a parallelism level.
+
+    Runs in a fresh subprocess (own JVM) so levels cannot contaminate
+    each other (scheduler threads, python daemon workers, GC state).
+    """
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-level",
+         str(cores), str(len(pdf)), str(reps)],
+        capture_output=True, text=True, timeout=900,
+    )
+    line = res.stdout.strip().splitlines()[-1]
+    return float(line)
+
+
+def _bench_input(n_rows: int):
+    """Deterministic transcripts, cached as parquet on first use."""
+    import pandas as pd
+
+    path = f"/tmp/nls_bench_transcripts_s{SEED}_n{n_rows}.parquet"
+    if not os.path.exists(path):
+        from napalm_logs_spark.sources.transcripts import synth_transcripts_pandas
+
+        pdf = synth_transcripts_pandas(
+            n_convs=max(n_rows // 100, 8), turns_per_conv=100, seed=SEED
+        )
+        pdf = pdf.astype({"ts": "datetime64[us]"})  # Spark can't read ns parquet
+        pdf.to_parquet(path + ".tmp")
+        os.rename(path + ".tmp", path)
+        return pdf, path
+    return pd.read_parquet(path), path
+
+
+def _scaling_level_main(cores: int, n_rows: int, reps: int) -> None:
+    _, path = _bench_input(n_rows)
+    print(_scaling_run_local(path, n_rows, cores, reps))
+
+
+def _scaling_run_local(path: str, n_rows: int, cores: int, reps: int = 3) -> float:
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.profiles import load_registry
+
+    spark = _session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        registry = load_registry()
+        # ~5k rows per Arrow batch: enough to amortize per-batch pandas
+        # fixed cost, small enough to keep worker RSS flat
+        parts = max(cores * 2, n_rows // 5000)
+        df = spark.read.parquet(path).repartition(parts).cache()
+        df.count()
+        env = normalize(df, registry)
+        env.write.format("noop").mode("overwrite").save()  # full-width warmup
+        durations = []
+        for _ in range(reps):
+            t0 = time.time()
+            env.write.format("noop").mode("overwrite").save()
+            durations.append(time.time() - t0)
+        print(f"[scaling local[{cores}]] durations={[round(d,2) for d in durations]}",
+              file=sys.stderr)
+        return n_rows / statistics.median(durations)
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    n_rows = max(int(12_800_000 * sf), 1_280_000) if sf > 0 else 1_280_000
+    pdf, _path = _bench_input(n_rows)
+
+    # 1) headline query suite at SPARK_GRAFT_CPUS
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        qtimes = run_queries(spark)
+    finally:
+        spark.stop()
+
+    # 2) north-rule scaling evidence: N vs 4N cores, same input
+    n_lo = max(CPUS // 4, 1)
+    thr_lo = scaling_run(pdf, n_lo)
+    thr_hi = scaling_run(pdf, CPUS)
+    efficiency = thr_hi / (4 * thr_lo)
+    ceiling = _cpu_scaling_ceiling(n_lo, CPUS)
+    pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
+    pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
+
+    out = {
+        "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
+                  "normalize scaling evidence in 'scaling')",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "scaling": {
+            "rows": len(pdf),
+            f"turns_per_sec_local{n_lo}": round(thr_lo),
+            f"turns_per_sec_local{CPUS}": round(thr_hi),
+            "efficiency_NtoQuadN": round(efficiency, 3),
+            "hardware_cpu_scaling_ceiling": round(ceiling, 3),
+            "efficiency_vs_hardware_ceiling": round(efficiency / ceiling, 3),
+            f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
+            f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),
+            "pandas_stage_only_efficiency": round(pool_eff, 3),
+            "note": "single-box simulation of two cluster sizes; "
+                    f"{n_lo}->{CPUS} logical cores crosses the SMT boundary "
+                    "so the pure-CPU ceiling itself is < 1.0",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-level":
+        spark_log = os.environ.setdefault("SPARK_SUBMIT_OPTS", "")
+        _scaling_level_main(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

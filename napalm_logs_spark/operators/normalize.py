@@ -120,99 +120,83 @@ def _resolve_epoch(date: str, time: str, fmt: str, default_year: int):
 
 def _prefix_stage(texts: pd.Series, osp: OsProfile, default_year: int) -> pd.DataFrame | None:
     """First matching prefix wins per OS; returns the partially-parsed
-    frame (index ⊆ texts.index) or None when nothing matched."""
-    remaining = texts
-    frames = []
-    for prefix_id, pp in enumerate(osp.prefixes):
-        if remaining.empty:
+    frame (index ⊆ texts.index) or None when nothing matched.
+
+    Hot loop works on raw numpy object arrays and python dicts — pandas
+    indexing is kept out of the per-row path (it dominated the profile).
+    """
+    txt = texts.to_numpy(dtype=object)
+    index = texts.index.to_numpy()
+    remaining = range(len(txt))
+    rows: dict = {}  # position -> (details, host, tag, message, fac, sev, epoch)
+
+    for pp in osp.prefixes:
+        if not remaining:
             break
+        still = []
         if pp.python_path is not None:
-            extracted = remaining.map(lambda s, p=pp.python_path: python_extract(p, s))
-            hit = extracted.notna()
-            if not hit.any():
-                continue
-            # build per-row from each dict — key sets may differ between
-            # rows (multiple alternations inside one extract()) and must
-            # not bleed into each other
-            dicts = list(extracted[hit])
-            hit_index = extracted.index[hit]
-            rows = pd.DataFrame(
-                {
-                    "_details": [
-                        {k: v for k, v in d.items() if k != "timestamp"}
-                        for d in dicts
-                    ],
-                    "host": [d.get("host") for d in dicts],
-                    "tag": [d.get("tag") for d in dicts],
-                    "message": [
-                        d["message"].strip() if isinstance(d.get("message"), str) else d.get("message")
-                        for d in dicts
-                    ],
-                    "facility": [
-                        int(d["pri"]) // 8 if d.get("pri") is not None else None
-                        for d in dicts
-                    ],
-                    "severity": [
-                        int(d["pri"]) % 8 if d.get("pri") is not None else None
-                        for d in dicts
-                    ],
-                    "_epoch": [d.get("timestamp") for d in dicts],
-                },
-                index=hit_index,
-            )
-            for det, msg in zip(rows["_details"], rows["message"]):
-                if msg is not None:
-                    det["message"] = msg
-            frames.append(rows)
-            remaining = remaining[~hit]
+            path = pp.python_path
+            for pos in remaining:
+                d = python_extract(path, txt[pos])
+                if d is None:
+                    still.append(pos)
+                    continue
+                msg = d.get("message")
+                if isinstance(msg, str):
+                    msg = msg.strip()
+                    d["message"] = msg
+                pri = d.get("pri")
+                fac = sev = None
+                if pri is not None:
+                    fac, sev = int(pri) // 8, int(pri) % 8
+                epoch = d.pop("timestamp", None)
+                rows[pos] = (d, d.get("host"), d.get("tag"), msg, fac, sev, epoch)
+            remaining = still
             continue
         cp = pp.pattern
-        try:
-            raw = remaining.str.extract(cp.pattern, expand=True)
-        except ValueError:
-            continue
-        colmap = {idx - 1: name for name, idx in cp.group_index.items()}
-        raw = raw.rename(columns=colmap)
-        hit = raw["pri"].notna()
-        if not hit.any():
-            continue
-        rows = raw[hit].where(raw[hit].notna(), None)
-        if "message" in rows.columns:
-            rows["message"] = rows["message"].map(
-                lambda m: m.strip() if isinstance(m, str) else m
-            )
-        # the partially-parsed dict (message_details), key set per prefix
-        detail_cols = [c for c in rows.columns if c != "timestamp"]
-        details = rows[detail_cols].to_dict("records")
-        rows["_details"] = details
-        if "pri" in rows.columns:
-            pri = rows["pri"].map(lambda p: int(p) if p is not None else None)
-            rows["facility"] = pri.map(lambda p: p // 8 if p is not None else None)
-            rows["severity"] = pri.map(lambda p: p % 8 if p is not None else None)
-        else:
-            rows["facility"] = None
-            rows["severity"] = None
-        for col in ("host", "tag", "message"):
-            if col not in rows.columns:
-                rows[col] = None
-        if "timestamp" in rows.columns:  # python prefixes resolve time themselves
-            rows["_epoch"] = rows["timestamp"]
-        elif pp.time_format and "date" in rows.columns and "time" in rows.columns:
-            fmt = pp.time_format
-            rows["_epoch"] = [
-                _resolve_epoch(d, t, fmt, default_year) if d and t else None
-                for d, t in zip(rows["date"], rows["time"])
-            ]
-        else:
-            rows["_epoch"] = None
-        frames.append(
-            rows[["_details", "host", "tag", "message", "facility", "severity", "_epoch"]]
-        )
-        remaining = remaining[~hit.reindex(remaining.index, fill_value=False)]
-    if not frames:
+        rx = cp.regex()
+        groups = list(cp.group_index.items())
+        fmt = pp.time_format
+        for pos in remaining:
+            s = txt[pos]
+            m = rx.search(s) if isinstance(s, str) else None
+            if m is None:
+                still.append(pos)
+                continue
+            d = {name: m.group(g) for name, g in groups}
+            msg = d.get("message")
+            if isinstance(msg, str):
+                msg = msg.strip()
+                d["message"] = msg
+            pri = d.get("pri")
+            fac = sev = None
+            if pri is not None:
+                pri_i = int(pri)
+                fac, sev = pri_i // 8, pri_i % 8
+            epoch = None
+            if fmt:
+                date, time_ = d.get("date"), d.get("time")
+                if date and time_:
+                    epoch = _resolve_epoch(date, time_, fmt, default_year)
+            rows[pos] = (d, d.get("host"), d.get("tag"), msg, fac, sev, epoch)
+        remaining = still
+
+    if not rows:
         return None
-    merged = pd.concat(frames)
-    return merged.loc[sorted(merged.index)]
+    positions = sorted(rows)
+    vals = [rows[p] for p in positions]
+    return pd.DataFrame(
+        {
+            "_details": [v[0] for v in vals],
+            "host": [v[1] for v in vals],
+            "tag": [v[2] for v in vals],
+            "message": [v[3] for v in vals],
+            "facility": [v[4] for v in vals],
+            "severity": [v[5] for v in vals],
+            "_epoch": [v[6] for v in vals],
+        },
+        index=index[positions],
+    )
 
 
 def _attach_details_extras(frame: pd.DataFrame) -> None:
@@ -281,35 +265,42 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
     device.py:143-147's cheap-predicate-first ordering, applied to a
     whole Arrow batch via a hash groupby.
     """
-    hits: dict = {}  # row index -> (error, model, yang_obj, state, state_tag)
-    matched = pd.Series(False, index=parsed.index)
+    msg_arr = parsed["message"].to_numpy(dtype=object)
+    det_arr = parsed["_details"].to_numpy(dtype=object)
+    tag_arr = parsed["tag"].to_numpy(dtype=object)
+    hits: dict = {}  # position -> (error, model, yang_obj, state, state_tag, entity)
 
     match_fields = {mp.match_on for mp in osp.messages}
     for match_field in match_fields:
-        if match_field == "tag":
-            gate_values = parsed["tag"]
-        else:
-            gate_values = parsed["_details"].map(lambda d: d.get(match_field))
-        index = {}
+        profile_index: dict = {}
         for mp in osp.messages:
             if mp.match_on == match_field:
-                index.setdefault(mp.tag, []).append(mp)
-        for tag_value, group_idx in gate_values.groupby(gate_values, sort=False).groups.items():
-            candidates = index.get(tag_value)
-            if not candidates:
-                continue
-            pending = parsed.loc[group_idx]
-            pending = pending[~matched.loc[group_idx]]
-            for mp in candidates:
-                if pending.empty:
+                profile_index.setdefault(mp.tag, []).append(mp)
+        # group row positions by gate value (hash gate before any regex)
+        groups: dict = {}
+        if match_field == "tag":
+            for pos, tv in enumerate(tag_arr):
+                if tv is not None and tv in profile_index:
+                    groups.setdefault(tv, []).append(pos)
+        else:
+            for pos, det in enumerate(det_arr):
+                tv = det.get(match_field)
+                if tv is not None and tv in profile_index:
+                    groups.setdefault(tv, []).append(pos)
+
+        for tag_value, positions in groups.items():
+            pending = [p for p in positions if p not in hits]
+            for mp in profile_index[tag_value]:
+                if not pending:
                     break
                 if mp.python_path is not None:
                     # tag equality alone selects a python profile
                     # (device.py:149-155); its emit() builds the object;
                     # an emit exception publishes nothing (device.py:327-333)
-                    for i, det in zip(pending.index, pending["_details"]):
+                    for pos in pending:
+                        det = det_arr[pos]
                         yang = python_emit(mp.python_path, det)
-                        hits[i] = (
+                        hits[pos] = (
                             mp.error,
                             mp.model,
                             yang if yang is not None else _OC_FAILED,
@@ -317,27 +308,27 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
                             mp.state_tag if mp.state is not None else None,
                             _entity_of(det),
                         )
-                        matched.loc[i] = True
-                    pending = pending.iloc[0:0]
+                    pending = []
                     continue
                 cp = mp.pattern
                 rx = cp.regex()
-                matches = pending["message"].map(
-                    lambda m: rx.search(m) if isinstance(m, str) else None
-                )
-                hit_mask = matches.notna()
-                if not hit_mask.any():
-                    continue
-                for i, m in matches[hit_mask].items():
+                groups_items = list(cp.group_index.items())
+                casts = cp.casts
+                still = []
+                for pos in pending:
+                    s = msg_arr[pos]
+                    m = rx.search(s) if isinstance(s, str) else None
+                    if m is None:
+                        still.append(pos)
+                        continue
                     captures = _apply_casts(
-                        {nm: m.group(g) for nm, g in cp.group_index.items()},
-                        cp.casts,
+                        {nm: m.group(g) for nm, g in groups_items}, casts
                     )
                     try:
                         yang = _build_yang(mp.mapping, captures)
                     except Exception:
                         yang = _OC_FAILED
-                    hits[i] = (
+                    hits[pos] = (
                         mp.error,
                         mp.model,
                         yang,
@@ -345,13 +336,14 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
                         mp.state_tag if mp.state is not None else None,
                         _entity_of(captures),
                     )
-                    matched.loc[i] = True
-                pending = pending[~hit_mask]
+                pending = still
 
-    def _col(pos):
-        return [hits[i][pos] if i in hits else None for i in parsed.index]
+    n = len(parsed)
 
-    res = pd.DataFrame(
+    def _col(slot):
+        return [hits[p][slot] if p in hits else None for p in range(n)]
+
+    return pd.DataFrame(
         {
             "error": _col(0),
             "yang_model": _col(1),
@@ -359,11 +351,10 @@ def _message_stage(osp: OsProfile, parsed: pd.DataFrame) -> pd.DataFrame:
             "state": _col(3),
             "state_tag": _col(4),
             "entity": _col(5),
-            "_matched": matched,
+            "_matched": [p in hits for p in range(n)],
         },
         index=parsed.index,
     )
-    return res
 
 
 # ---------------------------------------------------------------------------

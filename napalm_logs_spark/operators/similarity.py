@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # element-wise double arithmetic (float*float would lose precision
+    # vs. any double-computing oracle)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -29,7 +31,9 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
     )
 

@@ -84,8 +84,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         score_cols.append(code)
     best = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier codes win ties via strict >
-    for code in reversed(score_cols):
+    # strict > with codes in sorted order: ties go to the alphabetically
+    # first code (same rule as the SQL oracle's CASE chain)
+    for code in score_cols:
         cond = F.col(f"_score_{code}") > best_score
         best = F.when(cond, F.lit(code)).otherwise(best)
         best_score = F.when(cond, F.col(f"_score_{code}")).otherwise(best_score)

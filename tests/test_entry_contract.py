@@ -1,0 +1,84 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet (sf0.001 for
+speed; the driver uses sf0.01) and compare row count, column names, and
+order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.sql(sql).df()
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _canon(df, cols):
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows)
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema == entrymod.entry(spark).schema
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_runs(spark, name):
+    fn = entrymod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, name):
+    fn = entrymod.queries()[name]
+    got = fn(spark, SF_DIR).toPandas()
+    exp = _duck(entrymod.oracle_sql()[name])
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(exp.columns)}"
+    )
+    cols = sorted(got.columns)
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _canon(got, cols), _canon(exp, cols)
+    mism = [(a, b) for a, b in zip(g, e) if a != b][:5]
+    assert g == e, f"{name}: first mismatches {mism}"
+
+
+def test_every_query_has_oracle_or_reason():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o.issubset(q)
+    # the rows-only set is intentional and documented in-code
+    rows_only = q - o
+    expected_rows_only = {
+        "a1_dedup_ttl_exact", "d_minhash_lsh", "d_simhash", "s_ann_lsh",
+        "s_embedding_near_dup", "mm_features", "golden_normalize",
+    }
+    assert rows_only == expected_rows_only, rows_only
