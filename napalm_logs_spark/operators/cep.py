@@ -214,12 +214,16 @@ def agent_tool_pairs(
     return agents.join(tools, cond, how).drop("t_conv_id")
 
 
-def salted_repartition(df: DataFrame, key: str = "conv_id", salts: int = 8) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, key: str = "conv_id", salts: int = 8, num_partitions: int | None = None
+) -> DataFrame:
     """Explicit skew defusal for hot conversations: repartition by
-    (key, hash(turn_idx) % salts) so one hot key spreads over ``salts``
-    partitions.  Use before *stateless* per-row stages only — keyed
-    state must see all rows of a key (use entity-level sub-keys there).
+    (key, hash(turn_idx) % salts) so one hot key spreads over up to
+    ``salts`` partitions.  Use before *stateless* per-row stages only —
+    keyed state must see all rows of a key (use entity-level sub-keys
+    there).
     """
-    return df.repartition(
-        F.col(key), F.pmod(F.hash("turn_idx"), F.lit(salts)).alias("_salt")
-    )
+    salt = F.pmod(F.hash("turn_idx"), F.lit(salts)).alias("_salt")
+    if num_partitions:
+        return df.repartition(num_partitions, F.col(key), salt)
+    return df.repartition(F.col(key), salt)

@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
+    sh = shingles(df, n, text_col)
     sigs = minhash_signatures(df, num_hashes, n, text_col)
     band_cols = [
         F.struct(
@@ -158,8 +159,22 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n, threshold, text_col)
-    return candidates.join(exact, ["doc_a", "doc_b"], "inner")
+    # verify candidates ONLY (linear in candidate count — this is the
+    # whole point of LSH; running the full exact-Jaccard self-join here
+    # would defeat it at scale): join each side's shingle set and take
+    # array_intersect sizes
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,156 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Two exact-semantics operators the built-in primitives can't express:
+
+* :func:`exact_ttl_dedup_stream` — the reference's anchored-TTL dedup
+  buffer (server.py:301-320, buffer/memory.py:26-41) with *exact* TTL
+  semantics in streaming: per-key state holds the last-kept event time;
+  a kept row suppresses the key for ``ttl`` seconds; suppressed rows do
+  not refresh the anchor.  State is evicted by event-time timeout (the
+  janitor thread, server.py:74-86, for free).
+* :func:`entity_state_stream` — per-(host, family, entity) up/down
+  state machine emitting open/close transitions (alerta pairing,
+  transport/alerta.py:46-69) and maintaining the last-state gauge
+  (prometheus, transport/prometheus.py:70-93) across micro-batches.
+
+Both are keyed by their natural state key, so Spark hash-partitions the
+stream once and the state store shards with it; hot conversations are
+defused because the key includes the entity, not just the host.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def exact_ttl_dedup_stream(
+    df: DataFrame,
+    ttl_seconds: float = 5.0,
+    key: Sequence[str] = ("os", "host", "message"),
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact anchored-TTL dedup (see module docstring).
+
+    Input must be a streaming DataFrame; a watermark on ``ts_col`` is
+    applied here (needed for event-time state timeout).
+    """
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("anchor", T.DoubleType())])
+    key_cols = list(key)
+
+    def dedup_fn(
+        key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        anchor = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col], kind="mergesort")
+            keep = []
+            for t in pdf[ts_col]:
+                tv = t.timestamp()
+                if anchor is None or tv - anchor >= ttl_seconds:
+                    keep.append(True)
+                    anchor = tv
+                else:
+                    keep.append(False)
+            out = pdf[keep]
+            if len(out):
+                yield out
+        if anchor is not None:
+            state.update((float(anchor),))
+            # evict once the suppression window is definitely over
+            state.setTimeoutTimestamp(int((anchor + ttl_seconds) * 1000))
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+ENTITY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("entity", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("state01", T.IntegerType()),
+        T.StructField("prev_state", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def entity_state_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming up/down state machine over :func:`...cep.state_events`
+    output columns (host, family, entity, state01, error, ts).
+
+    Emits one row per state *transition* (first observation included)
+    with ``status`` open/closed; per-key state holds the last state
+    across micro-batches.
+    """
+    state_schema = T.StructType([T.StructField("last_state", T.IntegerType())])
+
+    def fsm(
+        key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        host, family, entity = key_vals
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, "turn_idx"], kind="mergesort")
+            out_rows = []
+            for _, row in pdf.iterrows():
+                cur = int(row["state01"])
+                if last is None or cur != last:
+                    out_rows.append(
+                        {
+                            "host": host,
+                            "family": family,
+                            "entity": entity,
+                            "ts": row[ts_col],
+                            "state01": cur,
+                            "prev_state": last,
+                            "status": "open" if cur == 0 else "closed",
+                            "error": row["error"],
+                        }
+                    )
+                last = cur
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+        if last is not None:
+            state.update((int(last),))
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("host", "family", "entity")
+        .applyInPandasWithState(
+            fsm,
+            outputStructType=ENTITY_STATE_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
