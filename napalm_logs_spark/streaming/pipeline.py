@@ -51,20 +51,44 @@ def run_stream_once(
     *,
     registry=None,
     sinks=None,
+    metrics_jsonl: str | None = None,
     **kwargs,
 ):
     """Run the pipeline over all currently-available input
     (Trigger.AvailableNow), blocking until done.  Re-invoking with new
     source files resumes from the checkpoint — already-processed files
-    are not re-read, and replayed batches overwrite themselves."""
+    are not re-read, and replayed batches overwrite themselves.
+
+    ``metrics_jsonl`` attaches observed metrics + a progress recorder
+    writing one JSONL row per micro-batch (the metrics table)."""
+    from .metrics import ProgressRecorder, with_observed_metrics
+
     env = build_stream(spark, source_dir, registry=registry, **kwargs)
+    recorder = None
+    if metrics_jsonl is not None:
+        env = with_observed_metrics(env)
+        recorder = ProgressRecorder(metrics_jsonl)
+        spark.streams.addListener(recorder)
     if sinks is None:
         sinks = [SinkSpec(path=p, send_raw=True, send_unknown=True) for p in sink_dirs]
-    query = (
-        env.writeStream.foreachBatch(exactly_once_parquet_sink(sinks))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            env.writeStream.foreachBatch(exactly_once_parquet_sink(sinks))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        if recorder is not None:
+            # listener events are delivered asynchronously on the bus —
+            # give them a moment to drain after termination
+            import time
+
+            for _ in range(100):
+                if recorder.rows:
+                    break
+                time.sleep(0.1)
+    finally:
+        if recorder is not None:
+            spark.streams.removeListener(recorder)
     return query
