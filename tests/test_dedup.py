@@ -71,4 +71,8 @@ def test_streaming_dedup_drops_within_watermark(spark, tmp_path):
     )
     q.awaitTermination()
     got = spark.sql("select * from dedup_stream_test").collect()
-    assert len(got) == 1 and got[0].turn_idx == 0
+    # dropDuplicatesWithinWatermark keeps the first ARRIVAL per key;
+    # arrival order across tasks is not event-time order, so only the
+    # count is deterministic here (exact event-time semantics live in
+    # streaming/stateful.exact_ttl_dedup_stream)
+    assert len(got) == 1
