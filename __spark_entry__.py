@@ -239,6 +239,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c7_sessions"] = c7_sessions
 
+    def c8_asof_join(spark, sf):
+        """As-of (backward) join: each 'error' event picks up the value
+        of the most recent prior 'click' of the same user — built from a
+        running last-non-null window (Spark has no native ASOF)."""
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        last_click = F.last(
+            F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+        ).over(w)
+        return (
+            ev.withColumn("asof_click_value", last_click)
+            .filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "asof_click_value")
+        )
+    q["c8_asof_join"] = c8_asof_join
+
+    def q_rollup_counts(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .rollup("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.grouping("event_type").cast("int").alias("g"),
+            )
+            .select("event_type", "n", "g")
+        )
+    q["q_rollup_counts"] = q_rollup_counts
+
+    def q_topk_per_group(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        return (
+            ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", "event_id", "value", "rnk")
+        )
+    q["q_topk_per_group"] = q_topk_per_group
+
+    def q_percentiles(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+    q["q_percentiles"] = q_percentiles
+
+    def q_set_ops(spark, sf):
+        ev = _t(spark, sf, "events")
+        clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+        erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+        both = clickers.intersect(erroring).withColumn("grp", F.lit("both"))
+        only_click = clickers.exceptAll(erroring).withColumn("grp", F.lit("click_only"))
+        return both.unionByName(only_click).select("grp", "user_id")
+    q["q_set_ops"] = q_set_ops
+
     # ---- serializer (K6) ----
     def k6_serialize(spark, sf):
         return (
@@ -531,6 +592,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                CAST(sum(CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM d GROUP BY user_id
+    """
+
+    o["c8_asof_join"] = """
+        WITH w AS (
+          SELECT event_id, user_id, event_type,
+                 last(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_value
+          FROM events
+        )
+        SELECT event_id, user_id, asof_click_value FROM w WHERE event_type = 'error'
+    """
+
+    o["q_rollup_counts"] = """
+        SELECT event_type, count(*) AS n, CAST(grouping(event_type) AS INTEGER) AS g
+        FROM events GROUP BY ROLLUP(event_type)
+    """
+
+    o["q_topk_per_group"] = """
+        WITH r AS (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+          FROM events
+        )
+        SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """
+
+    o["q_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS med,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type
+    """
+
+    o["q_set_ops"] = """
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        SELECT 'both' AS grp, user_id FROM c INTERSECT SELECT 'both', user_id FROM e
+        UNION ALL
+        SELECT 'click_only' AS grp, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM e)
     """
 
     o["k6_serialize"] = """
