@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure-python kernel:
+template compilation, nested-path building, casts, TTL dedup math."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from napalm_logs_spark.compat import cast, setval, traverse
+from napalm_logs_spark.profiles.compiler import compile_line
+
+# no digits in literals: a digit adjacent to a (\d+) hole makes the
+# template genuinely ambiguous, which is a property of regexes, not a
+# compiler bug
+LITERAL = st.text(
+    alphabet=string.ascii_letters + " :,.-/", min_size=1, max_size=8
+)
+KEY = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+
+
+@given(st.lists(st.tuples(KEY, LITERAL), min_size=1, max_size=4, unique_by=lambda t: t[0]))
+@settings(max_examples=200, deadline=None)
+def test_compiled_template_matches_its_own_rendering(parts):
+    """A template '{k1}lit1{k2}lit2…' compiled with digit-hole regexes
+    must match the string produced by substituting digits into the holes
+    and capture exactly those digits."""
+    line = ""
+    rendered = ""
+    values = {}
+    expected = {}
+    for i, (key, lit) in enumerate(parts):
+        val = str(100 + i)
+        line += "{" + key + "}" + lit
+        rendered += val + lit
+        values[key] = r"(\d+)"
+        expected[key] = val
+    cp = compile_line(line, values)
+    got = cp.match_groups(rendered)
+    assert got == expected
+
+
+@given(st.lists(KEY, min_size=1, max_size=6), st.integers())
+@settings(max_examples=200, deadline=None)
+def test_setval_traverse_roundtrip(path_parts, value):
+    path = "//".join(path_parts)
+    d = setval(path, value)
+    assert traverse(d, path) == value
+
+
+@given(st.integers(-10**9, 10**9))
+def test_cast_int_roundtrip(n):
+    assert cast(str(n), "int") == n
+
+
+@given(st.text(max_size=20))
+def test_cast_unknown_and_upper(s):
+    assert cast(s, "definitely_not_a_cast") == s
+    assert cast(s, "upper") == s.upper()
+
+
+@given(
+    st.lists(st.floats(min_value=0, max_value=1000, allow_nan=False), min_size=1, max_size=50),
+    st.floats(min_value=0.5, max_value=30),
+)
+@settings(max_examples=100, deadline=None)
+def test_anchored_ttl_reference_model(offsets, ttl):
+    """The pure-python anchored-TTL scan (same algorithm as both the
+    batch applyInPandas and streaming state operators) keeps exactly the
+    rows a literal reference simulation of the memory buffer keeps."""
+    ts = sorted(offsets)
+    # engine algorithm
+    keep_engine = []
+    anchor = None
+    for t in ts:
+        if anchor is None or t - anchor >= ttl:
+            keep_engine.append(t)
+            anchor = t
+    # reference simulation: dict cache with expiry check on read
+    cache = {}
+    keep_ref = []
+    for t in ts:
+        item = cache.get("k")
+        if item is not None and t - item < ttl:
+            continue
+        cache["k"] = t
+        keep_ref.append(t)
+    assert keep_engine == keep_ref
