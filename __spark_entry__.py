@@ -381,6 +381,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
     q["t_fingerprint"] = t_fingerprint
 
+    def t_tfidf(spark, sf):
+        from napalm_logs_spark.operators.text import tf_idf_top_terms
+
+        return tf_idf_top_terms(_t(spark, sf, "documents"), k=3)
+    q["t_tfidf"] = t_tfidf
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -407,6 +413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=6)
     q["d_simhash"] = d_simhash  # no oracle: python hash() signature
+
+    def d_dup_clusters(spark, sf):
+        from napalm_logs_spark.operators.docdedup import (
+            duplicate_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.3)
+        return duplicate_clusters(pairs)
+    q["d_dup_clusters"] = d_dup_clusters  # no oracle: iterative fixpoint algorithm
 
     # ---- similarity search ----
     def s_knn_cosine(spark, sf):
@@ -740,6 +756,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    """
+
+    o["t_tfidf"] = r"""
+        WITH terms AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms
+          WHERE length(term) > 0 GROUP BY doc_id, term
+        ), docfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM terms
+          WHERE length(term) > 0 GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + docfreq.df)) + 1.0), 6) AS tfidf
+          FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        ), r AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
     """
 
     o["s_knn_cosine"] = """

@@ -183,6 +183,15 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     out_schema = "doc_id long, simhash long"
 
     def _batch(it):
+        import hashlib
+
+        def _h64(token: str) -> int:
+            # deterministic across processes — python's hash() is
+            # PYTHONHASHSEED-randomized and must never reach the data path
+            return int.from_bytes(
+                hashlib.blake2b(token.encode(), digest_size=8).digest(), "little"
+            )
+
         for pdf in it:
             sigs = []
             for text in pdf[text_col].fillna(""):
@@ -191,7 +200,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                     sigs.append(0)
                     continue
                 hashes = np.array(
-                    [np.uint64(hash(t) & 0xFFFFFFFFFFFFFFFF) for t in set(tokens)],
+                    [np.uint64(_h64(t)) for t in set(tokens)],
                     dtype=np.uint64,
                 )
                 bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
@@ -239,3 +248,59 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: assign every doc
+    the MINIMUM doc_id reachable through the pair graph (the cluster
+    representative to keep).
+
+    Iterative label propagation on DataFrames (the classic large-star /
+    small-star simplification): each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds, checked via a count of changed labels.  This is
+    the engine's loop-until-fixpoint surface — not expressible in one
+    SQL statement.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.cache()
+        labels.count()  # materialize to keep lineage short
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -157,9 +157,20 @@ def _prefix_stage(texts: pd.Series, osp: OsProfile, default_year: int) -> pd.Dat
         rx = cp.regex()
         groups = list(cp.group_index.items())
         fmt = pp.time_format
+        lit = cp.required_literal
         for pos in remaining:
             s = txt[pos]
-            m = rx.search(s) if isinstance(s, str) else None
+            # O(1) necessary-substring gates before the regex engine:
+            # every wrapped prefix requires '<' (the pri), plus the
+            # template's own longest literal fragment
+            if (
+                not isinstance(s, str)
+                or "<" not in s
+                or (lit is not None and lit not in s)
+            ):
+                still.append(pos)
+                continue
+            m = rx.search(s)
             if m is None:
                 still.append(pos)
                 continue

@@ -112,3 +112,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), mod), mod),
     )
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
+
+
+def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    tf = term count in doc; idf = ln((1+N)/(1+df)) + 1 (sklearn-style
+    smoothing).  All JVM-side: explode → two hash aggregations → window
+    top-k.  Ties broken by term for determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    terms = df.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    docfreq = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(docfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

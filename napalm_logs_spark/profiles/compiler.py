@@ -36,11 +36,18 @@ from functools import lru_cache
 
 @dataclass(frozen=True)
 class CompiledPattern:
-    """A compiled profile template: pattern string + group layout."""
+    """A compiled profile template: pattern string + group layout.
+
+    ``required_literal`` is the longest whitespace-free literal fragment
+    of the template outside any hole — a *necessary* substring of every
+    match (literal chars pass re.escape verbatim), used as an O(1)
+    prefilter before the regex engine runs.
+    """
 
     pattern: str
     group_index: dict  # hole name -> regex group number (1-based)
     casts: dict        # hole name -> cast function name
+    required_literal: str | None = None
 
     def regex(self):
         return _compile_cached(self.pattern)
@@ -77,6 +84,17 @@ def compile_line(line: str, values: dict, *, wrap_prefix: bool = False) -> Compi
             casts[name] = cast_name
             values[name] = values.pop(raw_key)
 
+    # necessary literal: longest whitespace-free fragment between holes
+    # (computed before wrapping; whitespace is excluded because a single
+    # template space matches any whitespace run)
+    fragments = [
+        piece
+        for chunk in re.split(r"\{\w+\}", line)
+        for piece in chunk.split()
+    ]
+    fragments = [f for f in fragments if len(f) >= 2]
+    required_literal = max(fragments, key=len) if fragments else None
+
     if wrap_prefix:
         line = "{pri}" + line + "{message}"
         values["pri"] = r"\<(\d+)\>"
@@ -94,4 +112,9 @@ def compile_line(line: str, values: dict, *, wrap_prefix: bool = False) -> Compi
     escaped = re.escape(line).replace(r"\{", "{").replace(r"\}", "}")
     escaped = escaped.replace(r"\ ", r"\s+")
     pattern = escaped.format(**values)
-    return CompiledPattern(pattern=pattern, group_index=group_index, casts=casts)
+    return CompiledPattern(
+        pattern=pattern,
+        group_index=group_index,
+        casts=casts,
+        required_literal=required_literal,
+    )

@@ -83,3 +83,15 @@ def test_simhash_near_pairs(planted):
 def test_real_corpus_no_exact_dups(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert exact_duplicate_groups(docs).count() == 0
+
+
+def test_duplicate_clusters_connected_components(spark):
+    from napalm_logs_spark.operators.docdedup import duplicate_clusters
+
+    # chain 1-2-3, pair 7-9, singleton 5 not in pairs
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 9, 0.9)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}

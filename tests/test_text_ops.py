@@ -72,3 +72,16 @@ def test_text_ops_stay_jvm_side(docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # codegen span present (printed as "*(n)" in the compact plan form)
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_tf_idf_top_terms(spark):
+    from napalm_logs_spark.operators.text import tf_idf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rnk): r.term for r in tf_idf_top_terms(df, k=1).collect()}
+    # 'apple' unique to doc1, 'cherry' dominant in doc3
+    assert got[(1, 1)] == "apple"
+    assert got[(3, 1)] == "cherry"
