@@ -160,15 +160,23 @@ def _bench_input(n_rows: int):
     """Deterministic transcripts, cached as parquet on first use."""
     import pandas as pd
 
-    path = f"/tmp/nls_bench_transcripts_s{SEED}_n{n_rows}.parquet"
-    if not os.path.exists(path):
+    # a DIRECTORY of parquet (the streaming file source requires one)
+    path = f"/tmp/nls_bench_transcripts_s{SEED}_n{n_rows}"
+    if not os.path.isdir(path):
         from napalm_logs_spark.sources.transcripts import synth_transcripts_pandas
 
         pdf = synth_transcripts_pandas(
             n_convs=max(n_rows // 100, 8), turns_per_conv=100, seed=SEED
         )
         pdf = pdf.astype({"ts": "datetime64[us]"})  # Spark can't read ns parquet
-        pdf.to_parquet(path + ".tmp")
+        os.makedirs(path + ".tmp", exist_ok=True)
+        # many files: streaming-source parallelism = input splits
+        n_files = 32
+        chunk = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * chunk : (i + 1) * chunk]
+            if len(part):
+                part.to_parquet(path + f".tmp/part-{i:05d}.parquet")
         os.rename(path + ".tmp", path)
         return pdf, path
     return pd.read_parquet(path), path
@@ -177,6 +185,66 @@ def _bench_input(n_rows: int):
 def _scaling_level_main(cores: int, n_rows: int, reps: int) -> None:
     _, path = _bench_input(n_rows)
     print(_scaling_run_local(path, n_rows, cores, reps))
+
+
+def _streaming_level_main(cores: int, n_rows: int) -> None:
+    _, path = _bench_input(n_rows)
+    print(_streaming_run_local(path, n_rows, cores))
+
+
+def streaming_run(pdf, cores: int) -> float:
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--streaming-level",
+         str(cores), str(len(pdf))],
+        capture_output=True, text=True, timeout=900,
+    )
+    line = res.stdout.strip().splitlines()[-1]
+    return float(line)
+
+
+def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
+    """End-to-end STREAMING throughput: readStream -> normalize ->
+    dropDuplicatesWithinWatermark -> exactly-once multi-batch sink
+    (includes sink parquet writes).  maxFilesPerTrigger is left unset:
+    availableNow plans its own batches."""
+    import shutil
+    import tempfile
+
+    from napalm_logs_spark.operators.dedup import dedup_streaming
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.profiles import load_registry
+    from napalm_logs_spark.streaming.sink import SinkSpec, exactly_once_parquet_sink
+
+    spark = _session(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="nls_bench_stream_")
+    try:
+        registry = load_registry()
+        schema = spark.read.parquet(path).schema
+        # warm the python workers with a batch job over the same input
+        warm = spark.read.parquet(path).repartition(cores * 2)
+        normalize(warm, registry).write.format("noop").mode("overwrite").save()
+
+        stream = spark.readStream.schema(schema).parquet(path)
+        env = dedup_streaming(normalize(stream, registry), ttl_seconds=5.0,
+                              watermark="30 seconds")
+        sink = exactly_once_parquet_sink(
+            [SinkSpec(path=f"{work}/out", send_raw=True, send_unknown=True)]
+        )
+        t0 = time.time()
+        q = (
+            env.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return n_rows / (time.time() - t0)
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _scaling_run_local(path: str, n_rows: int, cores: int, reps: int = 3) -> float:
@@ -227,6 +295,7 @@ def main() -> None:
     ceiling = _cpu_scaling_ceiling(n_lo, CPUS)
     pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
+    stream_thr = streaming_run(pdf, CPUS)
 
     out = {
         "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
@@ -242,6 +311,7 @@ def main() -> None:
             "efficiency_NtoQuadN": round(efficiency, 3),
             "hardware_cpu_scaling_ceiling": round(ceiling, 3),
             "efficiency_vs_hardware_ceiling": round(efficiency / ceiling, 3),
+            f"streaming_e2e_turns_per_sec_local{CPUS}": round(stream_thr),
             f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
             f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),
             "pandas_stage_only_efficiency": round(pool_eff, 3),
@@ -255,7 +325,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-level":
-        spark_log = os.environ.setdefault("SPARK_SUBMIT_OPTS", "")
         _scaling_level_main(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-level":
+        _streaming_level_main(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()

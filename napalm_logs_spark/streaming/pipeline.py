@@ -30,6 +30,7 @@ def build_stream(
     watermark: str = "30 seconds",
     dedup: bool = True,
     dedup_ttl: float = 5.0,
+    repartition: int | None = None,
 ):
     """Transcript parquet dir → normalized (and optionally deduped)
     streaming DataFrame."""
@@ -37,6 +38,11 @@ def build_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    if repartition:
+        # parallelism of a file-stream micro-batch = its input splits; a
+        # micro-batch from few/large files would otherwise starve the
+        # normalize stage (only needed when the source layout is coarse)
+        stream = stream.repartition(repartition)
     env = normalize(stream, registry)
     if dedup:
         env = dedup_streaming(env, ttl_seconds=dedup_ttl, watermark=watermark)
