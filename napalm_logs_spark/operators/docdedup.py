@@ -67,11 +67,61 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """EXACT n-gram Jaccard pairs with similarity ≥ ``threshold``.
 
-    |A∩B| from the shingle self-join; |A|,|B| from per-doc counts;
-    J = ∩ / (|A|+|B|−∩).  Returned as (doc_a, doc_b, jaccard), a<b.
+    For τ ≥ 0.5, candidate generation uses prefix filtering (PPJoin
+    family, Xiao et al., WWW'08): order each doc's shingles by ascending
+    global frequency; any pair with J ≥ τ must share a shingle within
+    each side's prefix of length ``|x| − ⌈τ·|x|⌉ + 1``.  Joining only on
+    prefix shingles skips the ultra-frequent shingles that blow up a
+    naive self-join, without losing a single qualifying pair; candidates
+    are then verified exactly via ``array_intersect``.  For low τ the
+    prefix is most of the set (measured slower than the count-based
+    self-join), so the naive plan is used.  Output is identical either
+    way: (doc_a, doc_b, jaccard), a<b.
     """
+    if threshold < 0.5:
+        return _jaccard_naive(df, n, threshold, text_col)
+    sh = shingles(df, n, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gfreq"))
+    ranked = sh.join(freq, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("gfreq", "shingle")
+    sized = Window.partitionBy("doc_id")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(sized))
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_naive(
+    df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """Count-based exact Jaccard: shingle self-join → |A∩B| counts."""
     sh = shingles(df, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

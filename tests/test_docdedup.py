@@ -95,3 +95,20 @@ def test_duplicate_clusters_connected_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_prefix_filter_equals_naive(spark, planted):
+    """The PPJoin-style prefix-filtered plan (τ≥0.5) returns exactly the
+    naive plan's pairs."""
+    from napalm_logs_spark.operators.docdedup import _jaccard_naive
+
+    for tau in (0.5, 0.8):
+        fast = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in ngram_jaccard_pairs(planted, n=3, threshold=tau).collect()
+        }
+        naive = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in _jaccard_naive(planted, n=3, threshold=tau).collect()
+        }
+        assert fast == naive, tau
