@@ -1,0 +1,48 @@
+"""Physical-plan assertions: the optimizations the engine relies on at
+scale must be visible in the executed plans (regressions here are
+silent perf cliffs, not correctness failures)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        entrymod.queries()[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # filter reaches the parquet scan; column pruning effective
+    assert "l_shipdate" in plan and "DataFilters: [isnotnull(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine
+    assert "o_orderkey" not in plan  # no unrelated columns
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "c_mktsegment" in plan and "BUILDING" in plan  # pushed segment filter
+
+
+def test_c6_interval_join_filters_pushed(spark):
+    plan = _plan(spark, "c6_interval_join")
+    assert plan.count("FileScan parquet") == 2
+    assert "event_type" in plan and "click" in plan and "error" in plan
+
+
+def test_t_quality_column_pruning(spark):
+    plan = _plan(spark, "t_quality")
+    # only doc_id + text needed from the 5-column table
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
