@@ -1,0 +1,95 @@
+"""CLI entry point — the Spark-native analog of the reference's
+``napalm-logs`` daemon command (scripts/cli.py:443).
+
+    python -m napalm_logs_spark normalize --source DIR --output DIR
+    python -m napalm_logs_spark run --source DIR --sink DIR \
+        --checkpoint DIR [--metrics FILE.jsonl] [--no-dedup] \
+        [--profiles DIR] [--master local[*]]
+
+``normalize`` is the batch path (read → normalize → write parquet);
+``run`` is the streaming pipeline (readStream → normalize → TTL dedup →
+exactly-once sink), resumable from its checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _session(master: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("napalm-logs-spark")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    return spark, not preexisting
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="napalm_logs_spark")
+    parser.add_argument("--master", default="local[*]")
+    parser.add_argument("--profiles", default=None, help="profile corpus dir")
+    parser.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_norm = sub.add_parser("normalize", help="batch normalize transcripts")
+    p_norm.add_argument("--source", required=True, help="transcript parquet dir")
+    p_norm.add_argument("--output", required=True, help="envelope parquet dir")
+
+    p_run = sub.add_parser("run", help="streaming pipeline")
+    p_run.add_argument("--source", required=True)
+    p_run.add_argument("--sink", action="append", required=True,
+                       help="sink dir (repeatable for fan-out)")
+    p_run.add_argument("--checkpoint", required=True)
+    p_run.add_argument("--metrics", default=None, help="metrics JSONL path")
+    p_run.add_argument("--no-dedup", action="store_true")
+    p_run.add_argument("--dedup-ttl", type=float, default=5.0)
+    p_run.add_argument("--watermark", default="30 seconds")
+    p_run.add_argument("--repartition", type=int, default=None)
+
+    args = parser.parse_args(argv)
+
+    from .profiles import load_registry
+
+    registry = load_registry(args.profiles)
+    spark, owns_session = _session(args.master, args.shuffle_partitions)
+    try:
+        if args.command == "normalize":
+            from .operators.normalize import normalize
+
+            df = spark.read.parquet(args.source)
+            normalize(df, registry).sortWithinPartitions(
+                "conv_id", "turn_idx"
+            ).write.mode("overwrite").parquet(args.output)
+            print(f"normalized -> {args.output}")
+        else:
+            from .streaming.pipeline import run_stream_once
+
+            run_stream_once(
+                spark,
+                args.source,
+                args.sink,
+                args.checkpoint,
+                registry=registry,
+                metrics_jsonl=args.metrics,
+                dedup=not args.no_dedup,
+                dedup_ttl=args.dedup_ttl,
+                watermark=args.watermark,
+                repartition=args.repartition,
+            )
+            print(f"stream drained -> {args.sink} (resume via {args.checkpoint})")
+    finally:
+        if owns_session:  # don't tear down a caller-provided session
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

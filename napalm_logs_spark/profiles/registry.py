@@ -39,8 +39,11 @@ NO_MODEL = "NO_MODEL"
 
 #: default profile corpus location (the reference's vendor profiles are
 #: consumed as *data*, exactly like a user pointing the engine at their
-#: own profile directory).  Override with NLS_PROFILE_DIR.
+#: own profile directory).  Override with NLS_PROFILE_DIR; when neither
+#: exists, the package's built-in demo profiles load so the engine runs
+#: standalone.
 DEFAULT_PROFILE_DIR = "/root/reference/napalm_logs/config"
+BUILTIN_PROFILE_DIR = os.path.join(os.path.dirname(__file__), "builtin")
 
 
 @dataclass(frozen=True)
@@ -244,7 +247,10 @@ def load_registry(path: str | None = None, whitelist=None, blacklist=None) -> Pr
     capture.  OS subdirectories are pruned by white/blacklist *before*
     any compilation — the config-time analog of partition pruning.
     """
-    path = path or os.environ.get("NLS_PROFILE_DIR", DEFAULT_PROFILE_DIR)
+    if path is None:
+        path = os.environ.get("NLS_PROFILE_DIR")
+    if path is None:
+        path = DEFAULT_PROFILE_DIR if os.path.isdir(DEFAULT_PROFILE_DIR) else BUILTIN_PROFILE_DIR
     if not os.path.isdir(path):
         raise IOError(f"profile directory does not exist: {path}")
     oses = {}
