@@ -450,7 +450,15 @@ def normalize_pandas(
     if not out_frames:
         return pd.DataFrame({c: [] for c in _OUT_COLS})
 
-    res = pd.concat(out_frames)
+    import warnings
+
+    with warnings.catch_warnings():
+        # frames legitimately carry all-None object columns (state,
+        # state_tag); dtypes are normalized explicitly below, so the
+        # pandas-3.0 concat dtype change is immaterial here
+        warnings.filterwarnings("ignore", category=FutureWarning,
+                                message=".*empty or all-NA.*")
+        res = pd.concat(out_frames)
     res["_ord"] = res.index
     res = res.sort_values(["_ord", "os"], kind="mergesort")
 

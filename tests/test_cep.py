@@ -145,3 +145,25 @@ def test_agent_tool_pairs_streaming_drops_late(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select * from at_pairs").collect()
     assert {(r.agent_turn, r.tool_turn) for r in got} == {(0, 1)}
+
+
+def test_event_counts_streaming_complete_mode(spark, tmp_path, env):
+    """C3 in streaming mode: tumbling counters over a stream equal the
+    batch counters (complete output to a memory sink)."""
+    src = str(tmp_path / "counts_src")
+    env.write.parquet(src)
+    stream = spark.readStream.schema(env.schema).parquet(src)
+    counts = event_counts(
+        stream.withWatermark("ts", "10 minutes"), "3600 seconds", keys=("error",)
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("c3_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.error: r.n for r in spark.sql("select * from c3_stream").collect()}
+    exp = {
+        r.error: r.n
+        for r in event_counts(env, "3600 seconds", keys=("error",)).collect()
+    }
+    assert got == exp
