@@ -59,7 +59,17 @@ def synth_media_pandas(n: int = 64, seed: int = 42) -> pd.DataFrame:
                 "duration_ms": 1000 if kind != "image" else None,
             }
         )
-    return pd.DataFrame(rows)
+    pdf = pd.DataFrame(rows)
+    # None-mixed int columns must stay integral (pandas promotes to
+    # float64, which Spark's IntegerType rejects as 64.0).  Object dtype
+    # with Python int/None survives both Arrow and row-based conversion.
+    for col in ("width", "height", "duration_ms"):
+        pdf[col] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in pdf[col]],
+            dtype=object,
+            index=pdf.index,
+        )
+    return pdf
 
 
 def default_decoder(kind: str, payload: bytes, n_features: int = 8):
