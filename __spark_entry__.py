@@ -454,6 +454,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_lsh"] = s_ann_lsh  # no oracle: approximate by construction
 
+    def s_ann_ivf(spark, sf):
+        from napalm_logs_spark.operators.similarity import ivf_cosine_topk
+
+        emb = _t(spark, sf, "embeddings")
+        return ivf_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
+            n_clusters=8, nprobe=4,
+        ).withColumn("rank", F.col("rank").cast("long"))
+    q["s_ann_ivf"] = s_ann_ivf  # no oracle: approximate by construction
+
     def s_embedding_near_dup(spark, sf):
         from napalm_logs_spark.operators.similarity import embedding_near_dup
 
