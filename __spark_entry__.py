@@ -354,6 +354,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q3_top_orders"] = q3_top_orders
 
+    def q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: one big fact (lineitem⋈orders) with every dim
+        # broadcast — region/nation/customer/supplier are tiny at any SF
+        region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        nation = _t(spark, sf, "nation")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        li = _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        dims = (
+            cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .select("c_custkey", "c_nationkey", "n_name")
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(dims), (orders["o_custkey"] == dims["c_custkey"])
+                  & (supp["s_nationkey"] == dims["c_nationkey"]))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc())
+        )
+    q["q5_local_supplier_volume"] = q5_local_supplier_volume
+
+    def q6_forecast_revenue(spark, sf):
+        # TPC-H Q6 shape: pure scan+filter+agg — every predicate must
+        # reach the parquet reader (PushedFilters), no shuffle but the
+        # single-row final agg
+        li = _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+            "l_discount"
+        ).cast("decimal(18,4)")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_discount").cast("decimal(18,4)").between(0.05, 0.07))
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+        )
+    q["q6_forecast_revenue"] = q6_forecast_revenue
+
     # ---- text analysis ----
     def t_tokens(spark, sf):
         from napalm_logs_spark.operators.text import with_tokens
@@ -691,6 +741,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o.o_orderkey
         ORDER BY revenue DESC, o.o_orderkey
         LIMIT 10
+    """
+
+    o["q5_local_supplier_volume"] = """
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """
+
+    o["q6_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """
 
     o["t_tokens"] = r"""

@@ -79,7 +79,7 @@ def test_every_query_has_oracle_or_reason():
     rows_only = q - o
     expected_rows_only = {
         "a1_dedup_ttl_exact", "d_minhash_lsh", "d_simhash", "s_ann_lsh",
-        "s_embedding_near_dup", "mm_features", "golden_normalize",
+        "s_embedding_near_dup", "s_ann_ivf", "mm_features", "golden_normalize",
         "d_dup_clusters",
     }
     assert rows_only == expected_rows_only, rows_only

@@ -36,6 +36,25 @@ def test_q3_broadcasts_dimension(spark):
     assert "c_mktsegment" in plan and "BUILDING" in plan  # pushed segment filter
 
 
+def test_q5_broadcasts_all_dims_one_shuffle_join(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # every dim side is broadcast; the only non-broadcast join is the
+    # lineitem⋈orders fact join
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "ASIA" in plan  # region predicate applied before broadcast
+    assert "partial_sum" in plan  # map-side combine on revenue
+
+
+def test_q6_all_predicates_pushed_no_shuffle_join(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    assert "IsNotNull(l_quantity)" in plan or "LessThan(l_quantity" in plan, plan
+    assert "Join" not in plan  # pure scan→filter→agg
+    # only the 4 referenced columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," \
+           "l_discount:double,l_shipdate:timestamp" in plan, plan
+
+
 def test_c6_interval_join_filters_pushed(spark):
     plan = _plan(spark, "c6_interval_join")
     assert plan.count("FileScan parquet") == 2
