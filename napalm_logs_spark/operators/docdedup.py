@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import widen_if_narrow_scan
+
 
 def normalized(text_col: str = "text"):
     return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
@@ -51,16 +53,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Word n-gram shingle set per document: (doc_id, shingle)."""
+def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document as ``(doc_id, sh_set)``.
+
+    Fully narrow — one pass over the scan, no shuffle.  Every dedup
+    operator below starts here so the set is built exactly once per plan
+    (vs. explode→collect_set, which costs a whole extra shuffle).
+
+    The set expression is wrapped in a single-element generator
+    (explode∘array∘struct): higher-order-function chains are
+    CodegenFallback, so without this barrier CollapseProject inlines the
+    whole tokenize→n-gram→distinct chain into EVERY downstream column
+    that references ``sh_set`` (32× re-evaluation in the MinHash stage,
+    measured 2-4× slower end-to-end).  A Generate output is an
+    attribute, so downstream references share one evaluation."""
     toks = F.split(F.trim(normalized(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+    sh = F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0)
+    return widen_if_narrow_scan(df).select(
+        "doc_id", F.explode(F.array(F.struct(sh.alias("v")))).alias("_s")
+    ).select("doc_id", F.col("_s.v").alias("sh_set"))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingle set per document: (doc_id, shingle)."""
+    return shingle_sets(df, n, text_col).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
     )
 
 
@@ -82,14 +103,17 @@ def ngram_jaccard_pairs(
     """
     if threshold < 0.5:
         return _jaccard_naive(df, n, threshold, text_col)
-    sh = shingles(df, n, text_col)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gfreq"))
-    ranked = sh.join(freq, "shingle")
+    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
+    # carry |set| as a column from the narrow stage — saves the
+    # count-over-window a per-row size lookup would otherwise cost
+    exploded = sets.select(
+        "doc_id", F.size("sh_set").alias("sz"), F.explode("sh_set").alias("shingle")
+    )
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("gfreq"))
+    ranked = exploded.join(freq, "shingle")
     w = Window.partitionBy("doc_id").orderBy("gfreq", "shingle")
-    sized = Window.partitionBy("doc_id")
     prefix = (
         ranked.withColumn("pos", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(sized))
         .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("doc_id", "shingle")
     )
@@ -104,7 +128,6 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
@@ -155,15 +178,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min(xxhash64(shingle, i)).
 
-    Entirely JVM-side: one explode + one groupBy; the ``num_hashes``
-    mins fold into a single aggregation pass.
+    Entirely JVM-side AND entirely narrow: the per-doc min folds over
+    the shingle array in the scan stage (``array_min`` over
+    ``transform``) — zero shuffles, vs. the explode→groupBy formulation
+    whose first shuffle moves every (doc, shingle) row.
     """
-    sh = shingles(df, n, text_col)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sets.select("doc_id", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -183,7 +210,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = shingles(df, n, text_col)
+    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
     sigs = minhash_signatures(df, num_hashes, n, text_col)
     band_cols = [
         F.struct(
@@ -213,7 +240,6 @@ def minhash_lsh_pairs(
     # whole point of LSH; running the full exact-Jaccard self-join here
     # would defeat it at scale): join each side's shingle set and take
     # array_intersect sizes
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
@@ -259,7 +285,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                 sigs.append(sig - 2**64 if sig >= 2**63 else sig)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
 
-    return df.mapInPandas(_batch, schema=out_schema)
+    return widen_if_narrow_scan(df).mapInPandas(_batch, schema=out_schema)
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
