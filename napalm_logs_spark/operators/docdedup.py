@@ -268,20 +268,26 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
                 hashlib.blake2b(token.encode(), digest_size=8).digest(), "little"
             )
 
+        shifts = np.arange(64, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
         for pdf in it:
+            # hash each DISTINCT token once per batch (corpora repeat
+            # tokens heavily — this is the dominant python cost),
+            # precompute its 64-bit row, then per doc just sum rows
+            token_sets = [set(t.lower().split()) for t in pdf[text_col].fillna("")]
+            vocab = sorted(set().union(*token_sets)) if token_sets else []
+            index = {t: i for i, t in enumerate(vocab)}
+            if vocab:
+                hashes = np.array([_h64(t) for t in vocab], dtype=np.uint64)
+                bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             sigs = []
-            for text in pdf[text_col].fillna(""):
-                tokens = text.lower().split()
-                if not tokens:
+            for toks in token_sets:
+                if not toks:
                     sigs.append(0)
                     continue
-                hashes = np.array(
-                    [np.uint64(_h64(t)) for t in set(tokens)],
-                    dtype=np.uint64,
-                )
-                bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(hashes)
-                sig = int((np.uint64(1) << np.arange(64, dtype=np.uint64))[votes > 0].sum())
+                rows = bits[[index[t] for t in toks]]
+                votes = rows.sum(axis=0) * 2 - len(toks)
+                sig = int(powers[votes > 0].sum())
                 sigs.append(sig - 2**64 if sig >= 2**63 else sig)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
 
