@@ -74,6 +74,100 @@ def test_state_survives_checkpoint_restart(spark, tmp_path):
     assert got.count() == 1, [r.asDict() for r in got.collect()]
 
 
+def _run_windowed(spark, build_query, src, ckpt, out):
+    """availableNow run of a windowed streaming agg to a parquet sink;
+    append-mode windows emit once the (checkpointed) watermark passes
+    their end — the caller appends a late sentinel and runs again."""
+    q = (
+        build_query()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_flaps_streaming_sliding_window(spark, tmp_path):
+    """C5 in streaming form: sliding-window transition counts with an
+    event-time watermark; windows seal exactly-once across two runs of
+    one checkpoint."""
+    from napalm_logs_spark.operators.cep import flaps
+
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    schema = "host string, family string, entity string, ts timestamp"
+    burst = [
+        ("r1", "interface", "xe-0", BASE + datetime.timedelta(seconds=s))
+        for s in (0, 8, 16, 24)
+    ] + [("r1", "interface", "xe-1", BASE + datetime.timedelta(seconds=4))]
+    spark.createDataFrame(burst, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def build():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return flaps(
+            stream.withWatermark("ts", "1 second"),
+            window="60 seconds", slide="10 seconds", min_transitions=3,
+        )
+
+    _run_windowed(spark, build, src, ckpt, out)
+    # sentinel far in the future seals every burst window
+    spark.createDataFrame(
+        [("zz", "interface", "zz", BASE + datetime.timedelta(seconds=3600))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_windowed(spark, build, src, ckpt, out)
+
+    got = [r for r in spark.read.parquet(out).collect() if r.host != "zz"]
+    assert got, "no sealed flap windows emitted"
+    assert {r.entity for r in got} == {"xe-0"}  # xe-1 never reaches 3
+    assert max(r.n_transitions for r in got) == 4
+    # windows only ever count events inside [start, end)
+    for r in got:
+        assert (r.win_end - r.win_start).total_seconds() == 60
+
+    # re-running with no new data must not re-emit sealed windows
+    # (exactly-once across resumes)
+    _run_windowed(spark, build, src, ckpt, out)
+    again = [r for r in spark.read.parquet(out).collect() if r.host != "zz"]
+    assert len(again) == len(got)
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """Session windows per conv_id in streaming mode: a >gap quiet
+    period splits the conversation; sealed sessions emit in append mode."""
+    from napalm_logs_spark.operators.cep import session_stats
+
+    src, ckpt, out = str(tmp_path / "ssrc"), str(tmp_path / "sckpt"), str(tmp_path / "sout")
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    rows = [
+        ("c1", 0, BASE),
+        ("c1", 1, BASE + datetime.timedelta(seconds=10)),
+        ("c1", 2, BASE + datetime.timedelta(seconds=20)),
+        ("c1", 3, BASE + datetime.timedelta(seconds=400)),   # new session
+        ("c1", 4, BASE + datetime.timedelta(seconds=410)),
+        ("c2", 0, BASE + datetime.timedelta(seconds=5)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def build():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return session_stats(stream.withWatermark("ts", "1 second"), gap="300 seconds")
+
+    _run_windowed(spark, build, src, ckpt, out)
+    spark.createDataFrame(
+        [("zz", 0, BASE + datetime.timedelta(seconds=7200))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_windowed(spark, build, src, ckpt, out)
+
+    got = {
+        (r.conv_id, r.n_turns, r.first_turn, r.last_turn)
+        for r in spark.read.parquet(out).collect()
+        if r.conv_id != "zz"
+    }
+    assert got == {("c1", 3, 0, 2), ("c1", 2, 3, 4), ("c2", 1, 0, 0)}
+
+
 def test_entity_state_machine_stream(spark, tmp_path):
     src, ckpt = str(tmp_path / "esrc"), str(tmp_path / "eckpt")
     rows = [
