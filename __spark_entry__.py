@@ -300,6 +300,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return both.unionByName(only_click).select("grp", "user_id")
     q["q_set_ops"] = q_set_ops
 
+    def q_window_running(spark, sf):
+        # window-function family: running sum + lag delta per user over
+        # event time (single shuffle on user_id; sort within partition)
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < 200)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ), 6).alias("running_value"),
+            F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6)
+            .alias("delta_prev"),
+        )
+    q["q_window_running"] = q_window_running
+
+    def q_cube_counts(spark, sf):
+        # grouping-sets family: CUBE over (event_type, value-bucket)
+        ev = _t(spark, sf, "events").withColumn(
+            "bucket", (F.col("value") >= 0.5).cast("int")
+        )
+        return (
+            ev.cube("event_type", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.grouping_id("event_type", "bucket").cast("long").alias("gid"),
+            )
+            .select("event_type", "bucket", "n", "gid")
+        )
+    q["q_cube_counts"] = q_cube_counts
+
     # ---- serializer (K6) ----
     def k6_serialize(spark, sf):
         return (
@@ -708,6 +739,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'both' AS grp, user_id FROM c INTERSECT SELECT 'both', user_id FROM e
         UNION ALL
         SELECT 'click_only' AS grp, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM e)
+    """
+
+    o["q_window_running"] = """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS running_value,
+               round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6)
+                   AS delta_prev
+        FROM events WHERE user_id < 200
+    """
+
+    o["q_cube_counts"] = """
+        SELECT event_type, bucket, count(*) AS n, grouping(event_type, bucket) AS gid
+        FROM (SELECT event_type, CAST(value >= 0.5 AS INT) AS bucket FROM events)
+        GROUP BY CUBE (event_type, bucket)
     """
 
     o["k6_serialize"] = """
