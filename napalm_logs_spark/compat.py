@@ -26,6 +26,7 @@ import re
 import sys
 import types
 from datetime import datetime, timezone
+from functools import lru_cache
 
 DELIM = "//"
 
@@ -139,13 +140,20 @@ def cast(value, function_name: str):
 # ordered-group regex extraction (python-module profile helper)
 
 
+@lru_cache(maxsize=512)
+def _compiled_ci(rgx: str):
+    # python-module profiles pass pattern STRINGS per call; going through
+    # re.search would re-hit re._compile's cache lookup on every row
+    return re.compile(rgx, re.I)
+
+
 def extract(rgx, msg: str, mapping, time_format=None):
     """Match ``rgx`` (case-insensitive) and zip groups with ``mapping`` keys.
 
     Optionally resolve ``time_format = (template, strptime_fmt)`` into an
     epoch ``timestamp`` field computed in UTC.
     """
-    matched = re.search(rgx, msg, re.I)
+    matched = _compiled_ci(rgx).search(msg) if isinstance(rgx, str) else re.search(rgx, msg, re.I)
     if not matched:
         return None
     out = {}

@@ -286,8 +286,12 @@ def _set_parts(oc: dict, segs, dyn, captures, value):
                 segs[i : i + 1] = segs[i].split("//")
     node = oc
     for part in segs[:-1]:
-        nxt = node.get(part)
-        if not isinstance(nxt, dict):
+        try:
+            nxt = node[part]
+            if type(nxt) is not dict:  # leaf collision → replace (setval parity)
+                nxt = {}
+                node[part] = nxt
+        except KeyError:
             nxt = {}
             node[part] = nxt
         node = nxt
