@@ -62,6 +62,13 @@ def _session(cores: int):
         .config("spark.sql.shuffle.partitions", str(cores * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # the at-scale state-store provider (spill + changelog); measured
+        # >= the default HDFS-backed provider on the streaming e2e path
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .getOrCreate()
     )
 
