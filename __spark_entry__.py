@@ -259,6 +259,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c8_asof_join"] = c8_asof_join
 
+    def c9_sequence(spark, sf):
+        # MATCH_RECOGNIZE-style ordered pattern: view -> click -> purchase
+        # per user within 24 h (multi-turn CEP over pre-filtered steps)
+        from napalm_logs_spark.operators.cep import pattern_sequence
+
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < 100)
+        return pattern_sequence(
+            ev,
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            within_seconds=86400,
+            key="user_id",
+            idx_col="event_id",
+        )
+    q["c9_sequence"] = c9_sequence
+
     def q_rollup_counts(spark, sf):
         return (
             _t(spark, sf, "events")
@@ -699,6 +718,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                CAST(sum(CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM d GROUP BY user_id
+    """
+
+    o["c9_sequence"] = """
+        SELECT a.user_id AS user_id,
+               a.ts AS ts0, a.event_id AS turn0,
+               b.ts AS ts1, b.event_id AS turn1,
+               c.ts AS ts2, c.event_id AS turn2,
+               date_diff('second', a.ts, c.ts) AS span_seconds
+        FROM events a
+        JOIN events b ON b.user_id = a.user_id AND b.event_id > a.event_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 86400 SECONDS
+        JOIN events c ON c.user_id = b.user_id AND c.event_id > b.event_id
+             AND c.ts >= b.ts AND c.ts <= a.ts + INTERVAL 86400 SECONDS
+        WHERE a.user_id < 100
+          AND a.event_type = 'view' AND b.event_type = 'click'
+          AND c.event_type = 'purchase'
     """
 
     o["c8_asof_join"] = """

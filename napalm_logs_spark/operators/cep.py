@@ -214,6 +214,59 @@ def agent_tool_pairs(
     return agents.join(tools, cond, how).drop("t_conv_id")
 
 
+def pattern_sequence(
+    df: DataFrame,
+    steps: Sequence,
+    within_seconds: int = 60,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style ordered-sequence detection: one match row
+    per combination of events (e1 < e2 < ... < eK by event order within
+    the same ``key``) where event i satisfies ``steps[i]`` and the whole
+    sequence spans ≤ ``within_seconds``.
+
+    ``steps`` are boolean Column predicates over the input columns.
+    Relational plan: filter each step (pushed to the scan), then chain
+    K-1 interval joins on ``key`` — each join co-partitions on the key,
+    so at scale this is K-1 hash-shuffles of *pre-filtered* (small)
+    step streams, never of the raw stream.  Streaming: apply watermarks
+    upstream and the same chain runs as stream-stream interval joins.
+
+    Output: key, step_i ts/turn for each step, total span seconds.
+    """
+    assert len(steps) >= 2
+    parts = []
+    for i, pred in enumerate(steps):
+        parts.append(
+            df.filter(pred).select(
+                F.col(key).alias(f"k{i}"),
+                F.col(ts_col).alias(f"ts{i}"),
+                F.col(idx_col).alias(f"turn{i}"),
+            )
+        )
+    out = parts[0]
+    horizon = F.expr(f"INTERVAL {within_seconds} SECONDS")
+    for i in range(1, len(parts)):
+        out = out.join(
+            parts[i],
+            (F.col(f"k{i-1}") == F.col(f"k{i}"))
+            & (F.col(f"turn{i}") > F.col(f"turn{i-1}"))
+            & (F.col(f"ts{i}") >= F.col(f"ts{i-1}"))
+            & (F.col(f"ts{i}") <= F.col("ts0") + horizon),
+        )
+    last = len(parts) - 1
+    cols = [F.col("k0").alias(key)]
+    for i in range(len(parts)):
+        cols += [F.col(f"ts{i}"), F.col(f"turn{i}")]
+    return out.select(
+        *cols,
+        (F.unix_timestamp(F.col(f"ts{last}")) - F.unix_timestamp(F.col("ts0")))
+        .alias("span_seconds"),
+    )
+
+
 def salted_repartition(
     df: DataFrame, key: str = "conv_id", salts: int = 8, num_partitions: int | None = None
 ) -> DataFrame:

@@ -167,3 +167,55 @@ def test_event_counts_streaming_complete_mode(spark, tmp_path, env):
         for r in event_counts(env, "3600 seconds", keys=("error",)).collect()
     }
     assert got == exp
+
+
+def test_pattern_sequence_ordered_within_horizon(spark):
+    from napalm_logs_spark.operators.cep import pattern_sequence
+
+    rows = [
+        # conv a: DOWN(0) -> UP(10) -> DOWN(20): matches D-U-D
+        ("a", 0, BASE, "INTERFACE_DOWN"),
+        ("a", 1, BASE + datetime.timedelta(seconds=10), "INTERFACE_UP"),
+        ("a", 2, BASE + datetime.timedelta(seconds=20), "INTERFACE_DOWN"),
+        # conv b: UP before DOWN — order wrong, no match
+        ("b", 0, BASE, "INTERFACE_UP"),
+        ("b", 1, BASE + datetime.timedelta(seconds=5), "INTERFACE_DOWN"),
+        # conv c: right order but outside the horizon
+        ("c", 0, BASE, "INTERFACE_DOWN"),
+        ("c", 1, BASE + datetime.timedelta(seconds=10), "INTERFACE_UP"),
+        ("c", 2, BASE + datetime.timedelta(seconds=500), "INTERFACE_DOWN"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, error string"
+    )
+    got = pattern_sequence(
+        df,
+        steps=[
+            F.col("error") == "INTERFACE_DOWN",
+            F.col("error") == "INTERFACE_UP",
+            F.col("error") == "INTERFACE_DOWN",
+        ],
+        within_seconds=60,
+    ).collect()
+    assert len(got) == 1
+    (m,) = got
+    assert (m.conv_id, m.turn0, m.turn1, m.turn2, m.span_seconds) == ("a", 0, 1, 2, 20)
+
+
+def test_pattern_sequence_multiple_combinations(spark):
+    """Every qualifying (e1<e2) combination is a match row (the SQL
+    self-join semantics the oracle mirrors)."""
+    from napalm_logs_spark.operators.cep import pattern_sequence
+
+    rows = [
+        ("a", 0, BASE, "X"),
+        ("a", 1, BASE + datetime.timedelta(seconds=1), "X"),
+        ("a", 2, BASE + datetime.timedelta(seconds=2), "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, error string"
+    )
+    got = pattern_sequence(
+        df, steps=[F.col("error") == "X", F.col("error") == "Y"], within_seconds=60
+    ).collect()
+    assert sorted((m.turn0, m.turn1) for m in got) == [(0, 2), (1, 2)]
