@@ -61,6 +61,14 @@ def test_c6_interval_join_filters_pushed(spark):
     assert "event_type" in plan and "click" in plan and "error" in plan
 
 
+def test_c9_sequence_no_cartesian_steps_prefiltered(spark):
+    plan = _plan(spark, "c9_sequence")
+    assert "CartesianProduct" not in plan, plan
+    # each step is a separate pre-filtered scan of the pre-filtered stream
+    assert plan.count("FileScan parquet") == 3
+    assert "view" in plan and "click" in plan and "purchase" in plan
+
+
 def test_t_quality_column_pruning(spark):
     plan = _plan(spark, "t_quality")
     # only doc_id + text needed from the 5-column table
