@@ -221,6 +221,8 @@ def pattern_sequence(
     key: str = "conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
+    streaming: bool = False,
+    watermark: str = "2 minutes",
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style ordered-sequence detection: one match row
     per combination of events (e1 < e2 < ... < eK by event order within
@@ -231,40 +233,61 @@ def pattern_sequence(
     Relational plan: filter each step (pushed to the scan), then chain
     K-1 interval joins on ``key`` — each join co-partitions on the key,
     so at scale this is K-1 hash-shuffles of *pre-filtered* (small)
-    step streams, never of the raw stream.  Streaming: apply watermarks
-    upstream and the same chain runs as stream-stream interval joins.
+    step streams, never of the raw stream.  ``streaming=True`` adds a
+    watermark to every step stream and the identical chain runs as
+    K-1 stream-stream interval joins — Spark bounds each join's state
+    to ``within_seconds`` + the watermark delay.
 
     Output: key, step_i ts/turn for each step, total span seconds.
     """
     assert len(steps) >= 2
     parts = []
     for i, pred in enumerate(steps):
-        parts.append(
-            df.filter(pred).select(
-                F.col(key).alias(f"k{i}"),
-                F.col(ts_col).alias(f"ts{i}"),
-                F.col(idx_col).alias(f"turn{i}"),
-            )
+        step = df.filter(pred).select(
+            F.col(key).alias(f"k{i}"),
+            F.col(ts_col).alias(f"ts{i}"),
+            F.col(idx_col).alias(f"turn{i}"),
         )
+        if streaming:
+            step = step.withWatermark(f"ts{i}", watermark)
+        parts.append(step)
     out = parts[0]
     horizon = F.expr(f"INTERVAL {within_seconds} SECONDS")
     for i in range(1, len(parts)):
+        # batch bounds every step against ts0 (tightest pruning);
+        # streaming bounds per hop — a stream-stream join may only
+        # reference ONE event-time column per side, and per-hop bounds
+        # are equivalent after the final global span filter because the
+        # chain forces ts0 <= ts1 <= ... <= tsK
+        anchor = f"ts{i-1}" if streaming else "ts0"
         out = out.join(
             parts[i],
             (F.col(f"k{i-1}") == F.col(f"k{i}"))
             & (F.col(f"turn{i}") > F.col(f"turn{i-1}"))
             & (F.col(f"ts{i}") >= F.col(f"ts{i-1}"))
-            & (F.col(f"ts{i}") <= F.col("ts0") + horizon),
+            & (F.col(f"ts{i}") <= F.col(anchor) + horizon),
         )
+        if streaming and i < len(parts) - 1:
+            # demote all but the newest event-time column: re-aliasing
+            # through an expression drops the watermark tag, so the next
+            # hop sees exactly one event time per side
+            keep = []
+            for j in range(i + 1):
+                for c, demote in ((f"ts{j}", j != i), (f"turn{j}", False)):
+                    keep.append(
+                        (F.col(c) + F.expr("INTERVAL 0 SECONDS")).alias(c)
+                        if demote else F.col(c)
+                    )
+            out = out.select(F.col(f"k{i}"), *keep)
     last = len(parts) - 1
-    cols = [F.col("k0").alias(key)]
+    span = F.unix_timestamp(F.col(f"ts{last}")) - F.unix_timestamp(F.col("ts0"))
+    cols = [F.col(f"k{last}").alias(key)]
     for i in range(len(parts)):
         cols += [F.col(f"ts{i}"), F.col(f"turn{i}")]
-    return out.select(
-        *cols,
-        (F.unix_timestamp(F.col(f"ts{last}")) - F.unix_timestamp(F.col("ts0")))
-        .alias("span_seconds"),
-    )
+    out = out.select(*cols, span.alias("span_seconds"))
+    if streaming:
+        out = out.filter(F.col("span_seconds") <= within_seconds)
+    return out
 
 
 def salted_repartition(

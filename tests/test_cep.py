@@ -219,3 +219,37 @@ def test_pattern_sequence_multiple_combinations(spark):
         df, steps=[F.col("error") == "X", F.col("error") == "Y"], within_seconds=60
     ).collect()
     assert sorted((m.turn0, m.turn1) for m in got) == [(0, 2), (1, 2)]
+
+
+def test_pattern_sequence_streaming_three_step_chain(spark, tmp_path):
+    """Streaming form: the 3-step chain runs as two stream-stream
+    interval joins with per-step watermarks, append mode."""
+    from napalm_logs_spark.operators.cep import pattern_sequence
+
+    src, ckpt = str(tmp_path / "seq_src"), str(tmp_path / "seq_ckpt")
+    schema = "conv_id string, turn_idx int, ts timestamp, error string"
+    rows = [
+        ("a", 0, BASE, "DOWN"),
+        ("a", 1, BASE + datetime.timedelta(seconds=10), "UP"),
+        ("a", 2, BASE + datetime.timedelta(seconds=20), "DOWN"),
+        ("b", 0, BASE, "UP"),
+        ("b", 1, BASE + datetime.timedelta(seconds=5), "DOWN"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = pattern_sequence(
+        stream,
+        steps=[F.col("error") == "DOWN", F.col("error") == "UP",
+               F.col("error") == "DOWN"],
+        within_seconds=60,
+        streaming=True,
+        watermark="1 second",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("seq_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from seq_stream").collect()
+    assert [(m.conv_id, m.turn0, m.turn1, m.turn2) for m in got] == [("a", 0, 1, 2)]
