@@ -37,8 +37,11 @@ SEED = 42
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "c3_tumbling_counts",
     "c6_interval_join",
+    "c9_sequence",
     "a1_dedup_gap",
     "c2_state_gauge",
     "t_quality",
@@ -46,6 +49,8 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "s_knn_cosine",
+    "s_ann_ivf",
+    "q_window_running",
     "golden_normalize",
 ]
 
