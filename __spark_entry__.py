@@ -481,6 +481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
     q["t_fingerprint"] = t_fingerprint
 
+    def t_winnow(spark, sf):
+        from napalm_logs_spark.operators.text import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 500), k=8, w=4
+        )
+    q["t_winnow"] = t_winnow
+
     def t_tfidf(spark, sf):
         from napalm_logs_spark.operators.text import tf_idf_top_terms
 
@@ -889,6 +897,31 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM s
+    """
+
+    o["t_winnow"] = r"""
+        WITH norm AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n
+          FROM documents WHERE doc_id < 500
+        ), posn AS (
+          SELECT doc_id, n, length(n) - 8 + 1 AS ng,
+                 unnest(generate_series(1, length(n) - 8 + 1)) AS pos
+          FROM norm WHERE length(n) >= 11
+        ), grams AS (
+          SELECT doc_id, pos, md5(substr(n, CAST(pos AS INT), 8)) AS h, ng
+          FROM posn
+        ), sel AS (
+          SELECT doc_id,
+                 min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+          FROM grams
+          QUALIFY pos <= ng - 4 + 1
+        )
+        SELECT DISTINCT doc_id,
+               CAST(substr(s, 33, 10) AS INT) AS pos,
+               substr(s, 1, 32) AS gram_hash
+        FROM sel
     """
 
     o["t_fingerprint"] = r"""

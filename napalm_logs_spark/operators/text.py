@@ -114,6 +114,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
 
 
+def winnow_fingerprints(
+    df: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style, Schleimer et al.
+    SIGMOD'03): hash every character ``k``-gram of the normalized text,
+    slide a window of ``w`` consecutive gram hashes, keep each window's
+    minimum — two documents sharing any substring of length ≥ k+w-1 are
+    guaranteed to share a fingerprint.
+
+    Selection key is the tuple (hash, position) minimized
+    lexicographically, so ties are deterministic and the operator is
+    exactly mirrorable in ANSI SQL (the DuckDB oracle uses the same
+    ``md5(gram) || zero-padded pos`` key).  Entirely JVM-side: one
+    posexplode + one window-min + distinct; shuffles once on doc_id.
+
+    Output: (doc_id, pos, gram_hash) — the selected fingerprints.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select("doc_id", norm.alias("_n")).filter(
+        F.length("_n") >= k + w - 1
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(_n) - {k} + 1), i -> substring(_n, i, {k}))")
+        ).alias("_i", "_g"),
+    ).select(
+        "doc_id",
+        (F.col("_i") + 1).alias("pos"),          # 1-based gram position
+        F.md5(F.col("_g")).alias("h"),
+    )
+    key = F.concat(F.col("h"), F.lpad(F.col("pos").cast("string"), 10, "0"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    picked = (
+        grams.withColumn("_sel", F.min(key).over(win))
+        .withColumn("_ng", F.count(F.lit(1)).over(n_grams))
+        .filter(F.col("pos") <= F.col("_ng") - w + 1)  # full windows only
+        .select(
+            "doc_id",
+            F.substring("_sel", 33, 10).cast("int").alias("pos"),
+            F.substring("_sel", 1, 32).alias("gram_hash"),
+        )
+        .distinct()
+    )
+    return picked
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

@@ -85,3 +85,48 @@ def test_tf_idf_top_terms(spark):
     # 'apple' unique to doc1, 'cherry' dominant in doc3
     assert got[(1, 1)] == "apple"
     assert got[(3, 1)] == "cherry"
+
+
+def test_winnow_fingerprints_against_reference(spark):
+    """Engine output equals a brute-force python winnowing (same
+    (md5, pos) lexicographic selection key)."""
+    import hashlib
+    import re as _re
+
+    from napalm_logs_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (3, "short"),                                        # below k+w-1 → none
+    ]
+    k, w = 8, 4
+
+    def brute(doc_id, text):
+        norm = _re.sub(r"\s+", " ", text.strip()).lower()
+        if len(norm) < k + w - 1:
+            return set()
+        grams = [
+            (hashlib.md5(norm[i:i + k].encode()).hexdigest(), i + 1)
+            for i in range(len(norm) - k + 1)
+        ]
+        out = set()
+        for s in range(len(grams) - w + 1):
+            window = grams[s:s + w]
+            h, p = min((h + str(p).zfill(10), (h, p)) for h, p in window)[1]
+            out.add((doc_id, p, h))
+        return out
+
+    expected = set().union(*(brute(d, t) for d, t in texts))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.gram_hash)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expected
+    assert not any(d == 3 for d, _, _ in got)
+    # identical docs share every fingerprint (the winnowing guarantee)
+    fp0 = {(p, h) for d, p, h in got if d == 0}
+    fp2 = {(p, h) for d, p, h in got if d == 2}
+    assert fp0 == fp2 and fp0
