@@ -489,6 +489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_winnow"] = t_winnow
 
+    def t_winnow_pairs(spark, sf):
+        from napalm_logs_spark.operators.text import winnow_pairs
+
+        return winnow_pairs(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 500),
+            min_shared=30, k=8, w=4,
+        )
+    q["t_winnow_pairs"] = t_winnow_pairs
+
     def t_tfidf(spark, sf):
         from napalm_logs_spark.operators.text import tf_idf_top_terms
 
@@ -922,6 +931,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(substr(s, 33, 10) AS INT) AS pos,
                substr(s, 1, 32) AS gram_hash
         FROM sel
+    """
+
+    o["t_winnow_pairs"] = r"""
+        WITH norm AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS n
+          FROM documents WHERE doc_id < 500
+        ), posn AS (
+          SELECT doc_id, n, length(n) - 8 + 1 AS ng,
+                 unnest(generate_series(1, length(n) - 8 + 1)) AS pos
+          FROM norm WHERE length(n) >= 11
+        ), grams AS (
+          SELECT doc_id, pos, md5(substr(n, CAST(pos AS INT), 8)) AS h, ng
+          FROM posn
+        ), sel AS (
+          SELECT doc_id,
+                 min(h || lpad(CAST(pos AS VARCHAR), 10, '0'))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+          FROM grams
+          QUALIFY pos <= ng - 4 + 1
+        ), fps AS (
+          SELECT DISTINCT doc_id, substr(s, 1, 32) AS gram_hash FROM sel
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM fps a JOIN fps b
+          ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 30
     """
 
     o["t_fingerprint"] = r"""

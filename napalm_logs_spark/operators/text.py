@@ -168,6 +168,38 @@ def winnow_fingerprints(
     return picked
 
 
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate / common-substring candidate pairs: documents
+    sharing ≥ ``min_shared`` winnowing fingerprints (the plagiarism-
+    detector join).  Fingerprint sets are tiny vs the text (1/w of the
+    grams), so the self-join shuffles a compressed representation of
+    the corpus — the winnowing guarantee bounds recall: any shared
+    substring of length ≥ k+w-1 yields ≥1 shared fingerprint.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col).select(
+        "doc_id", "gram_hash"
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram_hash") == F.col("b.gram_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

@@ -130,3 +130,18 @@ def test_winnow_fingerprints_against_reference(spark):
     fp0 = {(p, h) for d, p, h in got if d == 0}
     fp2 = {(p, h) for d, p, h in got if d == 2}
     assert fp0 == fp2 and fp0
+
+
+def test_winnow_pairs_planted_common_substring(spark):
+    from napalm_logs_spark.operators.text import winnow_pairs
+
+    shared = "a long shared passage that both documents contain verbatim"
+    texts = [
+        (0, f"intro one {shared} outro alpha"),
+        (1, f"different beginning {shared} different end"),
+        (2, "completely unrelated text with nothing in common at all"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in winnow_pairs(df, min_shared=2).collect()}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
