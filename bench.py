@@ -114,9 +114,21 @@ def _percore_thr(n_active: int, pdf, reps: int = 2) -> float:
     ]
     for p in procs:
         p.start()
-    vals = sorted(q.get() for _ in procs)
+    try:
+        # bounded get: a worker that dies before q.put (import error,
+        # OOM kill at full width) must fail the bench, not hang it
+        vals = sorted(q.get(timeout=300) for _ in procs)
+    except Exception:
+        for p in procs:
+            p.terminate()
+        raise RuntimeError(
+            f"pinned worker died before reporting (exitcodes="
+            f"{[p.exitcode for p in procs]})"
+        )
     for p in procs:
         p.join()
+        if p.exitcode not in (0, None):
+            raise RuntimeError(f"pinned worker exit code {p.exitcode}")
     return vals[len(vals) // 2]
 
 
@@ -346,11 +358,14 @@ def main() -> None:
         lo_runs.append(scaling_run(pdf, n_lo))
         hi_runs.append(scaling_run(pdf, CPUS))
     # pairwise: each (lo_i, hi_i) pair ran back-to-back under the same
-    # VM weather; the best pair is the cleanest scaling observation
+    # VM weather; the best pair is the cleanest scaling observation, the
+    # median pair is the unbiased headline (best-of-N is an upward-
+    # biased statistic — both are reported, raw runs disclosed below)
     pair_effs = [hi / (4 * lo) for lo, hi in zip(lo_runs, hi_runs)]
     best = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
     thr_lo, thr_hi = lo_runs[best], hi_runs[best]
     efficiency = pair_effs[best]
+    efficiency_median = statistics.median(pair_effs)
     ceiling = _cpu_scaling_ceiling(n_lo, CPUS, pdf)
     pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
@@ -370,8 +385,13 @@ def main() -> None:
             f"turns_per_sec_local{n_lo}": round(thr_lo),
             f"turns_per_sec_local{CPUS}": round(thr_hi),
             "efficiency_NtoQuadN": round(efficiency, 3),
+            "efficiency_NtoQuadN_median_pair": round(efficiency_median, 3),
             "hardware_cpu_scaling_ceiling": round(ceiling, 3),
-            "efficiency_vs_hardware_ceiling": round(efficiency / ceiling, 3),
+            # ceiling-relative values can exceed 1 under VM-weather noise
+            # (the ceiling probe and the run see different minutes);
+            # clamped, raw ratio disclosed alongside
+            "efficiency_vs_hardware_ceiling": min(round(efficiency / ceiling, 3), 1.0),
+            "efficiency_vs_hardware_ceiling_raw": round(efficiency / ceiling, 3),
             f"streaming_e2e_turns_per_sec_local{CPUS}": round(stream_thr),
             f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
             f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),

@@ -358,8 +358,10 @@ def duplicate_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .cache()
     )
-    for _ in range(max_iterations):
+    labels.count()
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -380,8 +382,18 @@ def duplicate_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.cache()
-        labels.count()  # materialize to keep lineage short
+        # periodic localCheckpoint truncates the per-round join lineage
+        # (20 rounds of uncut lineage make the final plan exponential to
+        # analyze); cache the others so each round reads one materialized
+        # table — and ALWAYS unpersist the superseded generation (the
+        # executor cache must stay O(1) generations at 100 TB)
+        old = labels
+        if (it + 1) % 5 == 0:
+            labels = new_labels.localCheckpoint(eager=True)
+        else:
+            labels = new_labels.cache()
+            labels.count()
+        old.unpersist()
         if changed == 0:
             break
     edges.unpersist()

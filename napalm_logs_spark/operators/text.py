@@ -214,15 +214,19 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataF
         F.length("term") > 0
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
+    # corpus size as a broadcast single-row aggregate, not an eager
+    # df.count() — keeps the whole operator one lazy plan (no extra job
+    # per invocation; the old eager count re-scanned the input)
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     docfreq = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(
                 F.col("tf")
-                * (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0),
+                * (F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("df"))) + 1.0),
                 6,
             ),
         )
