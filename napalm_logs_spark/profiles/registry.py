@@ -37,13 +37,62 @@ from .compiler import CompiledPattern, compile_line
 OS_INIT_BASENAMES = ("__init__", "init", "index")
 NO_MODEL = "NO_MODEL"
 
-#: default profile corpus location (the reference's vendor profiles are
-#: consumed as *data*, exactly like a user pointing the engine at their
-#: own profile directory).  Override with NLS_PROFILE_DIR; when neither
-#: exists, the package's built-in demo profiles load so the engine runs
-#: standalone.
-DEFAULT_PROFILE_DIR = "/root/reference/napalm_logs/config"
+#: default profile corpus: the vendored snapshot of the reference's
+#: Apache-2.0 profile *data* (96 YAML profiles + 2 python profiles
+#: shipped as ``.pyprofile`` data files, exec'd by the loader exactly
+#: like the reference loads its own python profiles) — the engine runs
+#: fully standalone.  Override with NLS_PROFILE_DIR to point at any
+#: user profile tree; the tiny demo corpus remains as a last resort.
+VENDORED_PROFILE_DIR = os.path.join(os.path.dirname(__file__), "vendored")
 BUILTIN_PROFILE_DIR = os.path.join(os.path.dirname(__file__), "builtin")
+DEFAULT_PROFILE_DIR = VENDORED_PROFILE_DIR
+
+
+def _materialize_pkg_dir(pkg_path: str) -> str | None:
+    """Resolve an in-package data directory to a real filesystem dir.
+
+    Under ``spark-submit --py-files pkg.zip`` the package lives inside a
+    zip, so ``os.listdir`` can't walk it — extract the subtree once per
+    (zip, mtime) into a cached temp dir.  On a plain checkout this is a
+    no-op.  Note for real clusters: only ``.pyprofile`` escape-hatch
+    modules are re-read per executor (YAML profiles ride as compiled
+    data in the broadcast registry); the same extraction runs lazily on
+    each executor that needs them.
+    """
+    if os.path.isdir(pkg_path):
+        return pkg_path
+    probe = pkg_path
+    while probe and not os.path.isfile(probe):
+        parent = os.path.dirname(probe)
+        if parent == probe:
+            return None
+        probe = parent
+    import tempfile
+    import zipfile
+
+    if not zipfile.is_zipfile(probe):
+        return None
+    rel = os.path.relpath(pkg_path, probe).replace(os.sep, "/")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"nls_profiles_{abs(hash((probe, os.path.getmtime(probe))))}",
+    )
+    marker = os.path.join(cache, ".complete")
+    target = os.path.join(cache, rel)
+    if not os.path.isfile(marker):
+        tmp = cache + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        with zipfile.ZipFile(probe) as zf:
+            members = [m for m in zf.namelist() if m.startswith(rel + "/")]
+            zf.extractall(tmp, members)
+        open(os.path.join(tmp, ".complete"), "w").close()
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # concurrent extractor won the race — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return target if os.path.isdir(target) else None
 
 
 @dataclass(frozen=True)
@@ -172,7 +221,7 @@ def _load_os_dir(os_dir: str) -> dict:
                 cfg = yaml.safe_load(fh)
             if cfg:
                 deep_merge(raw, cfg)
-        elif ext == "py":
+        elif ext in ("py", "pyprofile"):
             meta = _python_module_meta(path)
             if stem in OS_INIT_BASENAMES:
                 if meta["has_extract"]:
@@ -250,7 +299,11 @@ def load_registry(path: str | None = None, whitelist=None, blacklist=None) -> Pr
     if path is None:
         path = os.environ.get("NLS_PROFILE_DIR")
     if path is None:
-        path = DEFAULT_PROFILE_DIR if os.path.isdir(DEFAULT_PROFILE_DIR) else BUILTIN_PROFILE_DIR
+        path = (
+            _materialize_pkg_dir(DEFAULT_PROFILE_DIR)
+            or _materialize_pkg_dir(BUILTIN_PROFILE_DIR)
+            or DEFAULT_PROFILE_DIR
+        )
     if not os.path.isdir(path):
         raise IOError(f"profile directory does not exist: {path}")
     oses = {}

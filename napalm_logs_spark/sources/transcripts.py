@@ -47,8 +47,17 @@ try:
 except ImportError:  # pragma: no cover
     TRANSCRIPT_SCHEMA = None
 
-#: golden corpus location — the reference's fixtures consumed as *data*
-DEFAULT_GOLDEN_DIR = "/root/reference/tests/config"
+#: golden corpus: the vendored snapshot of the reference's Apache-2.0
+#: test fixtures (133 syslog.msg + yang.json cases) — repo-local so the
+#: engine and its tests run standalone.  NLS_GOLDEN_DIR overrides;
+#: the reference checkout is a final fallback for odd layouts.
+_REPO_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "golden",
+)
+DEFAULT_GOLDEN_DIR = (
+    _REPO_GOLDEN_DIR if os.path.isdir(_REPO_GOLDEN_DIR) else "/root/reference/tests/config"
+)
 
 #: fixture-era base timestamp (naive UTC; Spark session runs in UTC)
 BASE_TS = datetime(2017, 7, 20, 21, 45, 59)
