@@ -46,7 +46,9 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="streaming pipeline")
     p_run.add_argument("--source", required=True)
     p_run.add_argument("--sink", action="append", required=True,
-                       help="sink dir (repeatable for fan-out)")
+                       help="sink dir (repeatable for fan-out); the "
+                            "special value 'console' prints each batch "
+                            "(reference transport/cli.py debug sink)")
     p_run.add_argument("--checkpoint", required=True)
     p_run.add_argument("--metrics", default=None, help="metrics JSONL path")
     p_run.add_argument("--no-dedup", action="store_true")
@@ -71,12 +73,20 @@ def main(argv=None) -> int:
             print(f"normalized -> {args.output}")
         else:
             from .streaming.pipeline import run_stream_once
+            from .streaming.sink import SinkSpec
 
+            sinks = [
+                SinkSpec(console=True, send_raw=True, send_unknown=True)
+                if p == "console"
+                else SinkSpec(path=p, send_raw=True, send_unknown=True)
+                for p in args.sink
+            ]
             run_stream_once(
                 spark,
                 args.source,
                 args.sink,
                 args.checkpoint,
+                sinks=sinks,
                 registry=registry,
                 metrics_jsonl=args.metrics,
                 dedup=not args.no_dedup,

@@ -26,12 +26,25 @@ from .transcripts import TRANSCRIPT_SCHEMA
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    """True when the Kafka data-source provider is loadable in this JVM."""
+    """True when the Kafka data-source provider is loadable in this JVM.
+
+    The probe resolves through Spark's own classloader
+    (``Utils.classForName`` → context/MutableURLClassLoader), NOT the
+    system classloader: jars added via ``spark-submit --packages`` are
+    visible only to Spark's loader, so a ``java.lang.Class.forName``
+    probe would report the connector absent on exactly the deployments
+    that have it.
+    """
+    name = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    jvm = spark.sparkContext._jvm
     try:
-        jvm = spark.sparkContext._jvm
-        jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
+        jvm.org.apache.spark.util.Utils.classForName(name, False, False)
+        return True
+    except Exception:
+        pass
+    try:  # older/newer Utils signatures — fall back to a direct probe
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        jvm.java.lang.Class.forName(name, False, loader)
         return True
     except Exception:
         return False

@@ -30,14 +30,22 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class SinkSpec:
-    """One publisher: output path + filters + projection."""
+    """One publisher: output path + filters + projection.
 
-    path: str
+    ``console=True`` makes this sink a debug printer instead of a
+    parquet writer — the reference's CLI/log transports
+    (transport/cli.py:14-24, transport/log.py:18-42): each micro-batch
+    prints up to ``console_rows`` envelopes (ordered) to stdout.
+    """
+
+    path: str = ""
     whitelist: tuple = ()       # error codes to allow (empty = all)
     blacklist: tuple = ()       # error codes to deny
     send_raw: bool = False
     send_unknown: bool = False
     strip_message_details: bool = False
+    console: bool = False
+    console_rows: int = 20
 
 
 def _apply_sink_filters(df: DataFrame, sink: SinkSpec) -> DataFrame:
@@ -72,6 +80,10 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
         try:
             for sink in sinks:
                 out = _apply_sink_filters(enriched, sink)
+                if sink.console:
+                    print(f"-- batch {int(batch_id)} --")
+                    out.orderBy(*order_cols).show(sink.console_rows, truncate=False)
+                    continue
                 target = os.path.join(sink.path, f"_batch_id={int(batch_id)}")
                 out.write.mode("overwrite").parquet(target)
         finally:
