@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 #: canonical up/down error pairs (alerta sink semantics,
 #: transport/alerta.py:46-56): UP error closes the DOWN alert of the
-#: same (host, entity).
+#: same (host, entity).  Alarm families follow the prometheus sink's
+#: gauge semantics: SYSTEM_ALARM sets 1 / *_CLEARED sets 0 per
+#: (host, component) (transport/prometheus.py:458-501) and
+#: {MINOR,MAJOR}_ALARM_{SET,CLEARED} set 1/0 per (host, alarm_reason)
+#: (transport/prometheus.py:503-540).
 UP_DOWN_PAIRS: dict = {
     "INTERFACE_UP": ("interface", 1),
     "INTERFACE_DOWN": ("interface", 0),
@@ -34,6 +38,12 @@ UP_DOWN_PAIRS: dict = {
     "ISIS_NEIGHBOR_DOWN": ("isis_neighbor", 0),
     "BFD_STATE_CHANGE": ("bfd_session", None),
     "BGP_NEIGHBOR_STATE_CHANGED": ("bgp_neighbor", None),
+    "SYSTEM_ALARM": ("system_alarm", 1),
+    "SYSTEM_ALARM_CLEARED": ("system_alarm", 0),
+    "MINOR_ALARM_SET": ("minor_alarm", 1),
+    "MINOR_ALARM_CLEARED": ("minor_alarm", 0),
+    "MAJOR_ALARM_SET": ("major_alarm", 1),
+    "MAJOR_ALARM_CLEARED": ("major_alarm", 0),
 }
 
 

@@ -314,8 +314,11 @@ _OC_FAILED = object()  # sentinel: profile matched but object generation failed
 #: capture names that identify the affected entity, in priority order —
 #: feeds the CEP stage (up/down pairing keys on (host, entity), the
 #: relational analog of the reference's per-entity gauges,
-#: transport/prometheus.py:70-93)
-_ENTITY_KEYS = ("interface", "neighbor", "peer", "user")
+#: transport/prometheus.py:70-93).  ``component`` keys the SYSTEM_ALARM
+#: gauge (prometheus.py:490-497 labels by component name) and
+#: ``reason`` keys the minor/major alarm gauges (prometheus.py:520-527
+#: labels by the alarm's additional-text).
+_ENTITY_KEYS = ("interface", "neighbor", "peer", "user", "component", "reason")
 
 
 def _entity_of(captures: dict):

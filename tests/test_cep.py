@@ -253,3 +253,62 @@ def test_pattern_sequence_streaming_three_step_chain(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select * from seq_stream").collect()
     assert [(m.conv_id, m.turn0, m.turn1, m.turn2) for m in got] == [("a", 0, 1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# alarm gauge families (transport/prometheus.py:458-540 semantics)
+
+
+def test_alarm_gauges_from_golden_fixtures(spark):
+    """SYSTEM_ALARM sets 1 / SYSTEM_ALARM_CLEARED sets 0 per
+    (host, component); {MINOR,MAJOR}_ALARM_{SET,CLEARED} set 1/0 per
+    (host, alarm_reason) — driven by the reference's own junos alarm
+    fixtures end-to-end through normalize."""
+    import pandas as pd
+
+    from napalm_logs_spark.operators.cep import last_state_gauge, state_events
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.sources.transcripts import (
+        BASE_TS,
+        golden_cases,
+        transcripts_df,
+    )
+    from datetime import timedelta
+
+    cases = [
+        c for c in golden_cases()
+        if c["os"] == "junos" and "ALARM" in c["error"]
+    ]
+    assert len(cases) >= 6
+    rows = [
+        {
+            "conv_id": f"{c['error']}#{c['case']}",
+            "turn_idx": 0,
+            "role": "agent",
+            "text": c["text"],
+            "tool": None,
+            "ts": BASE_TS + timedelta(seconds=i),
+        }
+        for i, c in enumerate(cases)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    env = normalize(transcripts_df(spark, pdf))
+    gauge = last_state_gauge(state_events(env))
+    got = {
+        (r.host, r.family, r.entity): r.state for r in gauge.collect()
+    }
+    # the SET/CLEARED pairs share (host, entity) so the later event wins;
+    # every fixture host is vmx01 and the default supply/reason entities
+    # collide across SET and CLEARED cases — assert per-family coverage
+    fams = {k[1] for k in got}
+    assert {"system_alarm", "minor_alarm", "major_alarm"} <= fams
+    # entity keys follow the prometheus label choice
+    sys_entities = {k[2] for k in got if k[1] == "system_alarm"}
+    assert "supply" in sys_entities and "FPC 0" in sys_entities
+    minor_entities = {k[2] for k in got if k[1] == "minor_alarm"}
+    assert "RE 0 /var partition usage is high" in minor_entities
+    # states are 0/1 only
+    assert set(got.values()) <= {0, 1}
+    # an entity seen only in a SET case gauges 1
+    assert got[("vmx01", "system_alarm", "FPC 0")] == 1
