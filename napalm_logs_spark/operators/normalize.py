@@ -109,16 +109,59 @@ def canonical_json(obj) -> str:
 # ---------------------------------------------------------------------------
 # timestamp resolution (M4)
 
+#: deterministic fallback parser table for date shapes a profile did not
+#: declare — the reference reaches for dateparser here
+#: (device.py:217-224); this engine instead accepts the common syslog /
+#: ISO-8601 / RFC-3339 shapes through an explicit, reproducible table
+#: (same input → same epoch on every run and every executor; dateparser's
+#: locale- and current-date-sensitive behavior cannot promise that).
+_FALLBACK_FORMATS = (
+    "%b %d %H:%M:%S",            # classic BSD syslog (year-less)
+    "%b %d %H:%M:%S.%f",
+    "%b %d %Y %H:%M:%S",         # year-present syslog variants
+    "%Y %b %d %H:%M:%S",
+    "%d %b %Y %H:%M:%S",
+    "%Y-%m-%d %H:%M:%S",         # ISO 8601
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S%z",       # RFC 3339 with numeric offset
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%m/%d/%Y %H:%M:%S",
+)
 
-@lru_cache(maxsize=65536)
-def _resolve_epoch(date: str, time: str, fmt: str, default_year: int):
+
+def _try_parse(s: str, fmt: str, default_year: int):
     try:
-        parsed = datetime.strptime(f"{date} {time}", fmt)
+        parsed = datetime.strptime(s, fmt)
     except (ValueError, TypeError):
         return None
     if parsed.year == 1900:  # format without %Y
         parsed = parsed.replace(year=default_year)
+    if parsed.tzinfo is not None:  # offset-aware → normalize to UTC
+        return int(parsed.timestamp())
     return calendar.timegm(parsed.timetuple())
+
+
+@lru_cache(maxsize=65536)
+def _resolve_epoch(date: str, time: str, fmt: str | None, default_year: int):
+    """Declared profile format first; on miss, the fallback table.
+
+    ``Z``-suffixed RFC-3339 strings are handled by rewriting the suffix
+    to ``+0000`` (strptime's %z accepts Z only on some platforms).
+    """
+    s = f"{date} {time}".strip() if time else str(date).strip()
+    if fmt is not None:
+        epoch = _try_parse(s, fmt, default_year)
+        if epoch is not None:
+            return epoch
+    candidates = (s, s[:-1] + "+0000") if s.endswith("Z") else (s,)
+    for cand in candidates:
+        for fb in _FALLBACK_FORMATS:
+            epoch = _try_parse(cand, fb, default_year)
+            if epoch is not None:
+                return epoch
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -192,10 +235,9 @@ def _prefix_stage(texts: pd.Series, osp: OsProfile, default_year: int) -> pd.Dat
                 pri_i = int(pri)
                 fac, sev = pri_i // 8, pri_i % 8
             epoch = None
-            if fmt:
-                date, time_ = d.get("date"), d.get("time")
-                if date and time_:
-                    epoch = _resolve_epoch(date, time_, fmt, default_year)
+            date, time_ = d.get("date"), d.get("time")
+            if date or time_:  # declared fmt first, fallback table after
+                epoch = _resolve_epoch(date or "", time_ or "", fmt, default_year)
             rows[pos] = (d, d.get("host"), d.get("tag"), msg, fac, sev, epoch)
         remaining = still
 

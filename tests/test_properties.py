@@ -86,3 +86,73 @@ def test_anchored_ttl_reference_model(offsets, ttl):
         cache["k"] = t
         keep_ref.append(t)
     assert keep_engine == keep_ref
+
+
+# ---------------------------------------------------------------------------
+# M4 timestamp fallback table (deterministic dateparser substitute)
+
+
+import calendar
+from datetime import datetime, timezone
+
+DT = st.datetimes(
+    min_value=datetime(1990, 1, 1), max_value=datetime(2035, 12, 31, 23, 59, 59)
+).map(lambda d: d.replace(microsecond=0))
+
+
+@given(DT)
+@settings(max_examples=150, deadline=None)
+def test_fallback_parses_iso8601(dt):
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    expect = calendar.timegm(dt.timetuple())
+    for rendered in (
+        dt.strftime("%Y-%m-%d %H:%M:%S"),
+        dt.strftime("%Y-%m-%dT%H:%M:%S"),
+        dt.strftime("%Y-%m-%dT%H:%M:%S") + "Z",
+        dt.strftime("%Y-%m-%dT%H:%M:%S") + "+00:00",
+    ):
+        got = _resolve_epoch(rendered, "", None, 2017)
+        assert got == expect, rendered
+
+
+@given(DT, st.sampled_from([-11, -5, -1, 1, 3, 9, 13]))
+@settings(max_examples=100, deadline=None)
+def test_fallback_normalizes_rfc3339_offsets(dt, off_hours):
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    rendered = dt.strftime("%Y-%m-%dT%H:%M:%S") + f"{off_hours:+03d}:00"
+    got = _resolve_epoch(rendered, "", None, 2017)
+    expect = calendar.timegm(dt.timetuple()) - off_hours * 3600
+    assert got == expect
+
+
+@given(DT)
+@settings(max_examples=100, deadline=None)
+def test_fallback_yearless_syslog_gets_default_year(dt):
+    from hypothesis import assume
+
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    # Feb 29 cannot exist in strptime's implicit year 1900 (nor 2017);
+    # yearless leap-day messages keep the event-time fallback upstream
+    assume(not (dt.month == 2 and dt.day == 29))
+    date = dt.strftime("%b %d")
+    time_ = dt.strftime("%H:%M:%S")
+    got = _resolve_epoch(date, time_, None, 2017)
+    expect = calendar.timegm(dt.replace(year=2017).timetuple())
+    assert got == expect
+
+
+def test_declared_format_still_wins():
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    # a declared profile format parses first — identical inputs must not
+    # be re-interpreted by the fallback table
+    assert _resolve_epoch("Jul 8", "23:04:13", "%b %d %H:%M:%S", 2017) == \
+        calendar.timegm(datetime(2017, 7, 8, 23, 4, 13).timetuple())
+    # unparseable by the declared format -> fallback accepts ISO
+    assert _resolve_epoch("2020-01-02", "03:04:05", "%b %d %H:%M:%S", 2017) == \
+        calendar.timegm(datetime(2020, 1, 2, 3, 4, 5).timetuple())
+    # garbage stays None (event-time fallback upstream)
+    assert _resolve_epoch("not a date", "at all", None, 2017) is None
