@@ -523,13 +523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(
             _t(spark, sf, "documents"), num_hashes=32, bands=8, n=3, threshold=0.3
         )
-    q["d_minhash_lsh"] = d_minhash_lsh  # no oracle: xxhash64 minhash not in DuckDB
+    q["d_minhash_lsh"] = d_minhash_lsh  # oracled: md5-window minhash is SQL-portable
 
     def d_simhash(spark, sf):
         from napalm_logs_spark.operators.docdedup import simhash_near_pairs
 
-        return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=6)
-    q["d_simhash"] = d_simhash  # no oracle: python hash() signature
+        return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=6).withColumn(
+            "hamming", F.col("hamming").cast("long")
+        )
+    q["d_simhash"] = d_simhash  # oracled: md5_number_lower token hash
 
     def d_dup_clusters(spark, sf):
         from napalm_logs_spark.operators.docdedup import (
@@ -539,7 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.3)
         return duplicate_clusters(pairs)
-    q["d_dup_clusters"] = d_dup_clusters  # no oracle: iterative fixpoint algorithm
+    q["d_dup_clusters"] = d_dup_clusters  # oracled: recursive-CTE closure
 
     # ---- similarity search ----
     def s_knn_cosine(spark, sf):
@@ -995,6 +997,127 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    """
+
+    # the operator's md5-window MinHash is portable: the oracle rebuilds
+    # the same signatures (8 md5s -> 32 8-hex-char windows), the same
+    # r=4 band buckets, and verifies candidates with exact Jaccard
+    _mh_concat = " || ".join(
+        ["md5(shingle)"] + [f"md5('#{k}' || shingle)" for k in range(1, 8)]
+    )
+    o["d_minhash_lsh"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+        ), hx AS (
+          SELECT doc_id, shingle, {_mh_concat} AS h FROM sh
+        ), sig AS (
+          SELECT doc_id, i, min(substr(h, i * 8 + 1, 8)) AS mh
+          FROM hx, UNNEST(generate_series(0, 31)) AS s(i)
+          GROUP BY doc_id, i
+        ), bands AS (
+          SELECT doc_id, i // 4 AS band, string_agg(mh, '' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // 4
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    """
+
+    # simhash: md5_number_lower(token) == the engine's md5[8:16]-LE hash,
+    # so signatures, 16-bit chunk banding and hamming all mirror exactly
+    o["d_simhash"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+            FROM documents
+          ) WHERE length(tok) > 0
+        ), th AS (
+          SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+        ), votes AS (
+          SELECT doc_id, p,
+                 sum(CASE WHEN (h >> CAST(p AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, UNNEST(generate_series(0, 63)) AS s(p)
+          GROUP BY doc_id, p
+        ), usig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(p AS INTEGER)
+                          ELSE CAST(0 AS HUGEINT) END) AS su
+          FROM votes GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id,
+                 coalesce(su, 0) AS u,
+                 CAST(CASE WHEN coalesce(su, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                           THEN coalesce(su, 0) - CAST('18446744073709551616' AS HUGEINT)
+                           ELSE coalesce(su, 0) END AS BIGINT) AS s
+          FROM documents d LEFT JOIN usig ON usig.doc_id = d.doc_id
+        ), chunks AS (
+          SELECT doc_id, s, c,
+                 CAST((u >> CAST(c * 16 AS INTEGER)) & CAST(65535 AS HUGEINT) AS BIGINT) AS val
+          FROM sig, UNNEST(generate_series(0, 3)) AS g(c)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+    """
+
+    # connected components: exact-jaccard edges (the cap never engages
+    # at oracle scale) + transitive closure by recursive CTE; min
+    # reachable doc_id is the cluster representative
+    o["d_dup_clusters"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), prs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION
+          SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
     """
 
     o["t_tfidf"] = r"""

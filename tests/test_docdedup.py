@@ -112,3 +112,50 @@ def test_prefix_filter_equals_naive(spark, planted):
             for r in _jaccard_naive(planted, n=3, threshold=tau).collect()
         }
         assert fast == naive, tau
+
+
+def test_capped_jaccard_exact_with_engaged_cap(spark):
+    """When the stop-shingle cap engages, pairs found via light shingles
+    still get EXACT jaccard (heavy contribution restored from per-doc
+    heavy arrays); a pair sharing only heavy shingles is the documented
+    miss."""
+    from napalm_logs_spark.operators.docdedup import _jaccard_capped, _jaccard_naive
+
+    boiler = "the quick brown fox jumps over dog"     # shared by all docs
+    rows = [(i, f"{boiler} unique{i//2} tail{i//2} words{i//2} extra{i}")
+            for i in range(10)]
+    # docs 2k/2k+1 share their unique/tail/words shingles (light) plus
+    # the boilerplate (heavy under cap=3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(
+        tuple(r) for r in _jaccard_capped(docs, n=3, threshold=0.2, freq_cap=3).collect()
+    )
+    naive = sorted(
+        tuple(r) for r in _jaccard_naive(docs, n=3, threshold=0.2).collect()
+    )
+    # the paired docs share light shingles -> found, with jaccard equal
+    # to brute force (heavy correction exact)
+    naive_pairs = {(a, b): j for a, b, j in naive}
+    capped_pairs = {(a, b): j for a, b, j in capped}
+    for k in [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]:
+        assert k in capped_pairs, k
+        assert capped_pairs[k] == naive_pairs[k]
+    # every capped pair matches brute force exactly (no wrong values)
+    for k, j in capped_pairs.items():
+        assert naive_pairs[k] == j
+    # boilerplate-only cross pairs (e.g. 0-2) share ONLY heavy shingles:
+    # present in brute force, documented-missing from the capped plan
+    assert (0, 2) in naive_pairs and (0, 2) not in capped_pairs
+
+
+def test_capped_equals_naive_when_cap_disengaged(spark):
+    from napalm_logs_spark.operators.docdedup import _jaccard_capped, _jaccard_naive
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i} extra{i % 3} more{i % 2}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    capped = sorted(tuple(r) for r in _jaccard_capped(docs, 3, 0.1, freq_cap=500).collect())
+    naive = sorted(tuple(r) for r in _jaccard_naive(docs, 3, 0.1).collect())
+    assert capped == naive and len(capped) > 0

@@ -78,8 +78,7 @@ def test_every_query_has_oracle_or_reason():
     # the rows-only set is intentional and documented in-code
     rows_only = q - o
     expected_rows_only = {
-        "a1_dedup_ttl_exact", "d_minhash_lsh", "d_simhash", "s_ann_lsh",
-        "s_embedding_near_dup", "s_ann_ivf", "mm_features", "golden_normalize",
-        "d_dup_clusters",
+        "a1_dedup_ttl_exact", "s_ann_lsh", "s_embedding_near_dup",
+        "s_ann_ivf", "mm_features", "golden_normalize",
     }
     assert rows_only == expected_rows_only, rows_only
