@@ -132,3 +132,75 @@ def test_topk_plan_broadcasts_queries(emb, queries):
         cosine_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_plan_stays_bounded_at_production_scale(spark):
+    """C=256 centroids × dim=256 (the round-1 plan-literal form built
+    65k+ literal expressions here): the broadcast-variable form must
+    keep the analyzed plan O(1) and both ANN operators runnable."""
+    import time
+
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import (
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 600, 256
+    rows = [(i, rng.normal(size=dim).astype("float32").tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t0 = time.time()
+    ivf = ivf_cosine_topk(
+        emb, emb.filter("vec_id < 3"), dim=dim, k=5, n_clusters=256, nprobe=8
+    )
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    build_s = time.time() - t0
+    # the plan must reference the centroids via a UDF, not 65k literals
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    assert build_s < 60, f"analysis took {build_s:.1f}s"
+    got = ivf.collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    assert all(1 <= r.rank <= 5 for r in got)
+
+    lsh = lsh_cosine_topk(
+        emb, emb.filter("vec_id < 3"), dim=dim, k=5, n_planes=16, n_tables=8
+    )
+    plan2 = lsh._jdf.queryExecution().executedPlan().toString()
+    assert len(plan2) < 400_000, f"plan blew up: {len(plan2)} chars"
+    got2 = lsh.collect()
+    assert {r.query_id for r in got2} <= {0, 1, 2} and len(got2) > 0
+
+
+def test_near_dup_bucket_cap_and_observability(spark):
+    """A dense bucket (many identical vectors) must be excluded by the
+    cap, with the exclusion visible via near_dup_dropped_buckets; the
+    multi-table form still finds pairs that fit under the cap."""
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import (
+        embedding_near_dup,
+        near_dup_dropped_buckets,
+    )
+
+    rng = np.random.RandomState(11)
+    dense = rng.normal(size=16).astype("float32")
+    rows = [(i, (dense + rng.normal(scale=1e-3, size=16).astype("float32")).tolist())
+            for i in range(40)]          # 40 near-identical vectors
+    rows += [(100 + i, rng.normal(size=16).astype("float32").tolist())
+             for i in range(20)]         # background
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # cap smaller than the dense cluster: its bucket is dropped in every
+    # table -> pairs inside it are not generated
+    dropped = near_dup_dropped_buckets(emb, dim=16, n_tables=2, max_bucket=10)
+    assert dropped.count() >= 1
+    assert dropped.agg({"bucket_size": "max"}).collect()[0][0] >= 40
+
+    capped = embedding_near_dup(emb, dim=16, threshold=0.999, n_tables=2, max_bucket=10)
+    uncapped = embedding_near_dup(emb, dim=16, threshold=0.999, n_tables=2, max_bucket=10**6)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped >= 40 * 39 / 2          # the dense clique exists
+    assert n_capped < n_uncapped              # cap bounded the work
