@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_col="ts", order_cols=("event_id",),
         )
         return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
-    q["a1_dedup_ttl_exact"] = a1_dedup_ttl_exact  # no SQL oracle (stateful scan)
+    q["a1_dedup_ttl_exact"] = a1_dedup_ttl_exact  # oracled: stored sequential-scan golden
 
     # ---- CEP (C1-C7) ----
     def c1_transitions(spark, sf):
@@ -587,7 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from napalm_logs_spark.operators.similarity import embedding_near_dup
 
         return embedding_near_dup(_t(spark, sf, "embeddings"), dim=64, threshold=0.5)
-    q["s_embedding_near_dup"] = s_embedding_near_dup  # no oracle (LSH-bucketed)
+    q["s_embedding_near_dup"] = s_embedding_near_dup  # oracled: stored numpy golden
 
     # ---- multimodal plumbing ----
     def mm_features(spark, sf):
@@ -598,11 +598,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         media = spark.createDataFrame(synth_media_pandas(n=64), schema=MEDIA_SCHEMA)
-        return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
-    q["mm_features"] = mm_features  # no oracle: binary payload stage
+        return extract_features(media).select(
+            "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "digest"
+        )
+    q["mm_features"] = mm_features  # oracled: stored hashlib-computed golden
 
-    # ---- the CEP engine itself over golden transcripts (rows-only) ----
+    # ---- the CEP engine itself over golden transcripts ----
     def golden_normalize(spark, sf):
+        """Normalize the full golden fixture corpus and compare the
+        envelopes (sans timestamp) against a golden table derived
+        DIRECTLY from the reference's yang.json fixtures — the engine's
+        core M2-M9 path as a hard driver-gated check.  Filtered to each
+        fixture's own OS (cross-OS RAW explosions are engine extras the
+        fixture corpus doesn't speak about)."""
         from napalm_logs_spark.operators.normalize import normalize
         from napalm_logs_spark.sources.transcripts import (
             golden_transcripts_pandas,
@@ -610,10 +618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         sdf = transcripts_df(spark, golden_transcripts_pandas())
-        return normalize(sdf).select(
-            "conv_id", "os", "error", "host", "yang_model", "yang_message"
+        env = normalize(sdf)
+        own_os = F.element_at(F.split(F.col("conv_id"), "#"), 1)
+        return env.filter(F.col("os") == own_os).select(
+            "conv_id", "os", "error", "host", "ip",
+            F.col("facility").cast("long").alias("facility"),
+            F.col("severity").cast("long").alias("severity"),
+            "yang_model", "yang_message",
         )
-    q["golden_normalize"] = golden_normalize  # correctness gated by pytest golden suite
+    q["golden_normalize"] = golden_normalize  # oracled: fixture-derived golden table
 
     return q
 
@@ -1166,6 +1179,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm
         FROM embeddings
+    """
+
+    # ---- stored-golden oracles (tools/make_goldens.py) ----------------
+    # Each golden is computed by an INDEPENDENT implementation (plain
+    # python / numpy / the fixture corpus itself — no Spark, no engine
+    # code), committed under testdata_goldens/ with its generator.
+    # Scale-dependent goldens carry a scale_rows key matched against the
+    # live view's row count, so the same oracle string is correct at any
+    # of the generated scale factors.
+    gd = "/root/repo/testdata_goldens"
+
+    o["golden_normalize"] = f"""
+        SELECT conv_id, os, error, host, ip,
+               CAST(facility AS BIGINT) AS facility,
+               CAST(severity AS BIGINT) AS severity,
+               yang_model, yang_message
+        FROM read_parquet('{gd}/golden_envelopes.parquet')
+    """
+
+    o["a1_dedup_ttl_exact"] = f"""
+        SELECT event_type, n_kept
+        FROM read_parquet('{gd}/a1_ttl_kept.parquet')
+        WHERE scale_rows = (SELECT count(*) FROM events)
+    """
+
+    o["mm_features"] = f"""
+        SELECT media_id, kind, n_bytes, digest
+        FROM read_parquet('{gd}/mm_features_golden.parquet')
+    """
+
+    # keyed by a content checksum (sf0.001 and sf0.01 have the same
+    # embedding row COUNT with different contents)
+    o["s_embedding_near_dup"] = f"""
+        SELECT id_a, id_b, cosine
+        FROM read_parquet('{gd}/near_dup_golden.parquet')
+        WHERE scale_key = (SELECT round(sum(CAST(embedding[1] AS DOUBLE)), 3)
+                           FROM embeddings)
     """
 
     return o

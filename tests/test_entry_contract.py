@@ -77,8 +77,6 @@ def test_every_query_has_oracle_or_reason():
     assert o.issubset(q)
     # the rows-only set is intentional and documented in-code
     rows_only = q - o
-    expected_rows_only = {
-        "a1_dedup_ttl_exact", "s_ann_lsh", "s_embedding_near_dup",
-        "s_ann_ivf", "mm_features", "golden_normalize",
-    }
+    # only the genuinely-approximate ANN entries stay rows-only
+    expected_rows_only = {"s_ann_lsh", "s_ann_ivf"}
     assert rows_only == expected_rows_only, rows_only

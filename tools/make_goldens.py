@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Generate the stored-golden oracle tables under ``testdata_goldens/``.
+
+These parquet files back the ``oracle_sql()`` entries that are not
+naturally expressible in DuckDB SQL.  Every golden is computed by an
+INDEPENDENT implementation (plain python/numpy/pandas — no Spark, no
+engine operators), so the driver's hash comparison remains a real
+cross-check, not a tautology:
+
+* ``golden_envelopes.parquet``  — read directly from the reference's
+  own fixture corpus (``yang.json`` files): the expected envelope per
+  golden case.  The engine never touches this path.
+* ``a1_ttl_kept.parquet``       — anchored-TTL dedup kept-counts per
+  event_type, computed by a sequential python scan over the events
+  table (per scale factor, keyed by ``scale_rows``).
+* ``mm_features_golden.parquet``— n_bytes/sha256 digests of the
+  deterministic synthetic media payloads, computed with hashlib.
+* ``near_dup_golden.parquet``   — embedding near-dup pairs computed in
+  numpy following the operator's published spec (seeded hyperplanes,
+  multi-table buckets, bucket cap, exact cosine, HALF_UP rounding).
+
+Run from the repo root:  python tools/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "testdata_goldens")
+GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "golden")
+TESTDATA = os.environ.get("NLS_TESTDATA_ROOT", "/root/testdata")
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+
+
+def canonical_json(obj) -> str:
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# 1. golden envelopes (from the fixture corpus, not from the engine)
+
+
+def make_golden_envelopes() -> pd.DataFrame:
+    rows = []
+    for os_name in sorted(os.listdir(GOLDEN_DIR)):
+        os_dir = os.path.join(GOLDEN_DIR, os_name)
+        if not os.path.isdir(os_dir):
+            continue
+        for error_name in sorted(os.listdir(os_dir)):
+            err_dir = os.path.join(os_dir, error_name)
+            if not os.path.isdir(err_dir):
+                continue
+            for case in sorted(os.listdir(err_dir)):
+                yang_path = os.path.join(err_dir, case, "yang.json")
+                if not os.path.isfile(yang_path):
+                    continue
+                with open(yang_path) as fh:
+                    env = json.load(fh)
+                rows.append(
+                    {
+                        "conv_id": f"{os_name}#{error_name}#{case}",
+                        "os": env.get("os"),
+                        "error": env.get("error"),
+                        "host": env.get("host"),
+                        "ip": env.get("ip"),
+                        "facility": env.get("facility"),
+                        "severity": env.get("severity"),
+                        "yang_model": env.get("yang_model"),
+                        "yang_message": canonical_json(env.get("yang_message")),
+                        # timestamp intentionally omitted: year-less
+                        # syslog dates make it unstable (the reference
+                        # harness pops it too, tests/test_config.py:195-209)
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    for c in ("facility", "severity"):
+        pdf[c] = pd.array(
+            [None if v is None else int(v) for v in pdf[c]], dtype="Int64"
+        )
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# 2. anchored-TTL dedup kept-counts (sequential reference scan)
+
+
+def make_a1_ttl(ttl: float = 300.0) -> pd.DataFrame:
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "events.parquet")
+        if not os.path.isfile(path):
+            continue
+        ev = pd.read_parquet(path, columns=["user_id", "event_type", "ts", "event_id"])
+        scale_rows = len(ev)
+        ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        kept: dict = {}
+        anchors: dict = {}
+        for uid, etype, ts in zip(ev["user_id"], ev["event_type"], ev["ts"]):
+            key = (uid, etype)
+            tv = ts.timestamp()
+            a = anchors.get(key)
+            if a is None or tv - a >= ttl:
+                anchors[key] = tv
+                kept[etype] = kept.get(etype, 0) + 1
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": list(kept),
+                    "n_kept": list(kept.values()),
+                    "scale_rows": scale_rows,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["scale_rows"] = out["scale_rows"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 3. multimodal feature goldens (hashlib over the synthetic payloads)
+
+
+def make_mm_features() -> pd.DataFrame:
+    sys.path.insert(0, REPO)
+    # the INPUT synthesis is shared (it defines the table under test);
+    # the FEATURES are recomputed here independently with hashlib
+    from napalm_logs_spark.operators.multimodal import synth_media_pandas
+
+    media = synth_media_pandas(n=64)
+    return pd.DataFrame(
+        {
+            "media_id": media["media_id"].astype("int64"),
+            "kind": media["kind"],
+            "n_bytes": [len(bytes(p)) for p in media["payload"]],
+            "digest": [hashlib.sha256(bytes(p)).hexdigest() for p in media["payload"]],
+        }
+    ).astype({"n_bytes": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# 4. embedding near-dup pairs (numpy re-implementation of the spec)
+
+
+def _round_half_up(x: np.ndarray, nd: int = 6) -> np.ndarray:
+    # Spark's F.round uses BigDecimal HALF_UP; python round() is
+    # banker's — emulate HALF_UP for the positive cosines involved here
+    return np.floor(x * 10**nd + 0.5) / 10**nd
+
+
+def make_near_dup(
+    dim: int = 64, threshold: float = 0.5, n_planes: int = 10,
+    n_tables: int = 4, seed: int = 42, max_bucket: int = 2000,
+) -> pd.DataFrame:
+    frames = []
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path)
+        scale_rows = len(emb)
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        cand: set = set()
+        for t in range(n_tables):
+            planes = np.random.RandomState(seed + t).normal(size=(n_planes, dim))
+            buckets = ((M @ planes.T) > 0) @ powers
+            by_bucket: dict = {}
+            for i, b in enumerate(buckets):
+                by_bucket.setdefault(b, []).append(i)
+            for members in by_bucket.values():
+                if len(members) > max_bucket:
+                    continue
+                for ai in range(len(members)):
+                    for bi in range(ai + 1, len(members)):
+                        x, y = members[ai], members[bi]
+                        ia, ib = ids[x], ids[y]
+                        cand.add((x, y) if ia < ib else (y, x))
+        rows = []
+        norms = np.linalg.norm(M, axis=1)
+        for x, y in cand:
+            c = float(M[x] @ M[y] / (norms[x] * norms[y]))
+            cr = float(_round_half_up(np.array([c]))[0])
+            if cr >= threshold:
+                rows.append((int(ids[x]), int(ids[y]), cr))
+        # sf0.001 and sf0.01 ship the SAME embedding row count (500) with
+        # different contents — key by a content checksum the oracle can
+        # recompute from its view, not by row count
+        scale_key = float(np.round(M[:, 0].sum(), 3))
+        frames.append(
+            pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).assign(
+                scale_rows=scale_rows, scale_key=scale_key
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"id_a": "int64", "id_b": "int64", "scale_rows": "int64"})
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    env = make_golden_envelopes()
+    env.to_parquet(os.path.join(OUT, "golden_envelopes.parquet"), index=False)
+    print(f"golden_envelopes: {len(env)} rows")
+    a1 = make_a1_ttl()
+    a1.to_parquet(os.path.join(OUT, "a1_ttl_kept.parquet"), index=False)
+    print(f"a1_ttl_kept: {len(a1)} rows across {a1['scale_rows'].nunique()} sfs")
+    mm = make_mm_features()
+    mm.to_parquet(os.path.join(OUT, "mm_features_golden.parquet"), index=False)
+    print(f"mm_features: {len(mm)} rows")
+    nd = make_near_dup()
+    nd.to_parquet(os.path.join(OUT, "near_dup_golden.parquet"), index=False)
+    print(f"near_dup: {len(nd)} rows across {nd['scale_rows'].nunique()} sfs")
+
+
+if __name__ == "__main__":
+    main()
