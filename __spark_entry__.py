@@ -628,6 +628,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["golden_normalize"] = golden_normalize  # oracled: fixture-derived golden table
 
+    def c2_alarm_gauge(spark, sf):
+        """Alarm gauge families end-to-end: junos SYSTEM/MINOR/MAJOR
+        alarm fixtures replayed in fixture order through normalize →
+        state_events → last_state_gauge (prometheus.py:458-540
+        semantics).  Golden derived from the fixtures' own yang.json."""
+        from datetime import timedelta
+
+        import pandas as pd
+
+        from napalm_logs_spark.operators.cep import last_state_gauge, state_events
+        from napalm_logs_spark.operators.normalize import normalize
+        from napalm_logs_spark.sources.transcripts import (
+            BASE_TS,
+            golden_cases,
+            transcripts_df,
+        )
+
+        alarm_errors = {
+            "SYSTEM_ALARM", "SYSTEM_ALARM_CLEARED", "MINOR_ALARM_SET",
+            "MINOR_ALARM_CLEARED", "MAJOR_ALARM_SET", "MAJOR_ALARM_CLEARED",
+        }
+        cases = [
+            c for c in golden_cases()
+            if c["os"] == "junos" and c["error"] in alarm_errors
+        ]
+        pdf = pd.DataFrame(
+            [
+                {
+                    "conv_id": f"{c['error']}#{c['case']}",
+                    "turn_idx": 0,
+                    "role": "agent",
+                    "text": c["text"],
+                    "tool": None,
+                    "ts": BASE_TS + timedelta(seconds=i),
+                }
+                for i, c in enumerate(cases)
+            ]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        env = normalize(transcripts_df(spark, pdf))
+        return last_state_gauge(state_events(env)).select(
+            "host", "family", "entity",
+            F.col("state").cast("long").alias("state"),
+            "last_error",
+            "n_events",
+        )
+    q["c2_alarm_gauge"] = c2_alarm_gauge  # oracled: fixture-derived gauge golden
+
     return q
 
 
@@ -1207,6 +1255,12 @@ def oracle_sql() -> dict[str, str]:
     o["mm_features"] = f"""
         SELECT media_id, kind, n_bytes, digest
         FROM read_parquet('{gd}/mm_features_golden.parquet')
+    """
+
+    o["c2_alarm_gauge"] = f"""
+        SELECT host, family, entity, CAST(state AS BIGINT) AS state,
+               last_error, n_events
+        FROM read_parquet('{gd}/alarm_gauge_golden.parquet')
     """
 
     # keyed by a content checksum (sf0.001 and sf0.01 have the same

@@ -205,6 +205,60 @@ def make_near_dup(
     return out.astype({"id_a": "int64", "id_b": "int64", "scale_rows": "int64"})
 
 
+# ---------------------------------------------------------------------------
+# 5. alarm gauge golden (derived from the fixture yang.json contents)
+
+ALARM_FAMILIES = {
+    "SYSTEM_ALARM": ("system_alarm", 1),
+    "SYSTEM_ALARM_CLEARED": ("system_alarm", 0),
+    "MINOR_ALARM_SET": ("minor_alarm", 1),
+    "MINOR_ALARM_CLEARED": ("minor_alarm", 0),
+    "MAJOR_ALARM_SET": ("major_alarm", 1),
+    "MAJOR_ALARM_CLEARED": ("major_alarm", 0),
+}
+
+
+def make_alarm_gauge() -> pd.DataFrame:
+    """Expected last-state gauge per (host, family, entity) over the
+    junos alarm fixtures, replayed in fixture-enumeration order.
+
+    Entities follow the prometheus label choice
+    (transport/prometheus.py:490-497, 520-527): the component name for
+    SYSTEM_ALARM*, the alarm additional-text for minor/major — both
+    read from the fixtures' own yang.json, never from the engine.
+    """
+    events = []
+    os_dir = os.path.join(GOLDEN_DIR, "junos")
+    for error_name in sorted(os.listdir(os_dir)):
+        if error_name not in ALARM_FAMILIES:
+            continue
+        err_dir = os.path.join(os_dir, error_name)
+        for case in sorted(os.listdir(err_dir)):
+            yang_path = os.path.join(err_dir, case, "yang.json")
+            if not os.path.isfile(yang_path):
+                continue
+            with open(yang_path) as fh:
+                env = json.load(fh)
+            family, state = ALARM_FAMILIES[error_name]
+            ym = env["yang_message"]
+            if family == "system_alarm":
+                entity = next(iter(ym["hardware-state"]["component"]))
+            else:
+                entity = ym["alarms"]["alarm"]["additional-text"]
+            events.append((env["host"], family, entity, state, error_name))
+    gauge: dict = {}
+    for i, (host, family, entity, state, err) in enumerate(events):
+        key = (host, family, entity)
+        prev = gauge.get(key, (None, None, 0))
+        gauge[key] = (state, err, prev[2] + 1)
+    rows = [
+        {"host": h, "family": f, "entity": e, "state": s, "last_error": err,
+         "n_events": n}
+        for (h, f, e), (s, err, n) in gauge.items()
+    ]
+    return pd.DataFrame(rows).astype({"state": "int64", "n_events": "int64"})
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -219,6 +273,9 @@ def main() -> None:
     nd = make_near_dup()
     nd.to_parquet(os.path.join(OUT, "near_dup_golden.parquet"), index=False)
     print(f"near_dup: {len(nd)} rows across {nd['scale_rows'].nunique()} sfs")
+    ag = make_alarm_gauge()
+    ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
+    print(f"alarm_gauge: {len(ag)} rows")
 
 
 if __name__ == "__main__":
