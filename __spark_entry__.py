@@ -543,6 +543,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_clusters(pairs)
     q["d_dup_clusters"] = d_dup_clusters  # oracled: recursive-CTE closure
 
+    def d_dedup_keep(spark, sf):
+        from napalm_logs_spark.operators.docdedup import (
+            dedup_keep_list,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        return dedup_keep_list(docs, pairs)
+    q["d_dedup_keep"] = d_dedup_keep  # oracled: anti-join vs recursive closure
+
+    def t_sample_mix(spark, sf):
+        from napalm_logs_spark.operators.text import stratified_sample
+
+        return stratified_sample(
+            _t(spark, sf, "documents"),
+            rates={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125},
+            default_rate=0.75,
+        ).select("doc_id", "lang", "source")
+    q["t_sample_mix"] = t_sample_mix  # oracled: hash-deterministic sampling
+
     # ---- similarity search ----
     def s_knn_cosine(spark, sf):
         from napalm_logs_spark.operators.similarity import cosine_topk
@@ -1179,6 +1200,51 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
         )
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+    o["d_dedup_keep"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), prs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION
+          SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+        ), labels AS (
+          SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
+    """
+
+    o["t_sample_mix"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang WHEN 'en' THEN '08000'
+                        WHEN 'de' THEN '04000'
+                        WHEN 'fr' THEN '04000'
+                        WHEN 'es' THEN '02000'
+                        ELSE '0c000' END
     """
 
     o["t_tfidf"] = r"""

@@ -46,6 +46,20 @@ UP_DOWN_PAIRS: dict = {
     "MAJOR_ALARM_CLEARED": ("major_alarm", 0),
 }
 
+#: families whose PROBLEM state is 1 (alarm set), inverting the
+#: interface/neighbor convention where 0 (down) is the problem —
+#: drives the alert 'status' polarity in transitions()/the FSM while
+#: the state01 gauge stays prometheus-exact (1=SET, 0=CLEARED)
+PROBLEM_WHEN_ONE = frozenset({"system_alarm", "minor_alarm", "major_alarm"})
+
+
+def _status_col(state_col, family_col):
+    """'open' when the entity entered its problem state, else 'closed'."""
+    problem = F.when(
+        family_col.isin(*PROBLEM_WHEN_ONE), state_col == 1
+    ).otherwise(state_col == 0)
+    return F.when(problem, F.lit("open")).otherwise(F.lit("closed"))
+
 
 def state_events(env: DataFrame, pairs: Mapping = None) -> DataFrame:
     """Envelope rows → state-change events ``(host, family, entity,
@@ -103,10 +117,7 @@ def transitions(events: DataFrame) -> DataFrame:
     return (
         events.withColumn("prev_state", prev)
         .filter(F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state01")))
-        .withColumn(
-            "status",
-            F.when(F.col("state01") == 0, F.lit("open")).otherwise(F.lit("closed")),
-        )
+        .withColumn("status", _status_col(F.col("state01"), F.col("family")))
     )
 
 

@@ -471,6 +471,20 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "tex
     return pairs
 
 
+def dedup_keep_list(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The actionable output of near-dup detection: the doc_ids to KEEP
+    — every cluster collapses to its minimum doc_id representative, and
+    docs in no cluster survive untouched.
+
+    One anti-join against the (tiny relative to the corpus) set of
+    non-representative cluster members; the cluster pass itself is
+    :func:`duplicate_clusters`.
+    """
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
 def duplicate_clusters(
     pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

@@ -200,6 +200,38 @@ def winnow_pairs(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: keep a row
+    iff the first 4 hex chars of ``md5(id)`` fall below the stratum's
+    rate threshold (16-bit resolution).
+
+    This is how a training-data pipeline downsamples sources/languages
+    to target proportions REPRODUCIBLY at any scale: membership is a
+    pure row-local function of the id (no shuffle, no RNG state, no
+    sampleBy seed drift across retries/partitions), so two runs — or a
+    driver and an oracle — select byte-identical rows.  Strata absent
+    from ``rates`` get ``default_rate``.
+    """
+
+    def _threshold(rate: float) -> str:
+        r = min(max(rate, 0.0), 1.0)
+        return format(int(round(r * 0x10000)), "05x")
+
+    # fixed-width lexical compare: '0'+4 hash chars vs 5-char threshold
+    # ('10000' = rate 1.0 exceeds every hash -> keep all)
+    u = F.concat(F.lit("0"), F.substring(F.md5(F.col(id_col).cast("string")), 1, 4))
+    expr = F.lit(_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(strat_col) == stratum, F.lit(_threshold(rate))).otherwise(expr)
+    return df.filter(u < expr)
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

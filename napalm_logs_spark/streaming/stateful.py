@@ -114,10 +114,13 @@ def entity_state_stream(
     def fsm(
         key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        from ..operators.cep import PROBLEM_WHEN_ONE
+
         if state.hasTimedOut:
             state.remove()
             return
         host, family, entity = key_vals
+        problem_state = 1 if family in PROBLEM_WHEN_ONE else 0
         last = state.get[0] if state.exists else None
         for pdf in pdf_iter:
             pdf = pdf.sort_values([ts_col, "turn_idx"], kind="mergesort")
@@ -133,7 +136,7 @@ def entity_state_stream(
                             "ts": row[ts_col],
                             "state01": cur,
                             "prev_state": last,
-                            "status": "open" if cur == 0 else "closed",
+                            "status": "open" if cur == problem_state else "closed",
                             "error": row["error"],
                         }
                     )

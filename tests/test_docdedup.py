@@ -159,3 +159,18 @@ def test_capped_equals_naive_when_cap_disengaged(spark):
     capped = sorted(tuple(r) for r in _jaccard_capped(docs, 3, 0.1, freq_cap=500).collect())
     naive = sorted(tuple(r) for r in _jaccard_naive(docs, 3, 0.1).collect())
     assert capped == naive and len(capped) > 0
+
+
+def test_dedup_keep_list(spark):
+    from napalm_logs_spark.operators.docdedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3, 0.9), (3, 5, 0.8), (1, 2, 0.85)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    keep = sorted(r.doc_id for r in dedup_keep_list(docs, pairs).collect())
+    # clusters {0,3,5}->0 and {1,2}->1; 4 untouched
+    assert keep == [0, 1, 4]

@@ -193,3 +193,61 @@ def test_entity_state_machine_stream(spark, tmp_path):
     assert [(s, p) for _, s, p in xe0] == [("open", None), ("closed", 0)]
     xe1 = [r for r in got if r.entity == "xe-1"]
     assert len(xe1) == 1 and xe1[0].status == "closed"
+
+
+def test_alarm_families_in_streaming_fsm(spark, tmp_path):
+    """The streaming entity FSM inherits the alarm gauge families:
+    SYSTEM_ALARM opens at state 1, SYSTEM_ALARM_CLEARED closes at 0 —
+    driven by real junos fixture lines through normalize across TWO
+    micro-batches (state carried between batches)."""
+    import pandas as pd
+
+    from napalm_logs_spark.operators.cep import state_events
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+        golden_cases,
+    )
+
+    by_err = {}
+    for c in golden_cases():
+        if c["os"] == "junos" and c["case"] == "default":
+            by_err.setdefault(c["error"], c["text"])
+    set_txt = by_err["SYSTEM_ALARM"]
+    clr_txt = by_err["SYSTEM_ALARM_CLEARED"]
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def write_batch(text, turn, sec):
+        pdf = pd.DataFrame(
+            [{"conv_id": "c1", "turn_idx": turn, "role": "agent",
+              "text": text, "tool": None,
+              "ts": BASE + datetime.timedelta(seconds=sec)}]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_batch(set_txt, 0, 0)      # batch 1: alarm set
+    write_batch(clr_txt, 1, 30)     # batch 2: alarm cleared
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    fsm = entity_state_stream(state_events(normalize(stream)))
+    q = (
+        fsm.writeStream.format("memory").queryName("alarm_fsm")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.family, r.entity, r.state01, r.prev_state, r.status)
+        for r in spark.sql("select * from alarm_fsm").collect()
+    )
+    # alarm polarity: SET (1) opens the alert, CLEARED (0) closes it
+    assert got == [
+        ("system_alarm", "supply", 0, 1, "closed"),
+        ("system_alarm", "supply", 1, None, "open"),
+    ]

@@ -145,3 +145,22 @@ def test_winnow_pairs_planted_common_substring(spark):
     got = {(r.doc_a, r.doc_b) for r in winnow_pairs(df, min_shared=2).collect()}
     assert (0, 1) in got
     assert not any(2 in p for p in got)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from napalm_logs_spark.operators.text import stratified_sample
+
+    rows = [(i, "t", ["en", "de"][i % 2]) for i in range(4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = stratified_sample(docs, {"en": 0.5, "de": 0.125})
+    s2 = stratified_sample(docs, {"en": 0.5, "de": 0.125})
+    got1 = sorted(r.doc_id for r in s1.collect())
+    assert got1 == sorted(r.doc_id for r in s2.collect())  # reproducible
+    by_lang = {r["lang"]: r["n"] for r in
+               s1.groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")).collect()}
+    assert abs(by_lang["en"] / 2000 - 0.5) < 0.06
+    assert abs(by_lang["de"] / 2000 - 0.125) < 0.04
+    # default_rate=0 drops unlisted strata entirely
+    assert stratified_sample(docs, {"en": 1.0}).filter("lang = 'de'").count() == 0
+    # rate 1.0 keeps every row of the stratum
+    assert stratified_sample(docs, {"en": 1.0}).filter("lang = 'en'").count() == 2000
