@@ -12,6 +12,7 @@ projections of the same operators onto the shared tables.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1301,8 +1302,9 @@ def oracle_sql() -> dict[str, str]:
     # code), committed under testdata_goldens/ with its generator.
     # Scale-dependent goldens carry a scale_rows key matched against the
     # live view's row count, so the same oracle string is correct at any
-    # of the generated scale factors.
-    gd = "/root/repo/testdata_goldens"
+    # of the generated scale factors.  Paths derive from this file so
+    # the repo works from any checkout location.
+    gd = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_goldens")
 
     o["golden_normalize"] = f"""
         SELECT conv_id, os, error, host, ip,
@@ -1329,13 +1331,16 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{gd}/alarm_gauge_golden.parquet')
     """
 
-    # keyed by a content checksum (sf0.001 and sf0.01 have the same
-    # embedding row COUNT with different contents)
+    # keyed by an integer content checksum (sf0.001 and sf0.01 have the
+    # same embedding row COUNT with different contents; floor(x*1000)
+    # per element + integer sum is bit-exact on every engine)
     o["s_embedding_near_dup"] = f"""
         SELECT id_a, id_b, cosine
         FROM read_parquet('{gd}/near_dup_golden.parquet')
-        WHERE scale_key = (SELECT round(sum(CAST(embedding[1] AS DOUBLE)), 3)
-                           FROM embeddings)
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
     """
 
     return o

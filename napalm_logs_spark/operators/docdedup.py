@@ -86,7 +86,11 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    freq_cap: int = 500,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs with similarity ≥ ``threshold``.
 
@@ -98,16 +102,21 @@ def ngram_jaccard_pairs(
     naive self-join, without losing a single qualifying pair; candidates
     are then verified exactly via ``array_intersect``.  For low τ the
     prefix is most of the set, so candidate generation uses the
-    count-join with a STOP-SHINGLE cap instead (:func:`_jaccard_capped`):
-    ultra-frequent shingles are excluded from the join (bounding every
-    join bucket) and their contribution to each found pair's
-    intersection is restored exactly from tiny per-doc heavy-shingle
-    arrays.  Output is identical either way: (doc_a, doc_b, jaccard),
-    a<b, jaccard exact.  (``_jaccard_naive`` remains as the brute-force
-    reference used by tests.)
+    count-join with a STOP-SHINGLE cap instead (:func:`_jaccard_capped`,
+    tunable via ``freq_cap``; raise it — or lift it to ∞ on trusted
+    corpora — to trade bucket bounds for completeness): ultra-frequent
+    shingles are excluded from the join (bounding every join bucket) and
+    their contribution to each found pair's intersection is restored
+    exactly from tiny per-doc heavy-shingle arrays.  Output columns are
+    identical either way ((doc_a, doc_b, jaccard), a<b, jaccard exact
+    for every emitted pair); the low-τ path's only deviation from brute
+    force is that a pair sharing ONLY above-cap shingles is not
+    generated — equality is exact whenever the corpus's max shingle
+    frequency ≤ ``freq_cap``.  (``_jaccard_naive`` remains as the
+    brute-force reference used by tests.)
     """
     if threshold < 0.5:
-        return _jaccard_capped(df, n, threshold, text_col)
+        return _jaccard_capped(df, n, threshold, text_col, freq_cap)
     sets = shingle_sets(df, n, text_col).filter(F.size("sh_set") > 0)
     # carry |set| as a column from the narrow stage — saves the
     # count-over-window a per-row size lookup would otherwise cost
@@ -298,7 +307,9 @@ def minhash_signatures(
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return hexed.select("doc_id", "sh_set", *sig_cols)
+    # signatures ONLY — carrying sh_set here would drag every document's
+    # full shingle array through any persisted/broadcast signature table
+    return hexed.select("doc_id", *sig_cols)
 
 
 def minhash_lsh_pairs(

@@ -127,6 +127,11 @@ _FALLBACK_FORMATS = (
     "%Y-%m-%dT%H:%M:%S.%f",
     "%Y-%m-%dT%H:%M:%S%z",       # RFC 3339 with numeric offset
     "%Y-%m-%dT%H:%M:%S.%f%z",
+    # space-separated date+offset: what a profile's {date} {time} split
+    # reassembles for ISO-dated syslog (e.g. eos "2020-03-31
+    # 08:41:59+00:00" — prefix captures date and time separately)
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%d %H:%M:%S.%f%z",
     "%m/%d/%Y %H:%M:%S",
 )
 

@@ -298,6 +298,28 @@ def ivf_cosine_topk(
     )
 
 
+def _bucket_table(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, emb, table, bucket) rows over ``n_tables`` LSH tables —
+    shared by :func:`embedding_near_dup` and its observability
+    companion so the two can never disagree on the bucketing scheme."""
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    tables = None
+    for t in range(n_tables):
+        bt = lsh_bucket(base, dim, n_planes, seed + t, "emb").select(
+            "id", "emb", F.lit(t).alias("table"), "bucket"
+        )
+        tables = bt if tables is None else tables.unionByName(bt)
+    return tables
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,
@@ -320,13 +342,7 @@ def embedding_near_dup(
     Multi-table also recovers recall the single-table form lost (a true
     pair only needs to share a bucket in ≥1 table).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
-    tables = None
-    for t in range(n_tables):
-        bt = lsh_bucket(base, dim, n_planes, seed + t, "emb").select(
-            "id", "emb", F.lit(t).alias("table"), "bucket"
-        )
-        tables = bt if tables is None else tables.unionByName(bt)
+    tables = _bucket_table(df, dim, n_planes, n_tables, seed, id_col, emb_col)
     w = Window.partitionBy("table", "bucket")
     bounded = (
         tables.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -371,14 +387,10 @@ def near_dup_dropped_buckets(
 ) -> DataFrame:
     """Observability companion to :func:`embedding_near_dup`: the
     (table, bucket, size) rows the cap excluded — never silent
-    truncation; pipelines log/inspect this table."""
-    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
-    out = None
-    for t in range(n_tables):
-        bt = lsh_bucket(base, dim, n_planes, seed + t, "emb").select(
-            F.lit(t).alias("table"), "bucket"
-        )
-        out = bt if out is None else out.unionByName(bt)
+    truncation; pipelines log/inspect this table.  Shares
+    :func:`_bucket_table` with the dedup operator so the reported
+    buckets always correspond to the dedup run's scheme."""
+    out = _bucket_table(df, dim, n_planes, n_tables, seed, id_col, emb_col)
     return (
         out.groupBy("table", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))

@@ -67,21 +67,27 @@ def _materialize_pkg_dir(pkg_path: str) -> str | None:
         if parent == probe:
             return None
         probe = parent
+    import hashlib
     import tempfile
     import zipfile
 
     if not zipfile.is_zipfile(probe):
         return None
     rel = os.path.relpath(pkg_path, probe).replace(os.sep, "/")
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        f"nls_profiles_{abs(hash((probe, os.path.getmtime(probe))))}",
-    )
+    # stable cache name: hashlib, NOT builtin hash() (PYTHONHASHSEED-
+    # randomized — a random name would re-extract every process and
+    # leak orphan trees in /tmp)
+    key = hashlib.md5(
+        f"{probe}:{os.path.getmtime(probe)}".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"nls_profiles_{key}")
     marker = os.path.join(cache, ".complete")
     target = os.path.join(cache, rel)
     if not os.path.isfile(marker):
-        tmp = cache + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        # private staging dir per extractor: a shared ".tmp" would let
+        # the rename winner yank the directory out from under a
+        # concurrent extractall
+        tmp = tempfile.mkdtemp(prefix=f"nls_profiles_{key}_stage_")
         with zipfile.ZipFile(probe) as zf:
             members = [m for m in zf.namelist() if m.startswith(rel + "/")]
             zf.extractall(tmp, members)

@@ -48,7 +48,11 @@ def envelope_to_kafka_records(env: DataFrame, topic: str = DEFAULT_TOPIC) -> Dat
     payload = F.struct(*[F.col(c) for c in _PAYLOAD_COLS if c in env.columns])
     return env.select(
         F.col("conv_id").cast("string").alias("key"),
-        F.to_json(payload).alias("value"),
+        # explicit nulls: the reference envelope always carries every
+        # key (device.py:336-351) — consumers schema-validate on the
+        # fixed shape, so dropped-null variable-shape records would
+        # break them
+        F.to_json(payload, {"ignoreNullFields": "false"}).alias("value"),
         F.lit(topic).alias("topic"),
     )
 

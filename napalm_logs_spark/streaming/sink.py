@@ -47,6 +47,12 @@ class SinkSpec:
     console: bool = False
     console_rows: int = 20
 
+    def __post_init__(self):
+        # a parquet sink without a path would silently write
+        # "_batch_id=N" into the driver's CWD
+        if not self.console and not self.path:
+            raise ValueError("SinkSpec requires a path unless console=True")
+
 
 def _apply_sink_filters(df: DataFrame, sink: SinkSpec) -> DataFrame:
     denied = set(sink.blacklist)

@@ -57,11 +57,13 @@ def test_record_shape_and_roundtrip(spark):
     assert all(r.key == r.conv_id for r in back.collect())
 
 
-def test_null_fields_omitted_from_json(spark):
+def test_null_fields_explicit_in_json(spark):
+    # the reference envelope always carries every key (device.py:336-351)
+    # -> nulls serialize explicitly, keeping the record shape fixed
     rec = envelope_to_kafka_records(_env_df(spark), topic="t2")
     raw_row = rec.filter(F.col("key") == "c-2").collect()[0]
     assert raw_row.topic == "t2"
-    assert "facility" not in raw_row.value  # to_json drops nulls
+    assert '"facility":null' in raw_row.value
     assert '"error":"RAW"' in raw_row.value
 
 

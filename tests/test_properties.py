@@ -156,3 +156,12 @@ def test_declared_format_still_wins():
         calendar.timegm(datetime(2020, 1, 2, 3, 4, 5).timetuple())
     # garbage stays None (event-time fallback upstream)
     assert _resolve_epoch("not a date", "at all", None, 2017) is None
+
+
+def test_fallback_space_separated_offset():
+    # eos ISO8601 fixture shape: prefix splits '2020-03-31' and
+    # '08:41:59+00:00' into separate date/time captures
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    assert _resolve_epoch("2020-03-31", "08:41:59+00:00", None, 2017) == 1585644119
+    assert _resolve_epoch("2020-03-31", "10:41:59+02:00", None, 2017) == 1585644119

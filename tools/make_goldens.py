@@ -193,16 +193,21 @@ def make_near_dup(
             if cr >= threshold:
                 rows.append((int(ids[x]), int(ids[y]), cr))
         # sf0.001 and sf0.01 ship the SAME embedding row count (500) with
-        # different contents — key by a content checksum the oracle can
-        # recompute from its view, not by row count
-        scale_key = float(np.round(M[:, 0].sum(), 3))
+        # different contents — key by an INTEGER content checksum the
+        # oracle recomputes exactly from its view (float rounding modes
+        # differ between numpy and SQL engines; floor(x*1000) per element
+        # is the same IEEE double op everywhere and the int sum is exact)
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
         frames.append(
             pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).assign(
                 scale_rows=scale_rows, scale_key=scale_key
             )
         )
     out = pd.concat(frames, ignore_index=True)
-    return out.astype({"id_a": "int64", "id_b": "int64", "scale_rows": "int64"})
+    return out.astype(
+        {"id_a": "int64", "id_b": "int64", "scale_rows": "int64",
+         "scale_key": "int64"}
+    )
 
 
 # ---------------------------------------------------------------------------
