@@ -226,6 +226,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c6_interval_join"] = c6_interval_join
 
+    def c10_orphans(spark, sf):
+        # timeout detection (negative interval join): clicks with NO
+        # error within 300s for the same user — the relational analog of
+        # cep.orphan_agent_turns
+        ev = _t(spark, sf, "events")
+        a = ev.filter(F.col("event_type") == "click").select(
+            "event_id", F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+        )
+        b = ev.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+        )
+        cond = (
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 300 SECONDS"))
+        )
+        return a.join(b, cond, "left_anti").select(
+            "event_id", F.col("a_user").alias("user_id")
+        )
+    q["c10_orphans"] = c10_orphans
+
     def c7_sessions(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -809,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
          AND a.event_type = 'click' AND b.event_type = 'error'
          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '300 seconds'
         GROUP BY a.user_id
+    """
+
+    o["c10_orphans"] = """
+        SELECT a.event_id, a.user_id
+        FROM events a
+        WHERE a.event_type = 'click' AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'error'
+            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '300 seconds'
+        )
     """
 
     o["c7_sessions"] = """

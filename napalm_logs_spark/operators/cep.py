@@ -199,6 +199,7 @@ def agent_tool_pairs(
     horizon_seconds: int = 60,
     streaming: bool = False,
     watermark: str = "2 minutes",
+    how: str | None = None,
 ) -> DataFrame:
     """Pair each ``role='agent'`` turn with the ``role='tool'`` turns
     that follow it in the same conversation within ``horizon_seconds``
@@ -231,8 +232,40 @@ def agent_tool_pairs(
             <= agents["agent_ts"] + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
         )
     )
-    how = "inner" if streaming else "left_outer"
+    if how is None:
+        how = "inner" if streaming else "left_outer"
     return agents.join(tools, cond, how).drop("t_conv_id")
+
+
+def orphan_agent_turns(
+    transcripts: DataFrame,
+    horizon_seconds: int = 60,
+    streaming: bool = False,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Timeout detection: agent turns with NO tool response in the same
+    conversation within ``horizon_seconds`` — the negative of
+    :func:`agent_tool_pairs` (a request that never got its response;
+    the reference's alerta sink models only the positive pairing,
+    transport/alerta.py:46-69 — this is the missing alarm for the pair
+    that never closed).
+
+    Batch: left-outer interval join → keep the null side.  Streaming:
+    the same left-outer stream-stream join — Spark emits the null row
+    only once the watermark proves no tool turn can still arrive, so an
+    orphan alert fires exactly when the timeout truly expired (state
+    bounded by horizon + watermark delay).
+    """
+    paired = agent_tool_pairs(
+        transcripts,
+        horizon_seconds=horizon_seconds,
+        streaming=streaming,
+        watermark=watermark,
+        how="left_outer",
+    )
+    return paired.filter(F.col("tool_turn").isNull()).select(
+        "conv_id", "agent_turn", "agent_text", "agent_ts"
+    )
 
 
 def pattern_sequence(

@@ -312,3 +312,72 @@ def test_alarm_gauges_from_golden_fixtures(spark):
     assert set(got.values()) <= {0, 1}
     # an entity seen only in a SET case gauges 1
     assert got[("vmx01", "system_alarm", "FPC 0")] == 1
+
+
+def test_orphan_agent_turns_batch(spark):
+    from datetime import datetime, timedelta
+
+    from napalm_logs_spark.operators.cep import orphan_agent_turns
+
+    base = datetime(2017, 7, 20, 21, 0, 0)
+    rows = [
+        # answered within horizon
+        ("c1", 0, "agent", "ask1", None, base),
+        ("c1", 1, "tool", None, "search", base + timedelta(seconds=10)),
+        # orphan: tool reply arrives AFTER the horizon
+        ("c1", 2, "agent", "ask2", None, base + timedelta(seconds=100)),
+        ("c1", 3, "tool", None, "calc", base + timedelta(seconds=300)),
+        # orphan: never answered
+        ("c2", 0, "agent", "ask3", None, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = sorted(
+        (r.conv_id, r.agent_turn)
+        for r in orphan_agent_turns(df, horizon_seconds=60).collect()
+    )
+    assert got == [("c1", 2), ("c2", 0)]
+
+
+def test_orphan_agent_turns_streaming_waits_for_watermark(spark, tmp_path):
+    """Streaming orphan alerts fire only once the watermark proves no
+    tool turn can still arrive — a row in batch 1 becomes an orphan
+    only after batch 2's data advances the watermark past its horizon."""
+    import datetime as dt
+
+    from napalm_logs_spark.operators.cep import orphan_agent_turns
+
+    base = dt.datetime(2017, 7, 20, 21, 0, 0)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run(_name):
+        # memory sink can't recover from checkpoints -> file sink
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            orphan_agent_turns(stream, horizon_seconds=60, streaming=True,
+                               watermark="30 seconds")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        try:
+            return {r.agent_turn for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    spark.createDataFrame(
+        [("c1", 0, "agent", "ask", None, base)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run("orphans_1") == set()  # watermark hasn't passed the horizon
+
+    # late traffic that PASSES the role filters (watermarks sit after
+    # them) pushes both sides' watermarks well past base+60+30; the c9
+    # agent itself is answered within the horizon, so it is NOT an orphan
+    spark.createDataFrame(
+        [("c9", 5, "agent", "ask-late", None, base + dt.timedelta(seconds=600)),
+         ("c9", 6, "tool", None, "search", base + dt.timedelta(seconds=601))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run("orphans_2") == {0}   # the c1 orphan alert fires exactly now
