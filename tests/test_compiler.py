@@ -1,5 +1,7 @@
 """Unit tests for profile template → regex compilation."""
 
+import os
+
 from napalm_logs_spark.profiles.compiler import compile_line
 
 
@@ -57,3 +59,33 @@ def test_optional_group_yields_none():
     got = cp.match_groups("vmx01")
     assert got["opt"] is None
     assert got["host"] == "vmx01"
+
+
+def test_zip_profile_extraction(tmp_path, monkeypatch):
+    """--py-files deployment: the vendored profile tree extracts from a
+    zip once, into a stable hashlib-keyed cache, and loads identically
+    to the on-disk corpus."""
+    import zipfile
+
+    import napalm_logs_spark
+    from napalm_logs_spark.profiles import registry as reg
+
+    pkg_root = os.path.dirname(os.path.dirname(napalm_logs_spark.__file__))
+    zpath = tmp_path / "nls.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        vend = os.path.join(pkg_root, "napalm_logs_spark", "profiles", "vendored")
+        for root, _dirs, files in os.walk(vend):
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, pkg_root))
+    fake_pkg_path = str(zpath / "napalm_logs_spark" / "profiles" / "vendored")
+    out1 = reg._materialize_pkg_dir(fake_pkg_path)
+    out2 = reg._materialize_pkg_dir(fake_pkg_path)
+    assert out1 and os.path.isdir(out1)
+    assert out1 == out2  # stable cache, no re-extraction churn
+    r_zip = reg.load_registry(out1)
+    r_disk = reg.load_registry(vend)
+    assert sorted(r_zip.os_names()) == sorted(r_disk.os_names())
+    junos_zip = r_zip.oses["junos"]
+    junos_disk = r_disk.oses["junos"]
+    assert len(junos_zip.messages) == len(junos_disk.messages)

@@ -73,3 +73,27 @@ def test_t_quality_column_pruning(spark):
     plan = _plan(spark, "t_quality")
     # only doc_id + text needed from the 5-column table
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_capped_jaccard_plan_shape(spark):
+    """Low-τ jaccard: the frequency gates must be BROADCAST semi joins
+    (the big (doc, shingle) table never shuffles to learn frequencies)
+    and no cartesian product may appear."""
+    plan = _plan(spark, "d_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_minhash_lsh_plan_shape(spark):
+    """MinHash: no cartesian product; the signature build stays narrow
+    up to the bucket join (single scan of documents per branch)."""
+    plan = _plan(spark, "d_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    # verification sets ride as hashed arrays (xxhash64), not strings
+    assert "xxhash64" in plan
+
+
+def test_orphan_anti_join_plan(spark):
+    plan = _plan(spark, "c10_orphans")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

@@ -165,3 +165,17 @@ def test_fallback_space_separated_offset():
 
     assert _resolve_epoch("2020-03-31", "08:41:59+00:00", None, 2017) == 1585644119
     assert _resolve_epoch("2020-03-31", "10:41:59+02:00", None, 2017) == 1585644119
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), st.integers(0, 10**6))
+@settings(max_examples=200, deadline=None)
+def test_stratified_threshold_membership_model(rate, doc_id):
+    """The hex-threshold membership rule equals the numeric model:
+    keep iff first-16-bits-of-md5(id) < round(rate * 2^16)."""
+    import hashlib
+
+    threshold = format(int(round(min(max(rate, 0.0), 1.0) * 0x10000)), "05x")
+    h4 = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+    lexical = ("0" + h4) < threshold
+    numeric = int(h4, 16) < int(round(rate * 0x10000))
+    assert lexical == numeric
