@@ -26,28 +26,13 @@ from .transcripts import TRANSCRIPT_SCHEMA
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    """True when the Kafka data-source provider is loadable in this JVM.
+    """True when the Kafka data-source provider is loadable in this JVM
+    (probed through Spark's classloader — see :mod:`..jvm`)."""
+    from ..jvm import jvm_class_available
 
-    The probe resolves through Spark's own classloader
-    (``Utils.classForName`` → context/MutableURLClassLoader), NOT the
-    system classloader: jars added via ``spark-submit --packages`` are
-    visible only to Spark's loader, so a ``java.lang.Class.forName``
-    probe would report the connector absent on exactly the deployments
-    that have it.
-    """
-    name = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-    jvm = spark.sparkContext._jvm
-    try:
-        jvm.org.apache.spark.util.Utils.classForName(name, False, False)
-        return True
-    except Exception:
-        pass
-    try:  # older/newer Utils signatures — fall back to a direct probe
-        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
-        jvm.java.lang.Class.forName(name, False, loader)
-        return True
-    except Exception:
-        return False
+    return jvm_class_available(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
 
 
 def kafka_transcript_stream(

@@ -24,13 +24,12 @@ from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg SparkCatalog class is loadable in this JVM."""
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
-        return True
-    except Exception:
-        return False
+    """True when an Iceberg SparkCatalog class is loadable in this JVM
+    (probed through Spark's classloader, so ``--packages``-provided
+    runtime jars are detected — see :mod:`..jvm`)."""
+    from ..jvm import jvm_class_available
+
+    return jvm_class_available(spark, "org.apache.iceberg.spark.SparkCatalog")
 
 
 def write_batch(
