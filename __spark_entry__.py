@@ -520,6 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_winnow_pairs"] = t_winnow_pairs
 
+    def t_pack_chunks(spark, sf):
+        from napalm_logs_spark.operators.text import pack_chunks
+
+        return pack_chunks(
+            _t(spark, sf, "documents"), budget_tokens=512,
+            key="lang", order_col="doc_id",
+        ).select("doc_id", "lang", "n_tokens", "chunk_id", "chunk_off")
+    q["t_pack_chunks"] = t_pack_chunks
+
     def t_tfidf(spark, sf):
         from napalm_logs_spark.operators.text import tf_idf_top_terms
 
@@ -1277,6 +1286,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN '04000'
                         WHEN 'es' THEN '02000'
                         ELSE '0c000' END
+    """
+
+    o["t_pack_chunks"] = r"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS before
+          FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(before / 512) AS BIGINT) AS chunk_id,
+               CAST(before - floor(before / 512) * 512 AS BIGINT) AS chunk_off
+        FROM c
     """
 
     o["t_tfidf"] = r"""

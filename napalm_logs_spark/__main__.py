@@ -27,6 +27,13 @@ def _session(master: str, shuffle_partitions: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # the at-scale state-store provider: spills to disk, changelog
+        # checkpointing — the right default for long-running streams
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .getOrCreate()
     )
     return spark, not preexisting
@@ -55,6 +62,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--dedup-ttl", type=float, default=5.0)
     p_run.add_argument("--watermark", default="30 seconds")
     p_run.add_argument("--repartition", type=int, default=None)
+    p_run.add_argument("--max-files-per-trigger", type=int, default=None,
+                       help="micro-batch admission bound (the ZMQ-HWM "
+                            "backpressure analog)")
 
     args = parser.parse_args(argv)
 
@@ -93,6 +103,7 @@ def main(argv=None) -> int:
                 dedup_ttl=args.dedup_ttl,
                 watermark=args.watermark,
                 repartition=args.repartition,
+                max_files_per_trigger=args.max_files_per_trigger,
             )
             print(f"stream drained -> {args.sink} (resume via {args.checkpoint})")
     finally:

@@ -232,6 +232,49 @@ def stratified_sample(
     return df.filter(u < expr)
 
 
+def pack_chunks(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    key: str = "doc_id",
+    order_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget chunk assignment — the concat-and-chunk packing a
+    pretraining pipeline applies before batching: rows are laid out in
+    ``order_col`` order within ``key`` (or globally ordered by ``key``
+    when no order column is given, i.e. one global packing stream per
+    partition key) and cut every ``budget_tokens`` whitespace tokens.
+
+    ``chunk_id = floor(cum_tokens_before / budget)`` — one window
+    cumsum, single shuffle on the key, no Python.  Output:
+    (key, [order], n_tokens, chunk_id, chunk_off) where ``chunk_off``
+    is the row's token offset inside its chunk.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    order = [order_col] if order_col else [key]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", n_tok).withColumn(
+        "_cum_after", F.sum("n_tokens").over(w)
+    )
+    before = F.col("_cum_after") - F.col("n_tokens")
+    return (
+        out.withColumn("chunk_id", F.floor(before / budget_tokens).cast("long"))
+        .withColumn(
+            "chunk_off", (before - F.col("chunk_id") * budget_tokens).cast("long")
+        )
+        .drop("_cum_after")
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

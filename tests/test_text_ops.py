@@ -164,3 +164,21 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert stratified_sample(docs, {"en": 1.0}).filter("lang = 'de'").count() == 0
     # rate 1.0 keeps every row of the stratum
     assert stratified_sample(docs, {"en": 1.0}).filter("lang = 'en'").count() == 2000
+
+
+def test_pack_chunks_budget_semantics(spark):
+    from napalm_logs_spark.operators.text import pack_chunks
+
+    rows = [(i, "w " * 100, "en") for i in range(10)]  # 100 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.chunk_id, r.chunk_off, r.n_tokens) for r in
+           pack_chunks(docs, budget_tokens=256, key="lang", order_col="doc_id").collect()}
+    # cum-before: 0,100,200,...,900 -> chunk floor(cum/256)
+    assert got[0] == (0, 0, 100)
+    assert got[2] == (0, 200, 100)       # 200 < 256 -> chunk 0, offset 200
+    assert got[3] == (1, 300 - 256, 100) # 300 // 256 = 1
+    assert got[9] == (3, 900 - 3 * 256, 100)
+    # empty text contributes zero tokens
+    docs2 = spark.createDataFrame([(0, "   ", "en")], "doc_id long, text string, lang string")
+    r0 = pack_chunks(docs2, key="lang", order_col="doc_id").collect()[0]
+    assert (r0.n_tokens, r0.chunk_id) == (0, 0)
