@@ -520,6 +520,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_winnow_pairs"] = t_winnow_pairs
 
+    def t_clean(spark, sf):
+        from napalm_logs_spark.operators.text import clean_text
+
+        return clean_text(_t(spark, sf, "documents")).select(
+            "doc_id",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("n_emails").cast("long").alias("n_emails"),
+            "clean_text",
+            F.col("clean_len").cast("long").alias("clean_len"),
+        )
+    q["t_clean"] = t_clean
+
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
 
@@ -1286,6 +1298,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN '04000'
                         WHEN 'es' THEN '02000'
                         ELSE '0c000' END
+    """
+
+    o["t_clean"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, 'https?://\S+')) AS n_urls,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(n_emails AS BIGINT) AS n_emails, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS clean_len
+        FROM c
     """
 
     o["t_pack_chunks"] = r"""

@@ -200,6 +200,39 @@ def winnow_pairs(
     )
 
 
+#: C4-style scrub patterns — kept to syntax valid AND equivalent in
+#: both Java regex (Spark) and the oracle engine's dialect
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data scrubbing: count and strip URLs / e-mail addresses
+    (the C4-style cleaning pass), entirely JVM-side.
+
+    Adds ``n_urls``, ``n_emails``, ``clean_text`` (both pattern classes
+    replaced by a single space, whitespace re-normalized) and
+    ``clean_len``.  Deterministic, order-free, no shuffle.
+    """
+    n_urls = F.size(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0)))
+    n_emails = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0)))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), URL_RE, " "),
+                EMAIL_RE, " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    return (
+        df.withColumn("n_urls", n_urls)
+        .withColumn("n_emails", n_emails)
+        .withColumn("clean_text", cleaned)
+        .withColumn("clean_len", F.length(cleaned))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict,

@@ -182,3 +182,21 @@ def test_pack_chunks_budget_semantics(spark):
     docs2 = spark.createDataFrame([(0, "   ", "en")], "doc_id long, text string, lang string")
     r0 = pack_chunks(docs2, key="lang", order_col="doc_id").collect()[0]
     assert (r0.n_tokens, r0.chunk_id) == (0, 0)
+
+
+def test_clean_text_scrubs_urls_and_emails(spark):
+    from napalm_logs_spark.operators.text import clean_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "visit https://example.com/x?q=1 or mail bob@corp.example.org now"),
+            (1, "no noise here"),
+            (2, "http://a.b c@d.ee https://e.f/g"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert (got[0].n_urls, got[0].n_emails) == (1, 1)
+    assert got[0].clean_text == "visit or mail now"
+    assert (got[1].n_urls, got[1].n_emails, got[1].clean_text) == (0, 0, "no noise here")
+    assert (got[2].n_urls, got[2].n_emails) == (2, 1)
