@@ -354,7 +354,11 @@ def main() -> None:
     # scaling loss (or gain).
     n_lo = max(CPUS // 4, 1)
     lo_runs, hi_runs = [], []
-    for _ in range(2):
+    # 3 pairs: the VM's hypervisor throttling comes in multi-minute
+    # waves — with 2 pairs a single bad wave can hide the engine's real
+    # scaling (observed: ceiling probe itself at 0.78 in a bad window
+    # vs 0.87 in a quiet one); the third pair costs ~90 s
+    for _ in range(3):
         lo_runs.append(scaling_run(pdf, n_lo))
         hi_runs.append(scaling_run(pdf, CPUS))
     # pairwise: each (lo_i, hi_i) pair ran back-to-back under the same
