@@ -53,9 +53,12 @@ def main(argv=None) -> int:
     p_run = sub.add_parser("run", help="streaming pipeline")
     p_run.add_argument("--source", required=True)
     p_run.add_argument("--sink", action="append", required=True,
-                       help="sink dir (repeatable for fan-out); the "
-                            "special value 'console' prints each batch "
-                            "(reference transport/cli.py debug sink)")
+                       help="sink dir (repeatable for fan-out); "
+                            "'console' prints each batch (reference "
+                            "transport/cli.py debug sink); "
+                            "'kafka://HOST:PORT/TOPIC' publishes "
+                            "envelopes to a Kafka topic (reference "
+                            "transport/kafka.py)")
     p_run.add_argument("--checkpoint", required=True)
     p_run.add_argument("--metrics", default=None, help="metrics JSONL path")
     p_run.add_argument("--no-dedup", action="store_true")
@@ -85,12 +88,20 @@ def main(argv=None) -> int:
             from .streaming.pipeline import run_stream_once
             from .streaming.sink import SinkSpec
 
-            sinks = [
-                SinkSpec(console=True, send_raw=True, send_unknown=True)
-                if p == "console"
-                else SinkSpec(path=p, send_raw=True, send_unknown=True)
-                for p in args.sink
-            ]
+            def _spec(p: str) -> SinkSpec:
+                if p == "console":
+                    return SinkSpec(console=True, send_raw=True, send_unknown=True)
+                if p.startswith("kafka://"):
+                    rest = p[len("kafka://"):]
+                    bootstrap, _, topic = rest.partition("/")
+                    return SinkSpec(
+                        kafka_bootstrap=bootstrap,
+                        kafka_topic=topic or "napalm-logs",
+                        send_raw=True, send_unknown=True,
+                    )
+                return SinkSpec(path=p, send_raw=True, send_unknown=True)
+
+            sinks = [_spec(p) for p in args.sink]
             run_stream_once(
                 spark,
                 args.source,

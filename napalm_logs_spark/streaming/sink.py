@@ -36,6 +36,13 @@ class SinkSpec:
     parquet writer — the reference's CLI/log transports
     (transport/cli.py:14-24, transport/log.py:18-42): each micro-batch
     prints up to ``console_rows`` envelopes (ordered) to stdout.
+
+    ``kafka_bootstrap`` makes it a Kafka publisher (reference
+    transport/kafka.py:26-58): each micro-batch's filtered envelopes go
+    to ``kafka_topic`` as canonical-JSON records keyed by conv_id.
+    Batch writes to Kafka are at-least-once under foreachBatch retries
+    (no idempotent overwrite on a log) — consumers dedupe on
+    (conv_id, turn_idx, _batch_id) if they need exactly-once.
     """
 
     path: str = ""
@@ -46,12 +53,17 @@ class SinkSpec:
     strip_message_details: bool = False
     console: bool = False
     console_rows: int = 20
+    kafka_bootstrap: str = ""
+    kafka_topic: str = "napalm-logs"
 
     def __post_init__(self):
         # a parquet sink without a path would silently write
         # "_batch_id=N" into the driver's CWD
-        if not self.console and not self.path:
-            raise ValueError("SinkSpec requires a path unless console=True")
+        if not self.console and not self.kafka_bootstrap and not self.path:
+            raise ValueError(
+                "SinkSpec requires a path unless console=True or "
+                "kafka_bootstrap is set"
+            )
 
 
 def _apply_sink_filters(df: DataFrame, sink: SinkSpec) -> DataFrame:
@@ -89,6 +101,23 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
                 if sink.console:
                     print(f"-- batch {int(batch_id)} --")
                     out.orderBy(*order_cols).show(sink.console_rows, truncate=False)
+                    continue
+                if sink.kafka_bootstrap:
+                    from ..sources.kafka import kafka_available
+                    from .kafka_sink import envelope_to_kafka_records
+
+                    if not kafka_available(out.sparkSession):
+                        raise RuntimeError(
+                            "Kafka sink configured but the connector is not "
+                            "on the classpath; launch with --packages "
+                            "org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>"
+                        )
+                    (
+                        envelope_to_kafka_records(out, sink.kafka_topic)
+                        .write.format("kafka")
+                        .option("kafka.bootstrap.servers", sink.kafka_bootstrap)
+                        .save()
+                    )
                     continue
                 target = os.path.join(sink.path, f"_batch_id={int(batch_id)}")
                 out.write.mode("overwrite").parquet(target)

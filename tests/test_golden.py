@@ -135,3 +135,23 @@ def test_raw_fallback(registry):
     details = json.loads(row["message_details"])
     assert details["host"] == "vmx01"
     assert details["facility"] == 3 and details["severity"] == 4
+
+
+def test_every_profile_has_a_fixture_and_vice_versa(registry):
+    """Bidirectional completeness, reference test_config.py:85-131: every
+    message profile has >= 1 golden case, and every golden case dir maps
+    to a profile error of its OS."""
+    import os as _os
+
+    from napalm_logs_spark.sources.transcripts import DEFAULT_GOLDEN_DIR
+
+    problems = []
+    for os_name, osp in registry.oses.items():
+        os_dir = _os.path.join(DEFAULT_GOLDEN_DIR, os_name)
+        dirs = set(_os.listdir(os_dir)) if _os.path.isdir(os_dir) else set()
+        errors = {mp.error for mp in osp.messages}
+        for missing in sorted(errors - dirs):
+            problems.append(f"{os_name}/{missing}: profile without fixture")
+        for extra in sorted(dirs - errors):
+            problems.append(f"{os_name}/{extra}: fixture without profile")
+    assert not problems, problems

@@ -96,3 +96,22 @@ def test_console_sink_respects_error_filters(spark):
         sink(env, 0)
     out = buf.getvalue()
     assert "INTERFACE_DOWN" in out and "RAW" not in out
+
+
+def test_fanout_kafka_sinkspec_degrades(spark):
+    """A kafka SinkSpec inside the fan-out raises an actionable error
+    when the connector is absent — never a silent drop."""
+    if kafka_available(spark):  # pragma: no cover
+        pytest.skip("connector present")
+    sink = exactly_once_parquet_sink(
+        [SinkSpec(kafka_bootstrap="localhost:9092", send_raw=True)]
+    )
+    with pytest.raises(RuntimeError, match="--packages"):
+        sink(_env_df(spark), 0)
+
+
+def test_sinkspec_requires_path_unless_console_or_kafka():
+    with pytest.raises(ValueError):
+        SinkSpec(send_raw=True)
+    SinkSpec(console=True)
+    SinkSpec(kafka_bootstrap="h:9092")

@@ -251,3 +251,57 @@ def test_alarm_families_in_streaming_fsm(spark, tmp_path):
         ("system_alarm", "supply", 0, 1, "closed"),
         ("system_alarm", "supply", 1, None, "open"),
     ]
+
+
+def test_entity_fsm_state_survives_checkpoint_restart(spark, tmp_path):
+    """The FSM's last-state survives a full query restart: run 1 sees
+    the alarm SET; run 2 (same checkpoint, new data) must emit ONLY the
+    cleared transition — i.e. it remembered state 1 across restarts."""
+    import pandas as pd
+
+    from napalm_logs_spark.operators.cep import state_events
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+        golden_cases,
+    )
+
+    by_err = {}
+    for c in golden_cases():
+        if c["os"] == "junos" and c["case"] == "default":
+            by_err.setdefault(c["error"], c["text"])
+
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_batch(text, turn, sec):
+        pdf = pd.DataFrame(
+            [{"conv_id": "c1", "turn_idx": turn, "role": "agent",
+              "text": text, "tool": None,
+              "ts": BASE + datetime.timedelta(seconds=sec)}]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+        q = (
+            entity_state_stream(state_events(normalize(stream)))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    write_batch(by_err["SYSTEM_ALARM"], 0, 0)
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert [(r.state01, r.prev_state, r.status) for r in got1] == [(1, None, "open")]
+
+    write_batch(by_err["SYSTEM_ALARM_CLEARED"], 1, 30)
+    run()
+    got2 = sorted(
+        (r.state01, r.prev_state, r.status) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [(0, 1, "closed"), (1, None, "open")]
