@@ -667,6 +667,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_features"] = mm_features  # oracled: stored hashlib-computed golden
 
+    def mm_frame_plan(spark, sf):
+        # video frame-sampling explode (the JVM-side half of the decode
+        # pipeline): one row per sampled frame offset
+        from napalm_logs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            frame_sample_plan,
+            synth_media_pandas,
+        )
+
+        media = spark.createDataFrame(synth_media_pandas(n=64), schema=MEDIA_SCHEMA)
+        return frame_sample_plan(media, every_ms=200).withColumn(
+            "frame_off_ms", F.col("frame_off_ms").cast("long")
+        )
+    q["mm_frame_plan"] = mm_frame_plan
+
     # ---- the CEP engine itself over golden transcripts ----
     def golden_normalize(spark, sf):
         """Normalize the full golden fixture corpus and compare the
@@ -1412,6 +1427,17 @@ def oracle_sql() -> dict[str, str]:
     o["mm_features"] = f"""
         SELECT media_id, kind, n_bytes, digest
         FROM read_parquet('{gd}/mm_features_golden.parquet')
+    """
+
+    # derived from the synthetic-media SPEC (kinds cycle image/audio/
+    # video so videos are media_id ≡ 2 (mod 3); duration 1000 ms → frame
+    # offsets 0..800 step 200), independent of the Spark implementation
+    o["mm_frame_plan"] = """
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(off AS BIGINT) AS frame_off_ms,
+               'video/mp4' AS mime
+        FROM generate_series(2, 63, 3) AS g(i),
+             generate_series(0, 999, 200) AS f(off)
     """
 
     o["c2_alarm_gauge"] = f"""
