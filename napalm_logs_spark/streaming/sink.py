@@ -94,7 +94,12 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
             .withColumn("_task_partition", F.spark_partition_id())
             .sortWithinPartitions(*order_cols)
         )
-        enriched.persist()
+        # cache only when >1 sink will consume the batch: with a single
+        # sink the DataFrame is scanned exactly once and persist() is
+        # pure overhead (a full extra serialization of every batch)
+        cached = len(sinks) > 1
+        if cached:
+            enriched.persist()
         try:
             for sink in sinks:
                 out = _apply_sink_filters(enriched, sink)
@@ -122,7 +127,8 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
                 target = os.path.join(sink.path, f"_batch_id={int(batch_id)}")
                 out.write.mode("overwrite").parquet(target)
         finally:
-            enriched.unpersist()
+            if cached:
+                enriched.unpersist()
 
     return _write
 
