@@ -332,6 +332,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_percentiles"] = q_percentiles
 
+    def q_sketch_distinct(spark, sf):
+        # HLL++ sketch family: approx_count_distinct next to the exact
+        # count — the exact value is the oracled answer and the sketch is
+        # gated by a deterministic within-5% flag (HLL++ is a
+        # deterministic hash sketch, so the flag is reproducible).  At
+        # 100 TB the sketch replaces the exact count's full shuffle of
+        # distinct keys with fixed-size mergeable state per group.
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            )
+            .select(
+                "event_type",
+                "exact_users",
+                (
+                    F.abs(F.col("_approx") - F.col("exact_users"))
+                    <= 0.05 * F.col("exact_users")
+                ).alias("approx_within_5pct"),
+            )
+        )
+    q["q_sketch_distinct"] = q_sketch_distinct
+
     def q_set_ops(spark, sf):
         ev = _t(spark, sf, "events")
         clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
@@ -547,6 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tf_idf_top_terms(_t(spark, sf, "documents"), k=3)
     q["t_tfidf"] = t_tfidf
 
+    def t_repetition(spark, sf):
+        from napalm_logs_spark.operators.text import repetition_scores
+
+        return repetition_scores(_t(spark, sf, "documents"))
+    q["t_repetition"] = t_repetition
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -596,6 +627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
         return dedup_keep_list(docs, pairs)
     q["d_dedup_keep"] = d_dedup_keep  # oracled: anti-join vs recursive closure
+
+    def d_decontaminate(spark, sf):
+        from napalm_logs_spark.operators.docdedup import benchmark_contamination
+
+        docs = _t(spark, sf, "documents")
+        return benchmark_contamination(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            n=5,
+            min_overlap=1,
+        )
+    q["d_decontaminate"] = d_decontaminate
 
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
@@ -1268,6 +1311,57 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
         )
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+    o["q_sketch_distinct"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
+    """
+
+    o["d_decontaminate"] = r"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+4], ' ')) > 0
+        ), bench AS (
+          SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+        )
+        SELECT s.doc_id, count(*) AS n_overlap
+        FROM sh s JOIN bench b USING (shingle)
+        WHERE s.source <> 'src0'
+        GROUP BY s.doc_id
+        HAVING count(*) >= 1
+    """
+
+    o["t_repetition"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS gi(i)
+        ), cnt AS (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        ), bga AS (
+          SELECT doc_id, sum(c) AS total_bg, max(c) AS top_c,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+          FROM cnt GROUP BY 1
+        ), ta AS (
+          SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_distinct
+          FROM toks
+        )
+        SELECT ta.doc_id,
+               round(1 - n_distinct / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS dup_token_frac,
+               round(top_c / CAST(greatest(total_bg, 1) AS DOUBLE), 6) AS top_2gram_frac,
+               round(dup_c / CAST(greatest(total_bg, 1) AS DOUBLE), 6) AS dup_2gram_frac
+        FROM ta JOIN bga USING (doc_id)
     """
 
     o["d_dedup_keep"] = r"""

@@ -562,3 +562,36 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_overlap: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ ``min_overlap``
+    distinct word ``n``-grams with a held-out benchmark corpus.
+
+    The standard pretraining-hygiene pass (GPT-3 App. C / PaLM-style
+    13-gram overlap): any training document that contains a benchmark
+    n-gram is flagged so it can be dropped before training.
+
+    Scale shape: the benchmark corpus is tiny next to 100 TB of training
+    text, so its distinct shingle set is **broadcast** — the training
+    side stays narrow (scan → shingle → broadcast-hash-join → one
+    partial-aggregated groupBy on doc_id).  No shuffle of the corpus,
+    no self-join anywhere.
+
+    Returns ``(doc_id, n_overlap)`` — flagged docs only; feed into
+    :func:`dedup_keep` / an anti-join to drop them.
+    """
+    doc_sh = shingles(docs, n, text_col)
+    bench_sh = shingles(benchmark, n, text_col).select("shingle").distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

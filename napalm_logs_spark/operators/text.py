@@ -345,3 +345,62 @@ def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataF
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    App. A1.1), adapted to word n-grams for single-line documents:
+
+    * ``dup_token_frac``  — 1 − distinct/total tokens;
+    * ``top_2gram_frac``  — occurrences of the most frequent bigram over
+      total bigram occurrences;
+    * ``dup_2gram_frac``  — fraction of bigram occurrences whose bigram
+      occurs more than once.
+
+    Entirely narrow and JVM-side: per-row higher-order functions over
+    the token array, zero shuffles — cost is linear in corpus size (the
+    in-row distinct-bigram count loop is quadratic in *document* length,
+    bounded by the corpus max-doc-len, not by corpus size).
+    """
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), r"\s+"
+    )
+    # generator barriers (see docdedup.shingle_sets): evaluate the token
+    # and bigram arrays once each instead of once per referencing column
+    based = df.select(
+        "doc_id", F.explode(F.array(F.struct(toks.alias("v")))).alias("_t")
+    ).select("doc_id", F.col("_t.v").alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
+    )
+    based = based.select(
+        "doc_id",
+        "toks",
+        F.explode(F.array(F.struct(bigrams.alias("v")))).alias("_b"),
+    ).select("doc_id", "toks", F.col("_b.v").alias("bg"))
+    counts = F.transform(
+        F.array_distinct("bg"),
+        lambda g: F.size(F.filter(F.col("bg"), lambda x: x == g)),
+    )
+    based = based.select(
+        "doc_id",
+        "toks",
+        "bg",
+        F.explode(F.array(F.struct(counts.alias("v")))).alias("_c"),
+    ).select("doc_id", "toks", "bg", F.col("_c.v").alias("bgc"))
+    n_tok = F.greatest(F.size("toks"), F.lit(1))
+    total_bg = F.greatest(F.size("bg"), F.lit(1))
+    dup_occ = F.aggregate(
+        "bgc",
+        F.lit(0),
+        lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+    )
+    return based.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("toks")) / n_tok, 6
+        ).alias("dup_token_frac"),
+        F.round(F.array_max("bgc") / total_bg, 6).alias("top_2gram_frac"),
+        F.round(dup_occ / total_bg, 6).alias("dup_2gram_frac"),
+    )

@@ -174,3 +174,43 @@ def test_dedup_keep_list(spark):
     keep = sorted(r.doc_id for r in dedup_keep_list(docs, pairs).collect())
     # clusters {0,3,5}->0 and {1,2}->1; 4 untouched
     assert keep == [0, 1, 4]
+
+
+def test_benchmark_contamination(spark):
+    from napalm_logs_spark.operators.docdedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "totally unrelated text about spark plans and shuffles"),
+            # contains one benchmark 5-gram ("quick brown fox jumps over")
+            (1, "he said quick brown fox jumps over and left"),
+            # contains several benchmark 5-grams (a full copy)
+            (2, "prefix the quick brown fox jumps over the lazy dog suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_overlap
+        for r in benchmark_contamination(docs, bench, n=5).collect()
+    }
+    assert 0 not in out
+    assert out[1] == 1
+    # doc 2 contains all 5 distinct 5-grams of the 9-token benchmark doc
+    assert out[2] == 5
+
+
+def test_benchmark_contamination_broadcasts_benchmark(spark):
+    from napalm_logs_spark.operators.docdedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = benchmark_contamination(
+        docs, docs.limit(2), n=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

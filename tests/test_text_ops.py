@@ -200,3 +200,38 @@ def test_clean_text_scrubs_urls_and_emails(spark):
     assert got[0].clean_text == "visit or mail now"
     assert (got[1].n_urls, got[1].n_emails, got[1].clean_text) == (0, 0, "no noise here")
     assert (got[2].n_urls, got[2].n_emails) == (2, 1)
+
+
+def test_repetition_scores(spark):
+    from napalm_logs_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # no repetition at all
+            (1, "a b a b a b"),      # heavy bigram repetition
+            (2, "x"),                # single token
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert out[0].dup_token_frac == 0.0
+    assert out[0].dup_2gram_frac == 0.0
+    # doc1: tokens 6, distinct 2 -> 4/6; bigrams [ab,ba,ab,ba,ab]:
+    # top "a b" 3/5; all 5 occurrences are of repeated bigrams
+    assert out[1].dup_token_frac == round(4 / 6, 6)
+    assert out[1].top_2gram_frac == round(3 / 5, 6)
+    assert out[1].dup_2gram_frac == 1.0
+    # single token: one degenerate unigram "bigram", no duplicates
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].top_2gram_frac == 1.0
+    assert out[2].dup_2gram_frac == 0.0
+
+
+def test_repetition_scores_no_shuffle(spark):
+    from napalm_logs_spark.operators.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 3) for i in range(8)], "doc_id long, text string"
+    )
+    plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
