@@ -696,6 +696,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup(_t(spark, sf, "embeddings"), dim=64, threshold=0.5)
     q["s_embedding_near_dup"] = s_embedding_near_dup  # oracled: stored numpy golden
 
+    def s_kmeans(spark, sf):
+        from napalm_logs_spark.operators.similarity import kmeans_clusters
+
+        return kmeans_clusters(
+            _t(spark, sf, "embeddings"), k=10, iters=4, seed=42
+        )
+    q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
+
     # ---- multimodal plumbing ----
     def mm_features(spark, sf):
         from napalm_logs_spark.operators.multimodal import (
@@ -1546,6 +1554,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_embedding_near_dup"] = f"""
         SELECT id_a, id_b, cosine
         FROM read_parquet('{gd}/near_dup_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_kmeans"] = f"""
+        SELECT vec_id, cluster
+        FROM read_parquet('{gd}/kmeans_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

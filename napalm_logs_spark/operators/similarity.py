@@ -396,3 +396,104 @@ def near_dup_dropped_buckets(
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket)
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (topic clustering for corpus curation)
+
+KMEANS_QUANT = float(1 << 20)
+
+
+def _quant_half_away(x: np.ndarray) -> np.ndarray:
+    """Spark's ROUND (HALF_UP, away from zero) on x*KMEANS_QUANT —
+    numpy's np.round is half-to-even, so the golden implementation and
+    the operator must share this exact rule."""
+    s = x * KMEANS_QUANT
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5))
+
+
+def kmeans_init_centroids(
+    sample: np.ndarray, k: int, seed: int
+) -> np.ndarray:
+    """Deterministic init: seeded no-replacement choice from the sample
+    (rows sorted by id upstream), unit-normalized."""
+    rng = np.random.RandomState(seed)
+    idx = np.sort(rng.choice(len(sample), size=min(k, len(sample)), replace=False))
+    cent = sample[idx].astype("float64")
+    n = np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent / np.where(n > 0, n, 1.0)
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 4,
+    seed: int = 42,
+    sample_cap: int = 1024,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Full-corpus distributed Lloyd k-means (spherical: cosine
+    assignment, unit-normalized centroids) → ``(id, cluster)``.
+
+    Unlike the IVF trainer (bounded driver sample), every iteration
+    scans the whole corpus: assignment is the broadcast-centroid Arrow
+    UDF (:func:`ivf_assign` — narrow, one matmul per batch), and the
+    centroid update is a **fixed-point integer aggregation**:
+    components are scaled by 2^20 and rounded half-away-from-zero to
+    longs, then summed with ``posexplode → groupBy(cluster, pos)`` —
+    integer sums are order-independent, so the result is bit-identical
+    under ANY partitioning / AQE re-plan (a float sum would drift with
+    summation order and make cluster boundaries nondeterministic).
+    Per iteration: one narrow pass + one partial-aggregated shuffle of
+    k×dim×partitions rows; the k×dim sum table is collected to the
+    driver (tiny) for the next broadcast.  Empty clusters keep their
+    previous centroid.
+
+    Deterministic end-to-end: init from the ``sample_cap`` smallest ids
+    (seeded choice), float64 centroid math on the driver, argmax ties
+    to the lowest cluster — an independent numpy implementation over
+    the same rows reproduces the assignment exactly (the stored-golden
+    oracle does).
+    """
+    sample_rows = (
+        df.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    sample = np.array([r[1] for r in sample_rows], dtype="float64")
+    cent = kmeans_init_centroids(sample, k, seed)
+    base = df.select(id_col, emb_col)
+    for _ in range(iters):
+        assigned = ivf_assign(base, cent, emb_col=emb_col, out_col="cluster")
+        q = assigned.select(
+            "cluster", F.posexplode(emb_col).alias("pos", "v")
+        ).select(
+            "cluster",
+            "pos",
+            F.round(F.col("v").cast("double") * F.lit(KMEANS_QUANT))
+            .cast("long")
+            .alias("qv"),
+        )
+        sums = (
+            q.groupBy("cluster", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], [np.zeros(cent.shape[1]), 0])
+            acc[r["cluster"]][0][r["pos"]] = r["s"]
+            acc[r["cluster"]][1] = r["n"]
+        for c, (svec, n) in acc.items():
+            if n:
+                m = (svec / KMEANS_QUANT) / n
+                nn = np.linalg.norm(m)
+                if nn > 0:
+                    new[c] = m / nn
+        cent = new
+    return ivf_assign(base, cent, emb_col=emb_col, out_col="cluster").select(
+        F.col(id_col), F.col("cluster").cast("int").alias("cluster")
+    )

@@ -61,11 +61,17 @@ class ProgressRecorder(StreamingQueryListener):
             "observed": dict(p.observedMetrics.get(OBSERVATION_NAME).asDict())
             if p.observedMetrics and OBSERVATION_NAME in p.observedMetrics
             else None,
+            # the reference's discarded-message counter
+            # (base.py:169-197) ≙ rows the watermark dropped as late
+            "watermark": dict(p.eventTime).get("watermark")
+            if p.eventTime
+            else None,
             "state_operators": [
                 {
                     "num_rows_total": s.numRowsTotal,
                     "num_rows_updated": s.numRowsUpdated,
                     "memory_used_bytes": s.memoryUsedBytes,
+                    "num_rows_dropped_by_watermark": s.numRowsDroppedByWatermark,
                 }
                 for s in (p.stateOperators or [])
             ],

@@ -204,3 +204,34 @@ def test_near_dup_bucket_cap_and_observability(spark):
     n_capped, n_uncapped = capped.count(), uncapped.count()
     assert n_uncapped >= 40 * 39 / 2          # the dense clique exists
     assert n_capped < n_uncapped              # cap bounded the work
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Fixed-point centroid sums must make the assignment bit-identical
+    under any partitioning (the float-sum version would drift)."""
+    import numpy as np
+    from napalm_logs_spark.operators.similarity import kmeans_clusters
+
+    rng = np.random.RandomState(7)
+    # blobs separated in DIRECTION (spherical k-means is cosine-based:
+    # constant-shift blobs would be nearly collinear)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=8) * 0.2
+        v[i % 3] += 5.0
+        rows.append((i, v.tolist()))
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1 = dict(
+        (r.vec_id, r.cluster)
+        for r in kmeans_clusters(df1.repartition(1), k=3, iters=3, seed=1).collect()
+    )
+    a13 = dict(
+        (r.vec_id, r.cluster)
+        for r in kmeans_clusters(df1.repartition(13), k=3, iters=3, seed=1).collect()
+    )
+    assert a1 == a13
+    # three planted blobs -> three pure clusters
+    by_label = {}
+    for i, c in a1.items():
+        by_label.setdefault(i % 3, set()).add(c)
+    assert all(len(v) == 1 for v in by_label.values())

@@ -264,6 +264,60 @@ def make_alarm_gauge() -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"state": "int64", "n_events": "int64"})
 
 
+
+
+def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
+                sample_cap: int = 1024) -> pd.DataFrame:
+    """Independent numpy replication of kmeans_clusters' published spec:
+    seeded init from the sample_cap smallest vec_ids, spherical Lloyd
+    with fixed-point (2^20, half-away-from-zero) integer centroid sums,
+    cosine argmax assignment (ties -> lowest cluster)."""
+    QUANT = float(1 << 20)
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+
+        sample = M[:sample_cap]
+        rng = np.random.RandomState(seed)
+        idx = np.sort(rng.choice(len(sample), size=min(k, len(sample)), replace=False))
+        cent = sample[idx].astype("float64")
+        n = np.linalg.norm(cent, axis=1, keepdims=True)
+        cent = cent / np.where(n > 0, n, 1.0)
+
+        def assign(M, cent):
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            sims = (M @ cent.T) / np.where(norms > 0, norms, 1.0)
+            sims[norms[:, 0] == 0] = 0.0
+            return sims.argmax(axis=1)
+
+        sq = M * QUANT
+        Q = np.where(sq >= 0, np.floor(sq + 0.5), np.ceil(sq - 0.5)).astype(np.int64)
+        for _ in range(iters):
+            a = assign(M, cent)
+            new = cent.copy()
+            for c in range(len(cent)):
+                members = Q[a == c]
+                if len(members):
+                    m = (members.sum(axis=0) / QUANT) / len(members)
+                    nn = np.linalg.norm(m)
+                    if nn > 0:
+                        new[c] = m / nn
+            cent = new
+        final = assign(M, cent)
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(pd.DataFrame({
+            "scale_key": scale_key,
+            "vec_id": ids.astype("int64"),
+            "cluster": final.astype("int32"),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -278,6 +332,9 @@ def main() -> None:
     nd = make_near_dup()
     nd.to_parquet(os.path.join(OUT, "near_dup_golden.parquet"), index=False)
     print(f"near_dup: {len(nd)} rows across {nd['scale_rows'].nunique()} sfs")
+    km = make_kmeans()
+    km.to_parquet(os.path.join(OUT, "kmeans_golden.parquet"), index=False)
+    print(f"kmeans: {len(km)} rows across {km['scale_key'].nunique()} sfs")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
