@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--max-files-per-trigger", type=int, default=None,
                        help="micro-batch admission bound (the ZMQ-HWM "
                             "backpressure analog)")
+    p_run.add_argument("--orphan-sink", default=None,
+                       help="also emit request-timeout alerts (agent "
+                            "turns with no tool response within "
+                            "--orphan-horizon) to this dir")
+    p_run.add_argument("--orphan-horizon", type=int, default=60)
 
     args = parser.parse_args(argv)
 
@@ -117,6 +122,19 @@ def main(argv=None) -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
             )
             print(f"stream drained -> {args.sink} (resume via {args.checkpoint})")
+            if args.orphan_sink:
+                from .streaming.pipeline import run_orphan_alerts_once
+
+                run_orphan_alerts_once(
+                    spark,
+                    args.source,
+                    args.orphan_sink,
+                    args.checkpoint + "_orphans",
+                    horizon_seconds=args.orphan_horizon,
+                    watermark=args.watermark,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                )
+                print(f"orphan alerts -> {args.orphan_sink}")
     finally:
         if owns_session:  # don't tear down a caller-provided session
             spark.stop()

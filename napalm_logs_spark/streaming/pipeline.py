@@ -98,3 +98,52 @@ def run_stream_once(
         if recorder is not None:
             spark.streams.removeListener(recorder)
     return query
+
+
+def run_orphan_alerts_once(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    horizon_seconds: int = 60,
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Companion alert query off the same transcript source: agent turns
+    with no tool response within ``horizon_seconds`` (request-timeout
+    alarms) appended to ``sink_dir``.
+
+    Runs the ``transformWithStateInPandas`` timer form when the protobuf
+    wheel is present (minimal state: open requests only), else the
+    stream-stream left-outer interval join form — identical output rows
+    either way.  Separate checkpoint: the alert query's watermark/state
+    lifecycle is independent of the envelope pipeline's.
+    """
+    from ..operators.cep import orphan_agent_turns
+    from .tws import orphan_alert_stream, tws_available
+
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    if tws_available():
+        alerts = orphan_alert_stream(
+            stream, horizon_seconds=horizon_seconds, watermark=watermark
+        )
+    else:
+        alerts = orphan_agent_turns(
+            stream,
+            horizon_seconds=horizon_seconds,
+            streaming=True,
+            watermark=watermark,
+        )
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -59,3 +59,44 @@ def test_cli_normalize_and_run(spark, tmp_path):
 
     assert read_sink(spark, sink).count() >= 30
     assert json.loads(open(metrics).readline())["num_input_rows"] == 30
+
+
+def test_cli_orphan_alerts(spark, tmp_path):
+    import datetime
+
+    from napalm_logs_spark.__main__ import main
+
+    BASE = datetime.datetime(2017, 7, 20, 21, 0, 0)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    rows = [
+        ("c1", 0, "agent", "ask a", None, BASE),
+        ("c1", 1, "tool", "t", "search", BASE + datetime.timedelta(seconds=5)),
+        ("c2", 0, "agent", "ask b", None, BASE),
+    ]
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    orph = str(tmp_path / "orphans")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    cli = [
+        "run", "--source", src, "--sink", sink, "--checkpoint", ckpt,
+        "--no-dedup", "--orphan-sink", orph, "--orphan-horizon", "10",
+        "--watermark", "0 seconds",
+    ]
+    assert main(cli) == 0
+
+    # a far-future agent+tool pair advances BOTH sides' watermarks past
+    # c2's horizon (itself answered in time, so not an orphan); the
+    # second run resumes the alert query from its own checkpoint
+    sentinel = [
+        ("c9", 0, "agent", "s", None, BASE + datetime.timedelta(seconds=2000)),
+        ("c9", 1, "tool", "t", "search", BASE + datetime.timedelta(seconds=2001)),
+    ]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(src)
+    assert main(cli) == 0
+    got = spark.read.parquet(orph).collect()
+    assert [(r.conv_id, r.agent_turn) for r in got] == [("c2", 0)]
