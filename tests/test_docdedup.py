@@ -214,3 +214,41 @@ def test_benchmark_contamination_broadcasts_benchmark(spark):
         docs, docs.limit(2), n=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_benchmark_contamination_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(12)]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25)))
+
+    bench_docs = [(100 + i, doc()) for i in range(5)]
+    train_docs = [(i, doc()) for i in range(40)]
+
+    def grams(text, n=3):
+        toks = text.split()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_set = set().union(*(grams(t) for _, t in bench_docs))
+    expected = {
+        i: len(grams(t) & bench_set)
+        for i, t in train_docs
+        if grams(t) & bench_set
+    }
+
+    from napalm_logs_spark.operators.docdedup import benchmark_contamination
+
+    got = {
+        r.doc_id: r.n_overlap
+        for r in benchmark_contamination(
+            spark.createDataFrame(train_docs, "doc_id long, text string"),
+            spark.createDataFrame(bench_docs, "doc_id long, text string"),
+            n=3,
+        ).collect()
+    }
+    assert got == expected and expected  # non-degenerate scenario

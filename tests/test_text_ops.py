@@ -235,3 +235,44 @@ def test_repetition_scores_no_shuffle(spark):
     )
     plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_scores_vs_python_reference(spark):
+    """Randomized cross-check against an independent pure-python
+    implementation (one Spark job for the whole corpus)."""
+    import random
+
+    rng = random.Random(123)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(60)
+    ]
+
+    def ref(text):
+        toks = text.split()
+        bigrams = (
+            [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            if len(toks) >= 2
+            else [toks[0]]
+        )
+        from collections import Counter
+
+        c = Counter(bigrams)
+        total = max(len(bigrams), 1)
+        dup = sum(v for v in c.values() if v > 1)
+        return (
+            round(1 - len(set(toks)) / max(len(toks), 1), 6),
+            round(max(c.values()) / total, 6),
+            round(dup / total, 6),
+        )
+
+    from napalm_logs_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_token_frac, r.top_2gram_frac, r.dup_2gram_frac)
+        for r in repetition_scores(df).collect()
+    }
+    for i, text in docs:
+        assert got[i] == ref(text), (i, text, got[i], ref(text))
