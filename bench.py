@@ -388,7 +388,12 @@ def main() -> None:
                                       f"local{CPUS}": [round(x) for x in hi_runs]},
             f"turns_per_sec_local{n_lo}": round(thr_lo),
             f"turns_per_sec_local{CPUS}": round(thr_hi),
-            "efficiency_NtoQuadN": round(efficiency, 3),
+            # >1.0 is physically impossible for 4x the cores — it means
+            # the pair's two levels saw different hypervisor weather;
+            # clamp the headline, disclose the raw value (the median
+            # pair is the unbiased statistic)
+            "efficiency_NtoQuadN": min(round(efficiency, 3), 1.0),
+            "efficiency_NtoQuadN_raw": round(efficiency, 3),
             "efficiency_NtoQuadN_median_pair": round(efficiency_median, 3),
             "hardware_cpu_scaling_ceiling": round(ceiling, 3),
             # ceiling-relative values can exceed 1 under VM-weather noise

@@ -58,7 +58,9 @@ def main(argv=None) -> int:
                             "transport/cli.py debug sink); "
                             "'kafka://HOST:PORT/TOPIC' publishes "
                             "envelopes to a Kafka topic (reference "
-                            "transport/kafka.py)")
+                            "transport/kafka.py); 'http(s)://...' "
+                            "POSTs envelopes from the executors "
+                            "(reference transport/http.py)")
     p_run.add_argument("--checkpoint", required=True)
     p_run.add_argument("--metrics", default=None, help="metrics JSONL path")
     p_run.add_argument("--no-dedup", action="store_true")
@@ -104,6 +106,8 @@ def main(argv=None) -> int:
                         kafka_topic=topic or "napalm-logs",
                         send_raw=True, send_unknown=True,
                     )
+                if p.startswith("http://") or p.startswith("https://"):
+                    return SinkSpec(http_url=p, send_raw=True, send_unknown=True)
                 return SinkSpec(path=p, send_raw=True, send_unknown=True)
 
             sinks = [_spec(p) for p in args.sink]

@@ -43,6 +43,11 @@ class SinkSpec:
     Batch writes to Kafka are at-least-once under foreachBatch retries
     (no idempotent overwrite on a log) — consumers dedupe on
     (conv_id, turn_idx, _batch_id) if they need exactly-once.
+
+    ``http_url`` makes it an HTTP publisher (reference
+    transport/http.py:42-176): each partition POSTs its filtered
+    envelopes as JSON-array chunks from the executors (at-least-once,
+    see :mod:`.http_sink`).
     """
 
     path: str = ""
@@ -55,14 +60,21 @@ class SinkSpec:
     console_rows: int = 20
     kafka_bootstrap: str = ""
     kafka_topic: str = "napalm-logs"
+    http_url: str = ""          # K4: POST envelopes from the executors
+    http_batch: int = 200
 
     def __post_init__(self):
         # a parquet sink without a path would silently write
         # "_batch_id=N" into the driver's CWD
-        if not self.console and not self.kafka_bootstrap and not self.path:
+        if (
+            not self.console
+            and not self.kafka_bootstrap
+            and not self.http_url
+            and not self.path
+        ):
             raise ValueError(
-                "SinkSpec requires a path unless console=True or "
-                "kafka_bootstrap is set"
+                "SinkSpec requires a path unless console=True, "
+                "kafka_bootstrap or http_url is set"
             )
 
 
@@ -122,6 +134,15 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
                         .write.format("kafka")
                         .option("kafka.bootstrap.servers", sink.kafka_bootstrap)
                         .save()
+                    )
+                    continue
+                if sink.http_url:
+                    from .http_sink import http_envelope_publish
+
+                    # at-least-once under batch retries (no idempotent
+                    # overwrite on an HTTP endpoint; see http_sink docs)
+                    http_envelope_publish(
+                        out, sink.http_url, batch_size=sink.http_batch
                     )
                     continue
                 target = os.path.join(sink.path, f"_batch_id={int(batch_id)}")
