@@ -572,6 +572,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tf_idf_top_terms(_t(spark, sf, "documents"), k=3)
     q["t_tfidf"] = t_tfidf
 
+    def t_mix_temperature(spark, sf):
+        from napalm_logs_spark.operators.text import temperature_mix
+
+        return temperature_mix(
+            _t(spark, sf, "documents"), temperature=0.7, target_frac=0.5,
+        ).select("doc_id", "lang", "mix_rate")
+    q["t_mix_temperature"] = t_mix_temperature
+
     def t_repetition(spark, sf):
         from napalm_logs_spark.operators.text import repetition_scores
 
@@ -1345,6 +1353,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.source <> 'src0'
         GROUP BY s.doc_id
         HAVING count(*) >= 1
+    """
+
+    o["t_mix_temperature"] = """
+        WITH counts AS (
+          SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.7)) AS z FROM counts
+        ), rates AS (
+          SELECT lang,
+                 round(least(1.0, 0.5 * n_total * pow(n_s, 0.7) / z / n_s), 6) AS mix_rate
+          FROM counts, tot
+        ), thr AS (
+          SELECT lang, mix_rate,
+                 lpad(lower(hex(CAST(round(mix_rate * 65536) AS BIGINT))), 5, '0') AS t
+          FROM rates
+        )
+        SELECT d.doc_id, d.lang, thr.mix_rate
+        FROM documents d JOIN thr USING (lang)
+        WHERE '0' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t
     """
 
     o["t_repetition"] = r"""

@@ -404,3 +404,59 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.array_max("bgc") / total_bg, 6).alias("top_2gram_frac"),
         F.round(dup_occ / total_bg, 6).alias("dup_2gram_frac"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based dataset mixing (the multilingual-pretraining
+    recipe, mC4/XLM-R style): sample stratum *s* with probability
+    ∝ n_s^τ — τ<1 upsamples the tail relative to the head — scaled so
+    the expected total is ``target_frac`` of the corpus.
+
+    Per-stratum keep rate r_s = min(1, target_frac · N · n_s^τ / (Z ·
+    n_s)); membership is the same pure row-local md5 threshold as
+    :func:`stratified_sample` (reproducible at any scale, no RNG state).
+    Rates are derived from the data in one tiny aggregation (|strata|
+    rows, broadcast back) — the corpus itself never shuffles.
+    Rates round to 6dp so the float is engine-portable.
+
+    Output: the kept rows plus their stratum's ``mix_rate``.
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(temperature))).alias("z"),
+    )
+    rates = counts.crossJoin(tot).select(
+        strat_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("n_total")
+                * F.pow(F.col("n_s").cast("double"), F.lit(temperature))
+                / F.col("z")
+                / F.col("n_s"),
+            ),
+            6,
+        ).alias("mix_rate"),
+    )
+    thr = F.lpad(
+        F.lower(
+            F.conv(
+                F.round(F.col("mix_rate") * 65536).cast("long").cast("string"),
+                10,
+                16,
+            )
+        ),
+        5,
+        "0",
+    )
+    joined = df.join(F.broadcast(rates.withColumn("_thr", thr)), strat_col)
+    u = F.concat(F.lit("0"), F.substring(F.md5(F.col(id_col).cast("string")), 1, 4))
+    return joined.filter(u < F.col("_thr")).drop("_thr")

@@ -276,3 +276,22 @@ def test_repetition_scores_vs_python_reference(spark):
     }
     for i, text in docs:
         assert got[i] == ref(text), (i, text, got[i], ref(text))
+
+
+def test_temperature_mix_upsamples_tail(spark):
+    """tau < 1 must keep a LARGER fraction of small strata than of the
+    dominant stratum, and tau=1 must be proportional (uniform rate)."""
+    from napalm_logs_spark.operators.text import temperature_mix
+
+    rows = [(i, "en" if i < 800 else "is") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mix(df, temperature=0.5, target_frac=0.5).collect()
+    rates = {r.lang: r.mix_rate for r in kept}
+    assert rates["is"] > rates["en"]
+    # kept fraction per stratum tracks its rate within hash resolution
+    n_is = sum(1 for r in kept if r.lang == "is")
+    assert abs(n_is / 200 - rates["is"]) < 0.1
+
+    uniform = temperature_mix(df, temperature=1.0, target_frac=0.5).collect()
+    ur = {r.lang: r.mix_rate for r in uniform}
+    assert ur["is"] == ur["en"] == 0.5
