@@ -357,6 +357,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sketch_distinct"] = q_sketch_distinct
 
+    def q_sketch_quantiles(spark, sf):
+        # the quantile-sketch sibling: percentile_approx (Greenwald-
+        # Khanna, mergeable fixed-size state) gated against the exact
+        # percentile — the sketch is deterministic, so the within-
+        # tolerance flag is reproducible; at scale the sketch avoids
+        # materializing per-group sorted values
+        ev = _t(spark, sf, "events")
+        agg = ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("_approx"),
+            F.expr("percentile(value, 0.01)").alias("_lo"),
+            F.expr("percentile(value, 0.99)").alias("_hi"),
+        )
+        return agg.select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("_approx") - F.col("exact_p50"))
+                <= 0.02 * (F.col("_hi") - F.col("_lo")) + 1e-9
+            ).alias("approx_within_2pct_range"),
+        )
+    q["q_sketch_quantiles"] = q_sketch_quantiles
+
     def q_set_ops(spark, sf):
         ev = _t(spark, sf, "events")
         clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
@@ -1333,6 +1356,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                count(DISTINCT user_id) AS exact_users,
                TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
+    """
+
+    o["q_sketch_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS exact_p50,
+               TRUE AS approx_within_2pct_range
         FROM events GROUP BY event_type
     """
 
