@@ -247,6 +247,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c10_orphans"] = c10_orphans
 
+    def c11_window_topk(spark, sf):
+        # per-window heavy hitters: tumbling window counts + rank — the
+        # streaming form is the same agg under a watermark with the
+        # rank applied per closed window in foreachBatch; one shuffle
+        # on (window, type), partial-aggregated map-side
+        ev = _t(spark, sf, "events")
+        win = (F.floor(_epoch(F.col("ts")) / 3600) * 3600).cast("long")
+        counts = ev.groupBy(win.alias("win_start"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("win_start").orderBy(
+            F.col("n").desc(), F.col("event_type")
+        )
+        return (
+            counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 2)
+        )
+    q["c11_window_topk"] = c11_window_topk
+
     def c7_sessions(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -923,6 +942,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+    """
+
+    o["c11_window_topk"] = """
+        WITH counts AS (
+          SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), ranked AS (
+          SELECT win_start, event_type, n,
+                 row_number() OVER (PARTITION BY win_start
+                                    ORDER BY n DESC, event_type) AS rnk
+          FROM counts
+        )
+        SELECT win_start, event_type, n, rnk FROM ranked WHERE rnk <= 2
     """
 
     o["c5_flaps"] = """
