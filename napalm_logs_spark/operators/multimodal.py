@@ -140,3 +140,62 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 200) -> DataFrame:
         )
         .select("media_id", "frame_off_ms", "mime")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "out_width int, out_height int, resized_digest string"
+)
+
+
+def default_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """STUB resize: deterministic surrogate output (digest of payload +
+    target box) standing in for the real pixel work — the Spark-side
+    shape (aspect-fit box math, Arrow batches, output schema) is real.
+    Swap for PIL ``Image.resize`` on a cluster with codecs."""
+    return hashlib.sha256(payload + f"{w}x{h}->{out_w}x{out_h}".encode()).digest()
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 256,
+    resizer=default_resizer,
+) -> DataFrame:
+    """Image resize stage: aspect-preserving fit into ``max_side``.
+
+    The box math (pure integer, deterministic) runs in pandas per Arrow
+    batch; ``resizer`` is the isolated codec step (stub here, PIL on a
+    real image).  One narrow pass — never shuffles; at 100 TB the
+    stage's cost is the codec, and partition count = input splits keeps
+    every executor busy.
+    """
+
+    def _batch(it):
+        for pdf in it:
+            imgs = pdf[pdf["kind"] == "image"]
+            if not len(imgs):
+                continue
+            w = imgs["width"].to_numpy()
+            h = imgs["height"].to_numpy()
+            side = np.maximum(w, h)
+            scale = np.minimum(1.0, max_side / np.maximum(side, 1))
+            out_w = np.maximum(1, np.floor(w * scale + 0.5).astype("int32"))
+            out_h = np.maximum(1, np.floor(h * scale + 0.5).astype("int32"))
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "kind": imgs["kind"],
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_digest": [
+                        resizer(bytes(p), int(a), int(b), int(c), int(d)).hex()
+                        for p, a, b, c, d in zip(
+                            imgs["payload"], w, h, out_w, out_h
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_batch, schema=RESIZE_SCHEMA)

@@ -38,3 +38,30 @@ def test_frame_sample_plan(media):
     vids = media.filter("kind = 'video'").count()
     assert len(frames) == vids * 5  # 1000ms / 200ms
     assert all(r.frame_off_ms % 200 == 0 for r in frames)
+
+
+def test_resize_images_box_math_and_determinism(spark):
+    from napalm_logs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        synth_media_pandas,
+    )
+
+    pdf = synth_media_pandas(n=32, seed=7)
+    df = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, max_side=48).collect()}
+    src = {int(r.media_id): r for _, r in pdf[pdf["kind"] == "image"].iterrows()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        w, h = src[mid]["width"], src[mid]["height"]
+        assert max(r.out_width, r.out_height) <= 48
+        if max(w, h) <= 48:  # never upscale
+            assert (r.out_width, r.out_height) == (w, h)
+        else:  # aspect preserved within rounding
+            assert abs(r.out_width / r.out_height - w / h) < 0.1
+    # stable under repartitioning (pure per-row stage)
+    out2 = {
+        r.media_id: r.resized_digest
+        for r in resize_images(df.repartition(7), max_side=48).collect()
+    }
+    assert out2 == {k: v.resized_digest for k, v in out.items()}
