@@ -141,3 +141,27 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.docs_a")
         spark.sql("DROP TABLE IF EXISTS bkt.docs_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "d_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combined overlap count
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    plan = _plan(spark, "t_mix_temperature")
+    # the tiny per-stratum rate table broadcasts; the corpus scan joins
+    # without shuffling itself
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_distinct_partial_merge(spark):
+    plan = _plan(spark, "q_sketch_distinct")
+    # HLL++ sketch state merges map-side before the single shuffle
+    assert "partial_approx_count_distinct" in plan
+
+
+def test_repetition_no_exchange(spark):
+    plan = _plan(spark, "t_repetition")
+    assert "Exchange" not in plan
