@@ -690,6 +690,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_decontaminate"] = d_decontaminate
 
+    def d_leakage_splits(spark, sf):
+        from napalm_logs_spark.operators.docdedup import (
+            ngram_jaccard_pairs,
+            split_by_cluster,
+        )
+
+        docs = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        return split_by_cluster(docs, pairs)
+    q["d_leakage_splits"] = d_leakage_splits  # oracled: recursive CTE + md5 cut-points
+
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
 
@@ -1383,6 +1394,46 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
         )
         SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """
+
+    # same closure as d_dup_clusters + cumulative md5 cut-points
+    # (0.90 -> 0e666, 0.95 -> 0f333 at 16-bit resolution)
+    o["d_leakage_splits"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), prs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION
+          SELECT doc_b, doc_a FROM prs
+        ), reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+        ), clusters AS (
+          SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               CASE WHEN '0' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < '0e666' THEN 'train'
+                    WHEN '0' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < '0f333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
     """
 
     o["q_sketch_distinct"] = """

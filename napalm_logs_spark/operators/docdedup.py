@@ -595,3 +595,40 @@ def benchmark_contamination(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions=(("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document in the
+    same near-duplicate cluster lands in the same split (a near-copy of
+    a training doc must never leak into eval — the standard data-split
+    hygiene rule).
+
+    The split key is the connected-component id from
+    :func:`duplicate_clusters` (singletons key on their own id), pushed
+    through the engine's deterministic md5-threshold membership (16-bit
+    resolution, same convention as the sampling operators) with
+    cumulative fraction cut-points — reproducible on any engine, no RNG.
+
+    One broadcast-able join of the (small) cluster table against the
+    corpus; the corpus itself never shuffles.
+    """
+    clusters = duplicate_clusters(pairs)
+    joined = df.select(id_col).join(
+        F.broadcast(clusters.withColumnRenamed("doc_id", id_col)), id_col, "left"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    u = F.concat(F.lit("0"), F.substring(F.md5(key), 1, 4))
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thr = format(int(round(cum * 0x10000)), "05x")
+        cond = u < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(fractions[-1][0]))
+    return joined.select(id_col, expr.alias("split"))

@@ -252,3 +252,26 @@ def test_benchmark_contamination_vs_python_reference(spark):
         ).collect()
     }
     assert got == expected and expected  # non-degenerate scenario
+
+
+def test_split_by_cluster_no_leakage(spark):
+    from napalm_logs_spark.operators.docdedup import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: {0,3,5}, {1,2}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 3, 0.9), (3, 5, 0.8), (1, 2, 0.85)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {r.doc_id: r.split for r in split_by_cluster(docs, pairs).collect()}
+    assert len(out) == 200
+    # leakage guard: whole cluster shares one split
+    assert out[0] == out[3] == out[5]
+    assert out[1] == out[2]
+    # fractions roughly honored on singletons (16-bit hash resolution)
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert c["train"] > 150 and 0 < c["val"] + c["test"] < 50
