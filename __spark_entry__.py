@@ -779,6 +779,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_features"] = mm_features  # oracled: stored hashlib-computed golden
 
+    def mm_real_features(spark, sf):
+        # the REAL decode path (uncompressed BMP/WAV/raw-frame codecs,
+        # no external libs): decode the bytes on executors, extract
+        # true pixel/sample statistics; the golden is computed from the
+        # PRE-encoding arrays, so the oracle checks encode→decode→
+        # feature fidelity end-to-end
+        from napalm_logs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            real_media_decoder,
+            synth_real_media_pandas,
+        )
+
+        media = spark.createDataFrame(
+            synth_real_media_pandas(n=24), schema=MEDIA_SCHEMA
+        )
+        out = extract_features(media, decoder=real_media_decoder)
+        return out.select(
+            "media_id",
+            "kind",
+            *[
+                F.round(F.col("features")[i].cast("double"), 4).alias(f"f{i}")
+                for i in range(4)
+            ],
+        )
+    q["mm_real_features"] = mm_real_features  # oracled: pre-encoding-array golden
+
     def mm_frame_plan(spark, sf):
         # video frame-sampling explode (the JVM-side half of the decode
         # pipeline): one row per sampled frame offset
@@ -1670,6 +1697,11 @@ def oracle_sql() -> dict[str, str]:
     o["mm_features"] = f"""
         SELECT media_id, kind, n_bytes, digest
         FROM read_parquet('{gd}/mm_features_golden.parquet')
+    """
+
+    o["mm_real_features"] = f"""
+        SELECT media_id, kind, f0, f1, f2, f3
+        FROM read_parquet('{gd}/mm_real_features_golden.parquet')
     """
 
     # derived from the synthetic-media SPEC (kinds cycle image/audio/

@@ -199,3 +199,160 @@ def resize_images(
             )
 
     return df.mapInPandas(_batch, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for uncompressed formats (pure stdlib + numpy — no PIL/
+# librosa/ffmpeg needed).  This is the genuinely-working half of the
+# decode surface: BMP images, PCM WAV audio, and a trivial raw-frame
+# video container; the `default_decoder` stub above remains only for
+# COMPRESSED codecs (png/jpeg/mp3/mp4), which need external libraries.
+
+import io
+import struct
+import wave
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    row_pad = (-(w * 3)) % 4
+    img_size = (w * 3 + row_pad) * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    # BMP stores rows bottom-up, BGR order
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += pixels[y, :, ::-1].tobytes() + b"\x00" * row_pad
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    row_pad = (-(w * 3)) % 4
+    out = np.empty((abs(h), w, 3), dtype=np.uint8)
+    stride = w * 3 + row_pad
+    for i in range(abs(h)):
+        y = (abs(h) - 1 - i) if h > 0 else i
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + i * stride)
+        out[y] = row.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib `wave`)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """PCM WAV bytes → (int16 samples, rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        data = np.frombuffer(wf.readframes(n), dtype="<i2")
+        return data, wf.getframerate()
+
+
+#: trivial raw-frame video container: magic, n_frames, h, w, then
+#: n_frames × (h×w×3) uint8 RGB frames.  A documented toy format — the
+#: point is exercising the REAL decode→frame-sample→feature pipeline
+#: shape without an ffmpeg dependency.
+NLV_MAGIC = b"NLV1"
+
+
+def encode_nlv(frames: np.ndarray) -> bytes:
+    n, h, w, _ = frames.shape
+    return NLV_MAGIC + struct.pack("<III", n, h, w) + frames.astype(np.uint8).tobytes()
+
+
+def decode_nlv(payload: bytes) -> np.ndarray:
+    if payload[:4] != NLV_MAGIC:
+        raise ValueError("not an NLV payload")
+    n, h, w = struct.unpack_from("<III", payload, 4)
+    return np.frombuffer(payload, dtype=np.uint8, offset=16).reshape(n, h, w, 3)
+
+
+def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
+    """REAL feature extraction for the uncompressed formats above.
+
+    image → [mean R/G/B, pixel std, w, h, 0, 0] ; audio → [RMS,
+    zero-crossing rate, seconds, rate/1e3, 0…] ; video → [n_frames,
+    h, w, mean luma, 0…].  Deterministic, no external codecs.
+    """
+    v = np.zeros(n_features, dtype="float64")
+    if kind == "image":
+        px = decode_bmp(payload).astype("float64")
+        v[:3] = px.reshape(-1, 3).mean(axis=0)
+        v[3] = px.std()
+        v[4], v[5] = px.shape[1], px.shape[0]
+    elif kind == "audio":
+        samples, rate = decode_wav(payload)
+        x = samples.astype("float64")
+        v[0] = np.sqrt((x**2).mean()) if len(x) else 0.0
+        v[1] = (np.diff(np.signbit(x)) != 0).mean() if len(x) > 1 else 0.0
+        v[2] = len(x) / rate
+        v[3] = rate / 1e3
+    elif kind == "video":
+        fr = decode_nlv(payload).astype("float64")
+        v[0] = fr.shape[0]
+        v[1], v[2] = fr.shape[1], fr.shape[2]
+        v[3] = fr.mean()
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+    return np.round(v, 6).astype("float32")
+
+
+def real_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor BMP resize (numpy index sampling) —
+    re-encodes to BMP so the output is a valid image payload."""
+    px = decode_bmp(payload)
+    ys = (np.arange(out_h) * (px.shape[0] / out_h)).astype(int)
+    xs = (np.arange(out_w) * (px.shape[1] / out_w)).astype(int)
+    return encode_bmp(px[ys][:, xs])
+
+
+def synth_real_media_pandas(n: int = 24, seed: int = 42) -> pd.DataFrame:
+    """Deterministic REAL media table: decodable BMP / WAV / NLV
+    payloads (same schema as :func:`synth_media_pandas`)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+            meta = dict(width=w, height=h, duration_ms=None, mime="image/bmp")
+        elif kind == "audio":
+            rate, secs = 8000, 0.05 + (i % 4) * 0.05
+            t = np.arange(int(rate * secs))
+            samples = (3000 * np.sin(2 * np.pi * (100 + i * 10) * t / rate)).astype("int16")
+            payload = encode_wav(samples, rate)
+            meta = dict(width=None, height=None,
+                        duration_ms=int(secs * 1000), mime="audio/wav")
+        else:
+            nf, h, w = 2 + i % 3, 6, 8
+            payload = encode_nlv(rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8))
+            meta = dict(width=w, height=h, duration_ms=nf * 40, mime="video/x-nlv")
+        rows.append({"media_id": i, "kind": kind, "payload": bytearray(payload), **meta})
+    pdf = pd.DataFrame(rows)
+    for col in ("width", "height", "duration_ms"):
+        pdf[col] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in pdf[col]],
+            dtype=object, index=pdf.index,
+        )
+    return pdf[["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]]

@@ -266,6 +266,48 @@ def make_alarm_gauge() -> pd.DataFrame:
 
 
 
+
+
+def make_mm_real_features() -> pd.DataFrame:
+    """Golden for the REAL codec path, computed from the PRE-encoding
+    arrays (no codec involved) — independently replays the synth RNG
+    and applies the published feature formulas + rounding chain."""
+    # replay synth_real_media_pandas(seed=42, the query default)'s RNG
+    # stream in media_id order
+    rng = np.random.RandomState(42)
+    out = []
+    for i in range(24):
+        kind = ["image", "audio", "video"][i % 3]
+        v = np.zeros(8, dtype="float64")
+        if kind == "image":
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype("float64")
+            v[:3] = px.reshape(-1, 3).mean(axis=0)
+            v[3] = px.std()
+            v[4], v[5] = w, h
+        elif kind == "audio":
+            rate, secs = 8000, 0.05 + (i % 4) * 0.05
+            t = np.arange(int(rate * secs))
+            x = (3000 * np.sin(2 * np.pi * (100 + i * 10) * t / rate)).astype("int16").astype("float64")
+            v[0] = np.sqrt((x**2).mean()) if len(x) else 0.0
+            v[1] = (np.diff(np.signbit(x)) != 0).mean() if len(x) > 1 else 0.0
+            v[2] = len(x) / rate
+            v[3] = rate / 1e3
+        else:
+            nf, h, w = 2 + i % 3, 6, 8
+            fr = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8).astype("float64")
+            v[0] = nf
+            v[1], v[2] = h, w
+            v[3] = fr.mean()
+        g = np.round(v, 6).astype("float32").astype("float64")
+        # Spark ROUND(x, 4) is HALF_UP — all stats are non-negative
+        f = np.floor(g * 1e4 + 0.5) / 1e4
+        out.append((i, kind, f[0], f[1], f[2], f[3]))
+    return pd.DataFrame(out, columns=["media_id", "kind", "f0", "f1", "f2", "f3"]).astype(
+        {"media_id": "int64"}
+    )
+
+
 def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
                 sample_cap: int = 1024) -> pd.DataFrame:
     """Independent numpy replication of kmeans_clusters' published spec:
@@ -332,6 +374,9 @@ def main() -> None:
     nd = make_near_dup()
     nd.to_parquet(os.path.join(OUT, "near_dup_golden.parquet"), index=False)
     print(f"near_dup: {len(nd)} rows across {nd['scale_rows'].nunique()} sfs")
+    mr = make_mm_real_features()
+    mr.to_parquet(os.path.join(OUT, "mm_real_features_golden.parquet"), index=False)
+    print(f"mm_real_features: {len(mr)} rows")
     km = make_kmeans()
     km.to_parquet(os.path.join(OUT, "kmeans_golden.parquet"), index=False)
     print(f"kmeans: {len(km)} rows across {km['scale_key'].nunique()} sfs")
