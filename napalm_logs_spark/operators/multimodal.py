@@ -356,3 +356,41 @@ def synth_real_media_pandas(n: int = 24, seed: int = 42) -> pd.DataFrame:
             dtype=object, index=pdf.index,
         )
     return pdf[["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]]
+
+
+FRAME_SCHEMA = "media_id long, frame_off_ms int, frame_idx int, frame_mean double"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 200, fps: float = 25.0) -> DataFrame:
+    """REAL frame sampling for NLV video payloads: decode on the
+    executors, pick the frame at each sampled offset (nearest-earlier
+    at ``fps``), emit per-frame statistics.
+
+    Composition of :func:`frame_sample_plan`'s explode shape with the
+    raw-frame codec — the full decode→sample→featurize pipeline with no
+    external libraries.  Narrow mapInPandas; the payload bytes never
+    shuffle.
+    """
+    frame_ms = 1000.0 / fps
+
+    def _batch(it):
+        for pdf in it:
+            vids = pdf[pdf["kind"] == "video"]
+            out = {"media_id": [], "frame_off_ms": [], "frame_idx": [], "frame_mean": []}
+            for r in vids.itertuples(index=False):
+                frames = decode_nlv(bytes(r.payload))
+                dur = int(r.duration_ms) if r.duration_ms is not None else int(
+                    len(frames) * frame_ms
+                )
+                for off in range(0, max(dur, 1), every_ms):
+                    idx = min(int(off / frame_ms), len(frames) - 1)
+                    out["media_id"].append(r.media_id)
+                    out["frame_off_ms"].append(off)
+                    out["frame_idx"].append(idx)
+                    out["frame_mean"].append(
+                        round(float(frames[idx].astype("float64").mean()), 6)
+                    )
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batch, schema=FRAME_SCHEMA)

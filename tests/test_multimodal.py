@@ -140,3 +140,31 @@ def test_real_resize_produces_valid_bmp(spark):
     src = pdf[pdf["kind"] == "image"].iloc[0]
     resized = real_resizer(bytes(src["payload"]), src["width"], src["height"], 5, 3)
     assert decode_bmp(resized).shape == (3, 5, 3)
+
+
+def test_sample_frames_real_decode(spark):
+    import numpy as np
+
+    from napalm_logs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_nlv,
+        sample_frames,
+        synth_real_media_pandas,
+    )
+
+    pdf = synth_real_media_pandas(n=24, seed=9)
+    df = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+    got = sample_frames(df, every_ms=40, fps=25.0).collect()
+    assert got
+    vids = {int(r["media_id"]): r for _, r in pdf[pdf["kind"] == "video"].iterrows()}
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(vids)
+    for mid, rows in by_media.items():
+        frames = decode_nlv(bytes(vids[mid]["payload"]))
+        # one sample per 40ms over duration_ms = n_frames * 40
+        assert len(rows) == len(frames)
+        for r in rows:
+            assert r.frame_idx == min(r.frame_off_ms // 40, len(frames) - 1)
+            assert r.frame_mean == round(float(frames[r.frame_idx].astype("float64").mean()), 6)
