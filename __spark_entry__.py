@@ -266,6 +266,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c11_window_topk"] = c11_window_topk
 
+    def c12_hysteresis(spark, sf):
+        from napalm_logs_spark.operators.cep import hysteresis_alerts
+
+        ev = _t(spark, sf, "events")
+        return hysteresis_alerts(
+            ev, key="user_id", window_seconds=3600, hi=3, lo=2,
+            predicate=(F.col("event_type") == "error"),
+        )
+    q["c12_hysteresis"] = c12_hysteresis
+
     def c7_sessions(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -980,6 +990,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+    """
+
+    o["c12_hysteresis"] = """
+        WITH counts AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+                 count(*) AS n
+          FROM events WHERE event_type = 'error'
+          GROUP BY 1, 2
+        ), marked AS (
+          SELECT user_id, win_start, n,
+                 CASE WHEN n >= 3 THEN 1 WHEN n < 2 THEN 0 END AS mark
+          FROM counts
+        )
+        SELECT user_id, win_start, n,
+               CAST(coalesce(last_value(mark IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY win_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS INT) AS alert
+        FROM marked
     """
 
     o["c11_window_topk"] = """

@@ -357,3 +357,51 @@ def salted_repartition(
     if num_partitions:
         return df.repartition(num_partitions, F.col(key), salt)
     return df.repartition(F.col(key), salt)
+
+
+def hysteresis_alerts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    hi: int = 3,
+    lo: int = 1,
+    predicate=None,
+) -> DataFrame:
+    """Threshold alerting with hysteresis over tumbling-window rates:
+    the alert latches ON when a window's event count reaches ``hi`` and
+    releases only when a later window drops below ``lo`` — the classic
+    flapping-suppression alarm (raising and clearing at the same
+    threshold re-fires on every boundary wobble; the reference's alerta
+    pairing raises/clears on distinct UP/DOWN messages for the same
+    reason, transport/alerta.py:46-69).
+
+    Relational form: windowed counts (one partial-aggregated shuffle),
+    then a per-key running ``last(mark, ignorenulls)`` ordered by
+    window — windows between the thresholds inherit the latched state.
+    Emits one row per (key, window) with the count and the alert state.
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.filter(predicate) if predicate is not None else events
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / window_seconds)
+           * window_seconds).cast("long")
+    counts = ev.groupBy(F.col(key), win.alias("win_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mark = (
+        F.when(F.col("n") >= hi, F.lit(1))
+        .when(F.col("n") < lo, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    w = Window.partitionBy(key).orderBy("win_start")
+    return (
+        counts.withColumn("_mark", mark)
+        .withColumn(
+            "alert",
+            F.coalesce(
+                F.last("_mark", ignorenulls=True).over(w), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("_mark")
+    )

@@ -381,3 +381,26 @@ def test_orphan_agent_turns_streaming_waits_for_watermark(spark, tmp_path):
          ("c9", 6, "tool", None, "search", base + dt.timedelta(seconds=601))], schema
     ).coalesce(1).write.mode("append").parquet(src)
     assert run("orphans_2") == {0}   # the c1 orphan alert fires exactly now
+
+
+def test_hysteresis_latches_and_releases(spark):
+    import datetime as dt
+
+    from napalm_logs_spark.operators.cep import hysteresis_alerts
+
+    base = dt.datetime(2017, 7, 20, 0, 0, 0)
+    rows = []
+    # windows (1h): w0: 4 events -> latch ON; w1: 2 events (between lo
+    # and hi) -> stays ON; w2: 1 event (< lo) -> releases; w3: 3 -> ON
+    for w, k in enumerate([4, 2, 1, 3]):
+        for j in range(k):
+            rows.append((7, "error", base + dt.timedelta(hours=w, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = sorted(
+        (r.win_start, r.n, r.alert)
+        for r in hysteresis_alerts(df, hi=3, lo=2).collect()
+    )
+    alerts = [a for _, _, a in out]
+    ns = [n for _, n, _ in out]
+    assert ns == [4, 2, 1, 3]
+    assert alerts == [1, 1, 0, 1]
