@@ -65,3 +65,40 @@ def write_batch(
     target = os.path.join(table_or_path, f"_batch_id={int(batch_id)}")
     enriched.write.mode("overwrite").parquet(target)
     return "parquet"
+
+
+def iceberg_transcript_stream(
+    spark: SparkSession,
+    table: str,
+    max_files_per_micro_batch: int | None = None,
+    stream_from_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Streaming read of the transcripts Iceberg table (the north-rule
+    source): incremental snapshot tailing with optional per-micro-batch
+    admission bound (the backpressure knob on this source — Iceberg's
+    ``streaming-max-files-per-micro-batch``) and optional start point
+    (``stream-from-timestamp``).
+
+    Degrades exactly like the Kafka source when the runtime jar is
+    absent: raises with the spark-submit recipe instead of failing
+    deep inside query planning.  For jar-less environments the parquet
+    directory source in :mod:`.pipeline` is the drop-in stand-in
+    (identical downstream pipeline).
+    """
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; launch with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+            "and a configured SparkCatalog, or point the pipeline at a "
+            "parquet directory source instead"
+        )
+    reader = spark.readStream.format("iceberg")
+    if max_files_per_micro_batch:
+        reader = reader.option(
+            "streaming-max-files-per-micro-batch", str(max_files_per_micro_batch)
+        )
+    if stream_from_timestamp_ms is not None:
+        reader = reader.option(
+            "stream-from-timestamp", str(stream_from_timestamp_ms)
+        )
+    return reader.load(table)

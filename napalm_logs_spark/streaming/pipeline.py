@@ -32,12 +32,25 @@ def build_stream(
     dedup_ttl: float = 5.0,
     repartition: int | None = None,
 ):
-    """Transcript parquet dir → normalized (and optionally deduped)
-    streaming DataFrame."""
-    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    """Transcript source → normalized (and optionally deduped)
+    streaming DataFrame.
+
+    ``source_dir`` is a parquet directory, or ``iceberg:<table>`` to
+    tail the transcripts Iceberg table (north-rule source; requires the
+    runtime jar — see :mod:`.iceberg`)."""
+    if source_dir.startswith("iceberg:"):
+        from .iceberg import iceberg_transcript_stream
+
+        stream = iceberg_transcript_stream(
+            spark,
+            source_dir[len("iceberg:"):],
+            max_files_per_micro_batch=max_files_per_trigger,
+        )
+    else:
+        reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(source_dir)
     if repartition:
         # parallelism of a file-stream micro-batch = its input splits; a
         # micro-batch from few/large files would otherwise starve the

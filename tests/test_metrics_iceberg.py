@@ -43,3 +43,25 @@ def test_iceberg_degrades_to_parquet(spark, tmp_path):
     assert spark.read.option("basePath", str(tmp_path / "lake")).parquet(
         str(tmp_path / "lake") + "/_batch_id=*"
     ).count() == 10
+
+
+def test_iceberg_source_degrades_without_jar(spark):
+    import pytest
+
+    from napalm_logs_spark.streaming.iceberg import (
+        iceberg_available,
+        iceberg_transcript_stream,
+    )
+
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="--packages"):
+        iceberg_transcript_stream(spark, "lake.transcripts")
+
+
+def test_pipeline_routes_iceberg_source(spark):
+    import pytest
+
+    from napalm_logs_spark.streaming.pipeline import build_stream
+
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        build_stream(spark, "iceberg:lake.transcripts")
