@@ -409,6 +409,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sketch_quantiles"] = q_sketch_quantiles
 
+    def q_zorder_key(spark, sf):
+        # Z-order (Morton) layout key: scan locality for BOTH user_id
+        # and value range predicates at once (bucketed.write_zordered
+        # sorts files by it — parquet min/max stats then prune either
+        # dimension).  Pure JVM bit interleave, oracled bit-for-bit.
+        from napalm_logs_spark.sources.bucketed import (
+            minmax_scaled_int,
+            zorder_key,
+        )
+
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            zorder_key(
+                [
+                    minmax_scaled_int(F.col("user_id"), 0, 1000, 8),
+                    minmax_scaled_int(F.col("value"), 0, 100, 8),
+                ],
+                bits=8,
+            ).alias("zkey"),
+        )
+    q["q_zorder_key"] = q_zorder_key
+
     def q_set_ops(spark, sf):
         ev = _t(spark, sf, "events")
         clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
@@ -1490,6 +1513,27 @@ def oracle_sql() -> dict[str, str]:
                     WHEN '0' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < '0f333' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """
+
+    def _duck_scaled(col, lo, hi, bits):
+        span = float(hi) - float(lo)
+        return (
+            f"least(CAST(floor(least(greatest((CAST({col} AS DOUBLE) - {float(lo)}) "
+            f"/ {span}, 0.0), 1.0) * {float(1 << bits)}) AS BIGINT), {(1 << bits) - 1})"
+        )
+
+    _zu = _duck_scaled("user_id", 0, 1000, 8)
+    _zv = _duck_scaled("value", 0, 100, 8)
+    _zterms = " | ".join(
+        f"((({src} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(8)
+        for i, src in ((0, "su"), (1, "sv"))
+    )
+    o["q_zorder_key"] = f"""
+        WITH scaled AS (
+          SELECT event_id, {_zu} AS su, {_zv} AS sv FROM events
+        )
+        SELECT event_id, CAST({_zterms} AS BIGINT) AS zkey FROM scaled
     """
 
     o["q_sketch_distinct"] = """

@@ -165,3 +165,50 @@ def test_sketch_distinct_partial_merge(spark):
 def test_repetition_no_exchange(spark):
     plan = _plan(spark, "t_repetition")
     assert "Exchange" not in plan
+
+
+def test_zordered_files_have_disjoint_key_ranges(spark, tmp_path):
+    """write_zordered must produce files whose zkey ranges don't
+    overlap — the property parquet min/max pruning relies on."""
+    import pyspark.sql.functions as F
+
+    from napalm_logs_spark.sources.bucketed import (
+        minmax_scaled_int,
+        write_zordered,
+        zorder_key,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        zorder_key(
+            [
+                minmax_scaled_int(F.col("user_id"), 0, 1000, 8),
+                minmax_scaled_int(F.col("value"), 0, 100, 8),
+            ],
+            bits=8,
+        ).alias("_zkey"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, n_files=8)
+    back = spark.read.parquet(out)
+    ranges = sorted(
+        (r["mn"], r["mx"])
+        for r in back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("_zkey").alias("mn"), F.max("_zkey").alias("mx"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    for (m0, x0), (m1, x1) in zip(ranges, ranges[1:]):
+        assert x0 <= m1  # disjoint (file boundaries may touch)
+    # and both dimensions benefit: a value-range slice touches a strict
+    # subset of files (Z-locality), not all of them
+    hits = (
+        back.filter((F.col("value") >= 0) & (F.col("value") <= 10))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hits < len(ranges)
