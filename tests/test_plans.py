@@ -212,3 +212,27 @@ def test_zordered_files_have_disjoint_key_ranges(spark, tmp_path):
         .count()
     )
     assert hits < len(ranges)
+
+
+def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The time-partitioned lakehouse layout (events partitioned by
+    day) must show PartitionFilters at the scan — a date slice reads
+    only its partitions, the 100 TB time-range access path."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    one_day = back.select(F.min("day")).first()[0]
+    q = back.filter(F.col("day") == F.lit(one_day)).select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # and the scan actually reads a strict subset of partition files
+    n_days = back.select("day").distinct().count()
+    assert n_days > 1
+    touched = q.select(F.input_file_name()).distinct().count()
+    total = back.select(F.input_file_name()).distinct().count()
+    assert touched < total
