@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                             "turns with no tool response within "
                             "--orphan-horizon) to this dir")
     p_run.add_argument("--orphan-horizon", type=int, default=60)
+    p_run.add_argument("--source-format", default="parquet",
+                       choices=("parquet", "json"),
+                       help="file-source format (json = JSON-lines "
+                            "transcripts, PERMISSIVE)")
 
     args = parser.parse_args(argv)
 
@@ -124,6 +128,7 @@ def main(argv=None) -> int:
                 watermark=args.watermark,
                 repartition=args.repartition,
                 max_files_per_trigger=args.max_files_per_trigger,
+                source_format=args.source_format,
             )
             print(f"stream drained -> {args.sink} (resume via {args.checkpoint})")
             if args.orphan_sink:

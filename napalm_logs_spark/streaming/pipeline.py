@@ -31,13 +31,18 @@ def build_stream(
     dedup: bool = True,
     dedup_ttl: float = 5.0,
     repartition: int | None = None,
+    source_format: str = "parquet",
 ):
     """Transcript source → normalized (and optionally deduped)
     streaming DataFrame.
 
-    ``source_dir`` is a parquet directory, or ``iceberg:<table>`` to
-    tail the transcripts Iceberg table (north-rule source; requires the
-    runtime jar — see :mod:`.iceberg`)."""
+    ``source_dir`` is a parquet (or, with ``source_format="json"``,
+    JSON-lines) directory, or ``iceberg:<table>`` to tail the
+    transcripts Iceberg table (north-rule source; requires the runtime
+    jar — see :mod:`.iceberg`).  JSON ingest is PERMISSIVE: a corrupt
+    line becomes a null-text row, which the engine's own fallback
+    semantics already classify (the reference's raw/unknown path for
+    unparseable input, server.py:183)."""
     if source_dir.startswith("iceberg:"):
         from .iceberg import iceberg_transcript_stream
 
@@ -50,7 +55,10 @@ def build_stream(
         reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        stream = reader.parquet(source_dir)
+        if source_format == "json":
+            stream = reader.option("mode", "PERMISSIVE").json(source_dir)
+        else:
+            stream = reader.parquet(source_dir)
     if repartition:
         # parallelism of a file-stream micro-batch = its input splits; a
         # micro-batch from few/large files would otherwise starve the

@@ -85,3 +85,41 @@ def test_streaming_cep_composite(spark, flap_transcripts, tmp_path):
         flap_transcripts, registry, include_raw=False, include_unknown=False
     )))
     assert got.count() == batch.count()
+
+
+def test_jsonl_source_end_to_end(spark, tmp_path):
+    """JSON-lines transcripts (incl. one corrupt line) flow through the
+    same pipeline; the corrupt row surfaces via the engine's own
+    fallback classification rather than failing the stream."""
+    import json as _json
+
+    from napalm_logs_spark.streaming.pipeline import run_stream_once
+    from napalm_logs_spark.streaming.sink import SinkSpec, read_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "agent",
+         "text": "<28>Jul 20 21:45:59 vmx01 mib2d[2424]: SNMP_TRAP_LINK_DOWN: "
+                 "ifIndex 502, ifAdminStatus down(2), ifOperStatus down(2), "
+                 "ifName xe-0/0/0",
+         "tool": None, "ts": "2017-07-20T21:45:59.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "user",
+         "text": "hello world", "tool": None,
+         "ts": "2017-07-20T21:46:00.000Z"},
+    ]
+    with open(src / "part-0.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+        fh.write('{"conv_id": broken\n')  # corrupt line
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream_once(
+        spark, str(src), [out], ckpt,
+        sinks=[SinkSpec(path=out, send_raw=True, send_unknown=True)],
+        dedup=False, source_format="json",
+    )
+    back = read_sink(spark, out)
+    errors = {r.error for r in back.select("error").collect()}
+    assert "INTERFACE_DOWN" in errors       # real envelope from JSON ingest
+    assert back.count() >= 2                # corrupt row didn't kill the run
