@@ -251,14 +251,16 @@ def _streaming_level_main(cores: int, n_rows: int) -> None:
     print(_streaming_run_local(path, n_rows, cores))
 
 
-def streaming_run(pdf, cores: int) -> float:
+def streaming_run(pdf, cores: int, pin: bool = False, n_rows: int | None = None) -> float:
     import subprocess
 
-    res = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--streaming-level",
-         str(cores), str(len(pdf))],
-        capture_output=True, text=True, timeout=900,
-    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--streaming-level",
+           str(cores), str(n_rows or len(pdf))]
+    if pin and os.path.exists("/usr/bin/taskset"):
+        # pinned: local[N] caps task SLOTS only — affinity makes it a
+        # true N-CPU machine (same rationale as scaling_run)
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     line = res.stdout.strip().splitlines()[-1]
     return float(line)
 
@@ -374,6 +376,19 @@ def main() -> None:
     pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
     stream_thr = streaming_run(pdf, CPUS)
+    # full-streaming-path N→4N pair (pinned, 4× rows so per-run fixed
+    # costs amortize).  Caveat measured and disclosed: taskset can
+    # partition the CPUs but NOT the box's single disk — the sink
+    # parquet writes and state-store checkpoints land on one shared
+    # NVMe at both levels, so this pair is disk-bounded above ~0.5-0.6
+    # on one machine (on a real cluster each executor brings its own
+    # disks and this bound does not exist).  The CPU-bound normalize
+    # pair above is the valid cluster-scaling proxy; this pair proves
+    # the absolute end-to-end rate at both widths.
+    big_rows = max(len(pdf), 4 * n_rows)
+    stream_lo = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
+    stream_hi = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
+    stream_eff = stream_hi / (4 * stream_lo)
 
     out = {
         "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
@@ -402,6 +417,15 @@ def main() -> None:
             "efficiency_vs_hardware_ceiling": min(round(efficiency / ceiling, 3), 1.0),
             "efficiency_vs_hardware_ceiling_raw": round(efficiency / ceiling, 3),
             f"streaming_e2e_turns_per_sec_local{CPUS}": round(stream_thr),
+            f"streaming_e2e_pinned_local{n_lo}": round(stream_lo),
+            f"streaming_e2e_pinned_local{CPUS}": round(stream_hi),
+            "streaming_e2e_efficiency_NtoQuadN": min(round(stream_eff, 3), 1.0),
+            "streaming_e2e_efficiency_NtoQuadN_raw": round(stream_eff, 3),
+            "streaming_e2e_pair_rows": big_rows,
+            "streaming_e2e_pair_note": "disk-bounded on one box: taskset "
+                "partitions CPUs but sink+state I/O share one NVMe at "
+                "both levels; the CPU-bound normalize pair is the "
+                "cluster-scaling proxy",
             f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
             f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),
             "pandas_stage_only_efficiency": round(pool_eff, 3),
