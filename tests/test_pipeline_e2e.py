@@ -123,3 +123,67 @@ def test_jsonl_source_end_to_end(spark, tmp_path):
     errors = {r.error for r in back.select("error").collect()}
     assert "INTERFACE_DOWN" in errors       # real envelope from JSON ingest
     assert back.count() >= 2                # corrupt row didn't kill the run
+
+
+def test_soak_state_bounded_across_resumed_runs(spark, tmp_path):
+    """Simulated multi-day operation: 5 sequential checkpoint-resumed
+    drains, each a new batch of transcripts one 'hour' later.  The
+    watermark must EVICT old dedup state (state size stays bounded by
+    the horizon instead of accumulating 10^12 keys), and the output
+    stays exactly-once across all resumes."""
+    import datetime as dt
+    import json as _json
+
+    from napalm_logs_spark.streaming.pipeline import run_stream_once
+    from napalm_logs_spark.streaming.sink import SinkSpec, read_sink
+
+    base = dt.datetime(2017, 7, 20, 0, 0, 0)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "m.jsonl")
+
+    n_per_run, n_runs = 40, 5
+    for run in range(n_runs):
+        rows = [
+            (
+                f"c{run}_{i}",          # fresh keys each run: old state is dead weight
+                0,
+                "agent",
+                f"<28>Jul 20 21:45:59 vmx01 mib2d[2424]: hello {run} {i}",
+                None,
+                base + dt.timedelta(hours=run, seconds=i),
+            )
+            for i in range(n_per_run)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_stream_once(
+            spark, src, [out], ckpt,
+            sinks=[SinkSpec(path=out, send_raw=True, send_unknown=True)],
+            dedup=True, dedup_ttl=5.0, watermark="30 seconds",
+            metrics_jsonl=metrics,
+        )
+
+    got = read_sink(spark, out)
+    # exactly-once across 5 resumed drains: every row exactly once
+    assert got.count() == n_per_run * n_runs
+    assert got.select("conv_id").distinct().count() == n_per_run * n_runs
+
+    # state boundedness: the LAST run's dedup state must hold ~one
+    # run's keys (previous hours are watermark-evicted), not 5 runs'
+    state_rows = []
+    for line in open(metrics):
+        rec = _json.loads(line)
+        for op in rec.get("state_operators") or []:
+            state_rows.append((rec["batch_id"], op["num_rows_total"]))
+    assert state_rows, "no state metrics captured"
+    final_state = state_rows[-1][1]
+    assert final_state <= 2 * n_per_run, (
+        f"dedup state grew unbounded: {state_rows}"
+    )
