@@ -105,3 +105,36 @@ def dedup_streaming(
     """
     watermark = watermark or f"{max(int(ttl_seconds), 1)} seconds"
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key))
+
+
+def dedup_streaming_salted(
+    df: DataFrame,
+    ttl_seconds: float = DEFAULT_TTL_SECONDS,
+    key: Sequence[str] = DEFAULT_KEY,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    salts: int = 8,
+) -> DataFrame:
+    """Skew-defused streaming dedup: the event-storm case.
+
+    The storm :func:`dedup_streaming` exists for — one device flooding
+    the SAME message — hashes that message's key to ONE state partition,
+    so the very scenario dedup protects against throttles a single
+    executor at 10^12-turn scale.  Two-phase form: phase 1 dedups on
+    ``(key, salt)`` where salt spreads the storm over ``salts``
+    partitions (derived from turn_idx — stable under task retry, unlike
+    partition id or random); phase 2 dedups the ≤``salts`` survivors per
+    key on the key alone.  Same output contract (one row per key within
+    the watermark horizon); which arrival is kept follows
+    ``dropDuplicatesWithinWatermark``'s first-arrival semantics in both
+    forms.  Cost: one extra (tiny — survivors only) state operator.
+    """
+    watermark = watermark or f"{max(int(ttl_seconds), 1)} seconds"
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salts)).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([*key, "_salt"])
+        .drop("_salt")
+    )
+    return phase1.dropDuplicatesWithinWatermark(list(key))

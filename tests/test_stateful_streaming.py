@@ -305,3 +305,32 @@ def test_entity_fsm_state_survives_checkpoint_restart(spark, tmp_path):
         (r.state01, r.prev_state, r.status) for r in spark.read.parquet(out).collect()
     )
     assert got2 == [(0, 1, "closed"), (1, None, "open")]
+
+
+def test_salted_dedup_storm(spark, tmp_path):
+    """Hot-key event storm through the two-phase salted dedup: same
+    output contract (one row per key within horizon), two state
+    operators in the plan (the skew spread + the final merge)."""
+    from napalm_logs_spark.operators.dedup import dedup_streaming_salted
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # storm: 300 identical messages in 2s from one host + one other key
+    rows = _rows([i * 0.005 for i in range(300)], msg="STORM") + [
+        ("junos", "r2", "other", 999, BASE)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    dd = dedup_streaming_salted(stream, ttl_seconds=5.0, salts=8)
+    q = (
+        dd.writeStream.format("memory").queryName("salted_storm")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from salted_storm").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r.os, r.host, r.message), []).append(r)
+    # one survivor per key within the horizon
+    assert len(by_key[("junos", "r1", "STORM")]) == 1
+    assert len(by_key[("junos", "r2", "other")]) == 1
