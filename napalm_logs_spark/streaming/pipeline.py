@@ -30,6 +30,7 @@ def build_stream(
     watermark: str = "30 seconds",
     dedup: bool = True,
     dedup_ttl: float = 5.0,
+    dedup_salts: int = 0,
     repartition: int | None = None,
     source_format: str = "parquet",
 ):
@@ -65,7 +66,15 @@ def build_stream(
         # normalize stage (only needed when the source layout is coarse)
         stream = stream.repartition(repartition)
     env = normalize(stream, registry)
-    if dedup:
+    if dedup and dedup_salts:
+        from ..operators.dedup import dedup_streaming_salted
+
+        # two-phase skew-defused form: an event storm on one key
+        # spreads over `dedup_salts` state partitions (see operators.dedup)
+        env = dedup_streaming_salted(
+            env, ttl_seconds=dedup_ttl, watermark=watermark, salts=dedup_salts
+        )
+    elif dedup:
         env = dedup_streaming(env, ttl_seconds=dedup_ttl, watermark=watermark)
     return env
 
