@@ -632,6 +632,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_clean"] = t_clean
 
+    def t_pii_scrub(spark, sf):
+        from napalm_logs_spark.operators.text import pii_scrub
+
+        # the synthetic corpus carries no PII, so the query plants a
+        # deterministic contact block per row (mirrored in the oracle);
+        # the operator itself sees only the derived column
+        doc = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        contact = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("contact"),
+            F.concat(F.lit("user"), did, F.lit("@example.com")),
+            F.lit("ip"),
+            F.concat(F.lit("10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")),
+            F.lit("tel"),
+            F.concat(F.lit("+49 555 "), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            F.lit("sid"),
+            F.concat(F.lit("9"), F.lpad(did, 9, "0")),
+        )
+        return pii_scrub(doc.withColumn("pii_text", contact), text_col="pii_text").select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "n_id", "redacted"
+        )
+    q["t_pii_scrub"] = t_pii_scrub
+
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
 
@@ -734,6 +759,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return split_by_cluster(docs, pairs)
     q["d_leakage_splits"] = d_leakage_splits  # oracled: recursive CTE + md5 cut-points
 
+    def d_dup_spans(spark, sf):
+        from napalm_logs_spark.operators.docdedup import duplicate_spans
+
+        return duplicate_spans(
+            _t(spark, sf, "documents").filter(F.col("doc_id") < 500), k=5
+        )
+    q["d_dup_spans"] = d_dup_spans
+
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
 
@@ -797,6 +830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), k=10, iters=4, seed=42
         )
     q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
+
+    def s_ann_join(spark, sf):
+        from napalm_logs_spark.operators.similarity import ivf_join_topk
+
+        return ivf_join_topk(
+            _t(spark, sf, "embeddings"), dim=64, k=3, n_clusters=8, nprobe=2
+        ).withColumn("rank", F.col("rank").cast("long"))
+    q["s_ann_join"] = s_ann_join  # oracled: stored numpy golden (deterministic IVF)
 
     # ---- multimodal plumbing ----
     def mm_features(spark, sf):
@@ -1658,6 +1699,70 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '0c000' END
     """
 
+    # duplicated k-token spans: same tokenize recipe as the shingle
+    # oracles; islands-and-gaps merge via window lag/sum
+    o["d_dup_spans"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM documents WHERE doc_id < 500
+        ), base AS (
+          SELECT doc_id, t FROM toks WHERE len(t) >= 5
+        ), kg AS (
+          SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS h
+          FROM base, UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+        ), dup AS (
+          SELECT h FROM (SELECT DISTINCT h, doc_id FROM kg)
+          GROUP BY h HAVING count(*) >= 2
+        ), hit AS (
+          SELECT kg.doc_id, kg.pos FROM kg JOIN dup USING (h)
+        ), isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                      THEN 0 ELSE 1 END AS brk
+          FROM hit
+        ), grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM isl
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 4 AS BIGINT) AS span_end,
+               count(*) AS n_grams,
+               CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+        FROM grp GROUP BY doc_id, g
+    """
+
+    # planted contact block per row, scrubbed by category (same pattern
+    # table as operators/text.PII_PATTERNS, RE2-compatible by design)
+    o["t_pii_scrub"] = r"""
+        WITH p AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   'ip', '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1',
+                   'tel', '+49 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   'sid', '9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(pii_text, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(pii_text, '\b\d{9,}\b')) AS BIGINT) AS n_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(pii_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b', '<PHONE>', 'g'),
+                 '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        FROM p
+    """
+
     o["t_clean"] = r"""
         WITH c AS (
           SELECT doc_id,
@@ -1809,6 +1914,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_kmeans"] = f"""
         SELECT vec_id, cluster
         FROM read_parquet('{gd}/kmeans_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_ann_join"] = f"""
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM read_parquet('{gd}/ann_join_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

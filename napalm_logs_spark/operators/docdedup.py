@@ -632,3 +632,81 @@ def split_by_cluster(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(fractions[-1][0]))
     return joined.select(id_col, expr.alias("split"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans across documents — the
+    substring-level exact dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark: every ``k``-token window whose content hash appears in at
+    least ``min_docs`` distinct documents marks its token positions,
+    and runs of adjacent marked positions merge into maximal spans per
+    document (the pieces a training-data pipeline would clip out).
+
+    Scale shape (the suffix-array the paper builds is a single-machine
+    structure; this is the shuffle-native equivalent):
+
+    * window hashing is one narrow pass (``transform`` + ``posexplode``
+      over the token array — no shuffle, no Python);
+    * the cross-document frequency pass is a groupBy on the 128-bit
+      window digest — uniformly distributed keys, no skew by
+      construction;
+    * marked positions join back on the same digest (shuffle join on
+      uniform keys), then the island merge is one window per
+      ``doc_id`` — state bounded by tokens-per-document, not corpus
+      size.
+
+    Output: ``(doc_id, span_start, span_end, n_grams, span_tokens)``
+    with 1-based inclusive token offsets.
+    """
+    toks = F.split(F.trim(normalized(text_col)), r"\s+")
+    base = (
+        widen_if_narrow_scan(df)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+    )
+    # (doc_id, pos, h): pos is the 1-based offset of each k-token window
+    kg = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+            )
+        ).alias("_p0", "h"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h")
+
+    dup = (
+        kg.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = kg.join(dup, "h").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "g", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumn(
+            "span_tokens", (F.col("span_end") - F.col("span_start") + 1).cast("long")
+        )
+        .drop("g")
+    )

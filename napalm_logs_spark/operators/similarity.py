@@ -497,3 +497,66 @@ def kmeans_clusters(
     return ivf_assign(base, cent, emb_col=emb_col, out_col="cluster").select(
         F.col(id_col), F.col("cluster").cast("int").alias("cluster")
     )
+
+
+def ivf_join_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs kNN *join*: top-``k`` cosine neighbors for
+    EVERY corpus row, large-to-large (neither side broadcast — the
+    similarity-join shape a 100 TB corpus needs, vs
+    :func:`ivf_cosine_topk` whose probe side is a small broadcast query
+    set).
+
+    Both sides share one IVF structure: every row lands in one inverted
+    list (:func:`ivf_assign`), and every row additionally probes its
+    ``nprobe`` nearest lists (:func:`_probe_clusters`).  The candidate
+    generation is then a plain shuffle hash join on ``cluster`` — C
+    keys, each list ≈ N/C rows, so per-cluster work is
+    (N/C)·(nprobe·N/C) and total work ≈ nprobe·N²/C: choose
+    C ≈ sqrt(N·nprobe) and the join stays near-linear per partition
+    while the shuffle distributes lists across executors.  Cluster
+    balance is the skew story: dead/dense centroids are re-seeded at
+    train time, and the list-size distribution is testable via
+    ``groupBy("cluster").count()``.
+
+    Deterministic end-to-end (seeded centroids on an ordered bounded
+    sample, stable probe order, rank ties broken by ``neighbor_id``) —
+    reproducible on any partitioning, which is what lets a stored
+    independent golden gate it.
+    """
+    sample_pdf = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(sample_cap).toPandas()
+    )
+    sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[emb_col]])
+    cent = _train_centroids(sample, n_clusters, seed)
+
+    c = ivf_assign(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")),
+        cent, "c_emb",
+    )
+    q = _probe_clusters(
+        df.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
+        cent, nprobe, "q_emb",
+    ).select("query_id", "q_emb", "cluster")
+    cand = c.join(q, "cluster").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -460,3 +460,41 @@ def temperature_mix(
     joined = df.join(F.broadcast(rates.withColumn("_thr", thr)), strat_col)
     u = F.concat(F.lit("0"), F.substring(F.md5(F.col(id_col).cast("string")), 1, 4))
     return joined.filter(u < F.col("_thr")).drop("_thr")
+
+
+#: PII scrub patterns, applied in this order (earlier replacements must
+#: not create or destroy later matches — the categories are disjoint by
+#: construction: emails carry '@', IPs carry dots between short digit
+#: groups, phones are '+'-prefixed space/dash-separated groups, ids are
+#: unbroken >=9-digit runs).  Syntax chosen to behave identically in
+#: Java regex (Spark) and RE2-style dialects (oracle): no lookaround,
+#: ASCII \b only.
+PII_PATTERNS = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b", "<PHONE>"),
+    ("id", r"\b\d{9,}\b", "<ID>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass for training corpora: count and replace
+    e-mail addresses, IPv4 literals, international phone numbers and
+    long numeric identifiers with typed placeholder tokens.
+
+    Per-category counts (``n_email``, ``n_ipv4``, ``n_phone``,
+    ``n_id``) are measured on the raw text; ``redacted`` applies the
+    replacements in :data:`PII_PATTERNS` order.  Entirely JVM-side
+    regex — narrow, zero-shuffle, codegen-friendly; at 100 TB this is
+    scan-bandwidth-bound like every other row-local scrub.
+    """
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long"),
+        )
+    red = F.col(text_col)
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn("redacted", red)

@@ -275,3 +275,76 @@ def test_split_by_cluster_no_leakage(spark):
 
     c = Counter(out.values())
     assert c["train"] > 150 and 0 < c["val"] + c["test"] < 50
+
+
+# ---------------------------------------------------------------------------
+# duplicated substring spans (Lee et al. substring-level dedup)
+
+
+def _brute_spans(docs, k):
+    """Independent python reference: mark every k-token window whose
+    content appears in >=2 distinct docs; merge adjacent marks."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split()
+        for d, t in docs
+    }
+    owners = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            owners.setdefault(tuple(ts[i : i + k]), set()).add(d)
+    spans = []
+    for d, ts in toks.items():
+        marked = sorted(
+            i + 1  # 1-based
+            for i in range(len(ts) - k + 1)
+            if len(owners[tuple(ts[i : i + k])]) >= 2
+        )
+        run = []
+        for p in marked:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    spans.append((d, run[0], run[-1] + k - 1, len(run)))
+                run = [p]
+        if run:
+            spans.append((d, run[0], run[-1] + k - 1, len(run)))
+    return sorted(spans)
+
+
+def test_duplicate_spans_against_bruteforce(spark):
+    from napalm_logs_spark.operators.docdedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (0, f"intro words here {shared} closing remarks now"),
+        (1, f"{shared} and then something entirely different follows after"),
+        (2, "no overlap in this one at all whatsoever believe me truly"),
+        # doc 3 repeats the shared run twice -> two disjoint spans
+        (3, f"x y z {shared} q r s {shared} w"),
+    ]
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=5
+        ).collect()
+    )
+    assert got == _brute_spans(docs, 5)
+    # sanity on the semantics: doc 2 contributes nothing
+    assert not any(d == 2 for d, *_ in got)
+    # doc 3 carries two disjoint spans
+    assert sum(1 for d, *_ in got if d == 3) == 2
+
+
+def test_duplicate_spans_within_doc_repeat_not_marked(spark):
+    """A k-gram repeated only WITHIN one document is not a cross-doc
+    duplicate (min_docs counts distinct documents)."""
+    from napalm_logs_spark.operators.docdedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f a b c d e f"), (1, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, k=5).count() == 0

@@ -235,3 +235,50 @@ def test_kmeans_deterministic_across_partitionings(spark):
     for i, c in a1.items():
         by_label.setdefault(i % 3, set()).add(c)
     assert all(len(v) == 1 for v in by_label.values())
+
+
+# ---------------------------------------------------------------------------
+# IVF all-pairs kNN join (large-to-large)
+
+
+def test_ivf_join_full_probe_equals_bruteforce(emb):
+    """With nprobe == n_clusters every list is probed, so the join must
+    reproduce exact brute-force top-k for EVERY row."""
+    from napalm_logs_spark.operators.similarity import ivf_join_topk
+
+    sub = emb.filter(F.col("vec_id") < 60)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(sub, sub, k=3).collect()
+    }
+    joined = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_join_topk(sub, dim=DIM, k=3, n_clusters=4, nprobe=4).collect()
+    }
+    assert joined == exact
+
+
+def test_ivf_join_recall_against_bruteforce(emb):
+    from napalm_logs_spark.operators.similarity import ivf_join_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_join_topk(emb, dim=DIM, k=3, n_clusters=8, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_join_is_shuffle_join_not_broadcast_and_not_cartesian(emb):
+    """The candidate join must shuffle on `cluster` (large-to-large —
+    broadcasting a 100 TB side is impossible) and must never fall back
+    to a cartesian/BNL join."""
+    from napalm_logs_spark.operators.similarity import ivf_join_topk
+
+    plan = ivf_join_topk(emb, dim=DIM, k=3, n_clusters=8, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

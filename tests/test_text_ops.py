@@ -295,3 +295,33 @@ def test_temperature_mix_upsamples_tail(spark):
     uniform = temperature_mix(df, temperature=1.0, target_frac=0.5).collect()
     ur = {r.lang: r.mix_rate for r in uniform}
     assert ur["is"] == ur["en"] == 0.5
+
+
+def test_pii_scrub_categories_and_order(spark):
+    from napalm_logs_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "reach me at jane.doe@corp.example.com or +44 207 9460 thanks"),
+        (1, "server 192.168.10.250 logged id 123456789 twice: 987654321012"),
+        (2, "no pii in this sentence at all"),
+        (3, "a@b.io c@d.org 10.0.0.1 +1 800 5551 4000000000"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    r0 = got[0]
+    assert (r0.n_email, r0.n_phone) == (1, 1)
+    assert "<EMAIL>" in r0.redacted and "<PHONE>" in r0.redacted
+    assert "jane" not in r0.redacted and "9460" not in r0.redacted
+    r1 = got[1]
+    assert (r1.n_ipv4, r1.n_id) == (1, 2)
+    assert r1.redacted == "server <IP> logged id <ID> twice: <ID>"
+    r2 = got[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone, r2.n_id) == (0, 0, 0, 0)
+    assert r2.redacted == rows[2][1]
+    r3 = got[3]
+    assert (r3.n_email, r3.n_ipv4, r3.n_phone, r3.n_id) == (2, 1, 1, 1)
+    assert r3.redacted == "<EMAIL> <EMAIL> <IP> <PHONE> <ID>"

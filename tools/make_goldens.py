@@ -360,6 +360,80 @@ def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
     return pd.concat(frames, ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# 7. IVF all-pairs kNN join golden (numpy re-implementation of the spec)
+
+
+def make_ann_join(
+    dim: int = 64, k: int = 3, n_clusters: int = 8, nprobe: int = 2,
+    seed: int = 42, sample_cap: int = 4096,
+) -> pd.DataFrame:
+    """Expected ``ivf_join_topk`` output per scale, from the operator\'s
+    PUBLISHED spec (similarity.py docstrings), not its code: seeded
+    Lloyd on the vec_id-ordered sample (RandomState(seed).choice
+    without replacement, index-sorted, 10 iterations, cosine argmax on
+    unit vectors, mean-then-renormalize, dead centroids reseeded via
+    rng.randint), one inverted list per row, stable nprobe probe order,
+    exact double cosine HALF_UP-rounded to 6, rank by (-cosine,
+    neighbor_id)."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+
+        S = M[:sample_cap]
+        rng = np.random.RandomState(seed)
+        nrm = np.linalg.norm(S, axis=1, keepdims=True)
+        U = S / np.where(nrm > 0, nrm, 1.0)
+        pick = np.sort(rng.choice(len(U), size=min(n_clusters, len(U)), replace=False))
+        cent = U[pick].copy()
+        for _ in range(10):
+            lab = (U @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                mem = U[lab == c]
+                if len(mem):
+                    m = mem.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cent[c] = m / n
+                else:
+                    cent[c] = U[rng.randint(len(U))]
+
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+        sims[norms == 0] = 0.0
+        assign = sims.argmax(axis=1)
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+        members: dict = {}
+        for j, c in enumerate(assign):
+            members.setdefault(int(c), []).append(j)
+        rows = []
+        for i in range(len(M)):
+            cands = []
+            for c in probes[i]:
+                for j in members.get(int(c), ()):
+                    if j == i:
+                        continue
+                    cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
+                    cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
+            cands.sort(key=lambda t: (-t[1], t[0]))
+            for r, (nid, cos) in enumerate(cands[:k], start=1):
+                rows.append((int(ids[i]), nid, cos, r))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64", "scale_key": "int64"})
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -380,6 +454,9 @@ def main() -> None:
     km = make_kmeans()
     km.to_parquet(os.path.join(OUT, "kmeans_golden.parquet"), index=False)
     print(f"kmeans: {len(km)} rows across {km['scale_key'].nunique()} sfs")
+    aj = make_ann_join()
+    aj.to_parquet(os.path.join(OUT, "ann_join_golden.parquet"), index=False)
+    print(f"ann_join: {len(aj)} rows across {aj['scale_key'].nunique()} sfs")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
