@@ -48,8 +48,10 @@ HEADLINE = [
     "t_langid",
     "d_ngram_jaccard",
     "d_minhash_lsh",
+    "d_dup_spans",
     "s_knn_cosine",
     "s_ann_ivf",
+    "s_ann_join",
     "q_window_running",
     "golden_normalize",
 ]
