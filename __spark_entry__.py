@@ -834,8 +834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def s_ann_join(spark, sf):
         from napalm_logs_spark.operators.similarity import ivf_join_topk
 
+        # C ≈ sqrt(N·nprobe) per the operator's own scale rule (N=2000
+        # at sf0.1): per-cluster candidate work stays near-linear
         return ivf_join_topk(
-            _t(spark, sf, "embeddings"), dim=64, k=3, n_clusters=8, nprobe=2
+            _t(spark, sf, "embeddings"), dim=64, k=3, n_clusters=32, nprobe=2
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_join"] = s_ann_join  # oracled: stored numpy golden (deterministic IVF)
 

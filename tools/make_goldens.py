@@ -365,7 +365,7 @@ def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
 
 
 def make_ann_join(
-    dim: int = 64, k: int = 3, n_clusters: int = 8, nprobe: int = 2,
+    dim: int = 64, k: int = 3, n_clusters: int = 32, nprobe: int = 2,
     seed: int = 42, sample_cap: int = 4096,
 ) -> pd.DataFrame:
     """Expected ``ivf_join_topk`` output per scale, from the operator\'s
