@@ -472,6 +472,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_cube_counts"] = q_cube_counts
 
+    def q_pivot(spark, sf):
+        # PIVOT with an EXPLICIT value list: no value-discovery job, a
+        # fixed output schema, and one single-shuffle hash aggregate
+        # (each pivot cell is a conditional partial agg — map-side
+        # combined, so the shuffle carries one row per user, not per
+        # event)
+        ev = _t(spark, sf, "events")
+        kinds = ["click", "view", "purchase", "error", "signup"]
+        piv = (
+            ev.groupBy("user_id")
+            .pivot("event_type", kinds)
+            .agg(F.count(F.lit(1)))
+        )
+        return piv.select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+        )
+    q["q_pivot"] = q_pivot
+
     # ---- serializer (K6) ----
     def k6_serialize(spark, sf):
         return (
@@ -656,6 +675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_email", "n_ipv4", "n_phone", "n_id", "redacted"
         )
     q["t_pii_scrub"] = t_pii_scrub
+
+    def t_ccnet_quality(spark, sf):
+        from napalm_logs_spark.operators.text import unigram_logprob
+
+        return unigram_logprob(_t(spark, sf, "documents"), buckets=True)
+    q["t_ccnet_quality"] = t_ccnet_quality
 
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
@@ -1209,6 +1234,16 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY CUBE (event_type, bucket)
     """
 
+    o["q_pivot"] = """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+               CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+               CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup
+        FROM events GROUP BY user_id
+    """
+
     o["k6_serialize"] = """
         SELECT event_id,
                md5(concat_ws('|', event_type, printf('%.2f', value))) AS digest
@@ -1735,6 +1770,37 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_grams,
                CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
         FROM grp GROUP BY doc_id, g
+    """
+
+    # CCNet-style corpus-unigram surprisal + exact-tertile bucket
+    # (quantile_cont ≡ Spark percentile, the q_percentiles precedent)
+    o["t_ccnet_quality"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+')) AS token
+          FROM documents
+        ), tt AS (
+          SELECT doc_id, token FROM t WHERE length(token) > 0
+        ), freq AS (
+          SELECT token, count(*) AS cnt FROM tt GROUP BY token
+        ), n AS (
+          SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq
+        ), scored AS (
+          SELECT doc_id, count(*) AS n_tokens, avg(log2(cnt)) AS alc
+          FROM tt JOIN freq USING (token) GROUP BY doc_id
+        ), s2 AS (
+          SELECT doc_id, n_tokens, round(log2(n_total) - alc, 6) AS bits_per_token
+          FROM scored, n
+        ), cuts AS (
+          SELECT quantile_cont(bits_per_token, 0.33333333) AS c1,
+                 quantile_cont(bits_per_token, 0.66666667) AS c2
+          FROM s2
+        )
+        SELECT doc_id, n_tokens, bits_per_token,
+               CASE WHEN bits_per_token <= c1 THEN 'head'
+                    WHEN bits_per_token <= c2 THEN 'middle'
+                    ELSE 'tail' END AS ccnet_bucket
+        FROM s2, cuts
     """
 
     # planted contact block per row, scrubbed by category (same pattern

@@ -498,3 +498,71 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _name, pat, tok in PII_PATTERNS:
         red = F.regexp_replace(red, pat, tok)
     return out.withColumn("redacted", red)
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    buckets: bool = False) -> DataFrame:
+    """CCNet-style corpus-perplexity quality score (Wenzek et al. 2020,
+    re-expressed without KenLM): train a unigram model ON the corpus
+    itself (token → global count) and score each document by its mean
+    surprisal, ``bits_per_token = −mean(log₂(cnt_t / N)) =
+    log₂(N) − mean(log₂ cnt_t)``.  Low bits = common/boilerplate tokens
+    (CCNet's "head"), high bits = rare/noisy ("tail") — the standard
+    quality-bucketing signal for web-corpus curation.
+
+    Scale shape: one narrow explode; one token groupBy (vocabulary-sized
+    output; the Zipf-skewed input is absorbed by map-side partial
+    aggregation — the hot token pre-aggregates per partition before the
+    shuffle); the frequency table joins back on token (AQE broadcasts it
+    while it fits — a 10⁷-row vocab is broadcastable even under a 100 TB
+    corpus); one doc_id groupBy.  The corpus total ``N`` rides a 1-row
+    broadcast crossJoin — no eager ``count()`` job at plan-build time
+    (the tf-idf lesson from round 1).
+
+    ``buckets=True`` adds the CCNet head/middle/tail label from exact
+    tertile cut-points: a 2-value ``percentile`` aggregate broadcast
+    back and compared — NOT a global ``ntile`` sort, which would funnel
+    every row through one partition at corpus scale.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), TOKEN_SPLIT
+    )
+    t = (
+        df.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    freq = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = freq.agg(F.sum("cnt").cast("double").alias("n_total"))
+    scored = (
+        t.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log2("cnt")).alias("_avg_log2_cnt"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log2("n_total") - F.col("_avg_log2_cnt"), 6).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+    if not buckets:
+        return scored
+    cuts = scored.agg(
+        F.expr("percentile(bits_per_token, 0.33333333)").alias("c1"),
+        F.expr("percentile(bits_per_token, 0.66666667)").alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("c1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ccnet_bucket"),
+    )

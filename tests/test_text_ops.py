@@ -325,3 +325,46 @@ def test_pii_scrub_categories_and_order(spark):
     r3 = got[3]
     assert (r3.n_email, r3.n_ipv4, r3.n_phone, r3.n_id) == (2, 1, 1, 1)
     assert r3.redacted == "<EMAIL> <EMAIL> <IP> <PHONE> <ID>"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """4-doc corpus with hand-computable unigram surprisal: doc 0 is all
+    boilerplate (most common token), doc 3 is all hapaxes — the CCNet
+    head/tail ordering must follow."""
+    import math
+
+    from napalm_logs_spark.operators.text import unigram_logprob
+
+    rows = [
+        (0, "the the the the"),      # cnt(the)=6 across corpus
+        (1, "the rare words here"),
+        (2, "the other words there"),
+        (3, "unique singleton tokens everywhere"),
+    ]
+    # corpus: the×6, words×2, rest ×1 → N = 16 tokens
+    got = {r.doc_id: r for r in unigram_logprob(
+        spark.createDataFrame(rows, "doc_id long, text string"), buckets=True
+    ).collect()}
+    N = 16
+    exp0 = round(math.log2(N) - math.log2(6), 6)
+    assert got[0].bits_per_token == exp0 and got[0].n_tokens == 4
+    exp3 = round(math.log2(N) - math.log2(1), 6)
+    assert got[3].bits_per_token == exp3
+    # doc1: tokens the(6), rare(1), words(2), here(1)
+    exp1 = round(
+        math.log2(N)
+        - (math.log2(6) + math.log2(1) + math.log2(2) + math.log2(1)) / 4, 6,
+    )
+    assert got[1].bits_per_token == exp1
+    assert got[0].ccnet_bucket == "head" and got[3].ccnet_bucket == "tail"
+    # monotone: all-boilerplate scores strictly below all-hapax
+    assert got[0].bits_per_token < got[1].bits_per_token < got[3].bits_per_token
+
+
+def test_unigram_logprob_empty_doc_dropped(spark):
+    from napalm_logs_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in unigram_logprob(df).collect()) == [0]
