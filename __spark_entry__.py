@@ -595,6 +595,199 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q6_forecast_revenue"] = q6_forecast_revenue
 
+    def q4_order_priority(spark, sf):
+        # TPC-H Q4 shape (EXISTS → LEFT SEMI): the orders side keeps its
+        # date filter at the scan; the semi join carries the extra
+        # non-equi shipped-late predicate, so lineitem rows are never
+        # duplicated into the aggregate (no DISTINCT needed)
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+        return (
+            orders.join(
+                li,
+                (orders["o_orderkey"] == li["l_orderkey"])
+                & (li["l_shipdate"] > orders["o_orderdate"]),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+    q["q4_order_priority"] = q4_order_priority
+
+    def q10_returned_items(spark, sf):
+        # TPC-H Q10 shape: fact⋈fact on orderkey, dims broadcast; top-20
+        # with a deterministic custkey tie-break
+        cust = _t(spark, sf, "customer")
+        nation = _t(spark, sf, "nation")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+    q["q10_returned_items"] = q10_returned_items
+
+    def q14_promo_revenue(spark, sf):
+        # TPC-H Q14 shape: conditional aggregate ratio, part broadcast
+        part = _t(spark, sf, "part").select("p_partkey", "p_type")
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-09-01").cast("timestamp"))
+        )
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        agg = (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .agg(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+                F.sum(rev).alias("_total"),
+            )
+        )
+        return agg.select(
+            F.round(
+                F.lit(100).cast("double")
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    q["q14_promo_revenue"] = q14_promo_revenue
+
+    def q15_top_supplier(spark, sf):
+        # TPC-H Q15 shape: scalar MAX subquery — the 1-row max rides a
+        # broadcast crossJoin back onto the per-supplier aggregate
+        # (exact decimal revenue, so the equality is well-defined)
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+        top = per_supp.agg(F.max("_rev").alias("_max_rev"))
+        supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (
+            per_supp.crossJoin(F.broadcast(top))
+            .filter(F.col("_rev") == F.col("_max_rev"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(
+                "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+            )
+        )
+    q["q15_top_supplier"] = q15_top_supplier
+
+    def q16_supplier_cnt(spark, sf):
+        # TPC-H Q16 shape (partsupp ≡ distinct lineitem pairs here):
+        # NOT IN → LEFT ANTI against the bad-supplier list, then a
+        # two-level distinct count per (brand, type, size)
+        part = _t(spark, sf, "part").filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+            "s_suppkey"
+        )
+        pairs = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+        return (
+            pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+            .join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+    q["q16_supplier_cnt"] = q16_supplier_cnt
+
+    def q18_large_orders(spark, sf):
+        # TPC-H Q18 shape: HAVING on a fact-side aggregate, then joins —
+        # the aggregate runs FIRST so only qualifying orderkeys reach
+        # the joins (semi-join-like pruning by construction)
+        li = _t(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+            .filter(F.col("_q") > 300)
+        )
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        return (
+            big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .select(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                F.col("_q").cast("double").alias("sum_qty"),
+            )
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100)
+        )
+    q["q18_large_orders"] = q18_large_orders
+
+    def q19_disjunctive(spark, sf):
+        # TPC-H Q19 shape: disjunctive brand/size/quantity predicates —
+        # Catalyst extracts the common l_quantity bounds below the join
+        # and the whole OR collapses into one broadcast-hash-join probe
+        part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+        li = _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        cond = (
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 21))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+               & F.col("l_quantity").between(10, 30))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+               & F.col("l_quantity").between(20, 40))
+        )
+        return j.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
+    q["q19_disjunctive"] = q19_disjunctive
+
+    def q22_idle_customers(spark, sf):
+        # TPC-H Q22 shape: scalar AVG subquery (exact decimal sum ÷
+        # count, broadcast back) + NOT EXISTS → LEFT ANTI against the
+        # recent-orders keys
+        cust = _t(spark, sf, "customer")
+        bal = F.col("c_acctbal").cast("decimal(18,4)")
+        cutoff = (
+            cust.filter(F.col("c_acctbal") > 0)
+            .agg(
+                (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("_avg_bal")
+            )
+        )
+        recent = _t(spark, sf, "orders").filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select("o_custkey")
+        return (
+            cust.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+            .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("numcust"),
+                F.sum(bal).cast("double").alias("totacctbal"),
+            )
+        )
+    q["q22_idle_customers"] = q22_idle_customers
+
     # ---- text analysis ----
     def t_tokens(spark, sf):
         from napalm_logs_spark.operators.text import with_tokens
@@ -681,6 +874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logprob(_t(spark, sf, "documents"), buckets=True)
     q["t_ccnet_quality"] = t_ccnet_quality
+
+    def t_gopher_rules(spark, sf):
+        from napalm_logs_spark.operators.text import gopher_rules
+
+        return gopher_rules(_t(spark, sf, "documents"))
+    q["t_gopher_rules"] = t_gopher_rules
 
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
@@ -1304,6 +1503,113 @@ def oracle_sql() -> dict[str, str]:
           AND l_quantity < 24
     """
 
+    o["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """
+
+    o["q10_returned_items"] = """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """
+
+    o["q14_promo_revenue"] = """
+        SELECT round(100.0
+            * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+            / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+            6) AS promo_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate < TIMESTAMP '1996-09-01'
+    """
+
+    o["q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        WHERE rev.r = (SELECT max(r) FROM rev)
+    """
+
+    o["q16_supplier_cnt"] = """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """
+
+    o["q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, CAST(big.q AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """
+
+    o["q19_disjunctive"] = """
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """
+
+    o["q22_idle_customers"] = """
+        WITH cutoff AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        FROM customer c, cutoff
+        WHERE c.c_acctbal > cutoff.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_nationkey
+    """
+
     o["t_tokens"] = r"""
         SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
         FROM documents
@@ -1801,6 +2107,37 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bits_per_token <= c2 THEN 'middle'
                     ELSE 'tail' END AS ccnet_bucket
         FROM s2, cuts
+    """
+
+    # Gopher rule gates (Rae et al. 2021 Table A1 analogs): word-count /
+    # mean-word-length / alphabetic-fraction / distinct-stopword rules
+    o["t_gopher_rules"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 len(t) AS n_words,
+                 round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                       / nullif(len(t), 0), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / nullif(len(t), 0), 6) AS alpha_frac,
+                 len(list_intersect(list_transform(t, x -> lower(x)),
+                     ['the','be','to','of','and','that','have','with','a','in'])) AS n_stopwords
+          FROM toks
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+               n_words BETWEEN 50 AND 100000 AS r_word_count,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+               alpha_frac >= 0.8 AS r_alpha,
+               n_stopwords >= 2 AS r_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND (alpha_frac >= 0.8)
+                 AND (n_stopwords >= 2) AS keep
+        FROM sig
     """
 
     # planted contact block per row, scrubbed by category (same pattern

@@ -566,3 +566,67 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit("tail"))
         .alias("ccnet_bucket"),
     )
+
+
+#: Gopher-style document-quality rule set (Rae et al. 2021, Table A1,
+#: re-expressed as pure Column predicates).  Thresholds are the paper's
+#: where the signal exists in this corpus shape.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality gates: word-count bounds,
+    mean-word-length bounds, fraction-of-words-with-an-alphabetic-char,
+    and distinct-stopword presence.  Emits one row per document with the
+    measured signals, each rule's verdict, and the conjunctive ``keep``.
+
+    Scale shape: zero shuffles — every signal is an array higher-order
+    function over the token array (JVM, whole-stage codegen), so the
+    filter composes with any downstream op without a stage break.  At
+    100 TB this runs at scan bandwidth; contrast with an explode+groupBy
+    formulation which would shuffle one row per TOKEN.
+    """
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    t = F.filter(toks, lambda x: F.length(x) > 0)
+    n_words = F.size(t)
+    total_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(t, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        # try_divide: an empty document yields NULL signals (not a job
+        # abort under ANSI mode); r_word_count is false there, so `keep`
+        # still resolves to false through three-valued AND
+        F.round(F.try_divide(total_len.cast("double"), n_words), 6).alias("mean_word_len"),
+        F.round(F.try_divide(n_alpha.cast("double"), n_words), 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    r_words = F.col("n_words").between(min_words, max_words)
+    r_len = F.col("mean_word_len").between(min_mean_len, max_mean_len)
+    r_alpha = F.col("alpha_frac") >= min_alpha_frac
+    r_stop = F.col("n_stopwords") >= min_stopwords
+    return out.select(
+        "*",
+        r_words.alias("r_word_count"),
+        r_len.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_len & r_alpha & r_stop).alias("keep"),
+    )
