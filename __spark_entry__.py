@@ -788,6 +788,339 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q22_idle_customers"] = q22_idle_customers
 
+    def q2_min_cost_supplier(spark, sf):
+        # TPC-H Q2 shape (correlated MIN subquery → window-min over the
+        # eligible set; unit cost proxy = min observed unit price per
+        # (part, supplier) since there is no partsupp table).  The only
+        # wide ops are the (part,supp) aggregate and the window — the
+        # supplier/nation/region dim and the part filter both broadcast
+        li = _t(spark, sf, "lineitem").select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit"),
+        )
+        cost = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.min("_unit").alias("unit_cost")
+        )
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        sdim = (
+            supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+        )
+        eligible = cost.join(F.broadcast(sdim), cost["l_suppkey"] == sdim["s_suppkey"])
+        part = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select(
+            "p_partkey"
+        )
+        w = Window.partitionBy("l_partkey")
+        return (
+            eligible.withColumn("_min", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("_min"))
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                "s_acctbal",
+                "s_name",
+                "n_name",
+                "p_partkey",
+                F.round("unit_cost", 6).alias("unit_cost"),
+            )
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+            .limit(100)
+        )
+    q["q2_min_cost_supplier"] = q2_min_cost_supplier
+
+    def q7_volume_shipping(spark, sf):
+        # TPC-H Q7 shape: bidirectional region-pair volume by ship year;
+        # the single wide join is lineitem⋈orders on orderkey — every
+        # dim (supplier, customer, nation×2, region×2) broadcasts
+        nation = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+        region = _t(spark, sf, "region").select("r_regionkey", "r_name")
+        sdim = (
+            _t(spark, sf, "supplier")
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", F.col("r_name").alias("supp_region"))
+        )
+        cdim = (
+            _t(spark, sf, "customer")
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", F.col("r_name").alias("cust_region"))
+        )
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        pair = (
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(sdim), li["l_suppkey"] == sdim["s_suppkey"])
+            .join(F.broadcast(cdim), orders["o_custkey"] == cdim["c_custkey"])
+            .filter(pair)
+            .groupBy(
+                "supp_region", "cust_region", F.year("l_shipdate").alias("l_year")
+            )
+            .agg(F.sum(vol).cast("double").alias("revenue"))
+        )
+    q["q7_volume_shipping"] = q7_volume_shipping
+
+    def q8_market_share(spark, sf):
+        # TPC-H Q8 shape: one nation's share of a region's market for a
+        # part type, by order year — conditional decimal sum ratio
+        nation = _t(spark, sf, "nation")
+        region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select(
+            "p_partkey"
+        )
+        sdim = (
+            _t(spark, sf, "supplier")
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        )
+        cdim = (
+            _t(spark, sf, "customer")
+            .join(
+                F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey")
+        )
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        vol = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        )
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cdim), orders["o_custkey"] == cdim["c_custkey"])
+            .join(F.broadcast(sdim), li["l_suppkey"] == sdim["s_suppkey"])
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).alias("_n"),
+                F.sum(vol).alias("_d"),
+            )
+            .select(
+                "o_year",
+                F.round(
+                    F.col("_n").cast("double") / F.col("_d").cast("double"), 6
+                ).alias("mkt_share"),
+            )
+        )
+    q["q8_market_share"] = q8_market_share
+
+    def q9_product_profit(spark, sf):
+        # TPC-H Q9 shape: 5-way join + LIKE filter, profit by supplier
+        # nation and order year.  Profit proxy (no partsupp cost):
+        # discounted revenue minus tax on the full price — exact decimal
+        part = _t(spark, sf, "part").filter(
+            F.col("p_name").like("%widget%")
+        ).select("p_partkey")
+        sdim = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(_t(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", F.col("n_name").alias("nation"))
+        )
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        amount = F.col("l_extendedprice").cast("decimal(18,4)") * (
+            F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+        ) - F.col("l_tax").cast("decimal(18,4)") * F.col("l_extendedprice").cast(
+            "decimal(18,4)"
+        )
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(sdim), li["l_suppkey"] == sdim["s_suppkey"])
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        )
+    q["q9_product_profit"] = q9_product_profit
+
+    def q11_important_parts(spark, sf):
+        # TPC-H Q11 shape: per-part value restricted to one nation's
+        # suppliers, kept if above a scalar-subquery fraction of the
+        # total (the 1-row total broadcasts back over the aggregate)
+        sdim = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey")
+        )
+        li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+        vals = (
+            li.join(F.broadcast(sdim), li["l_suppkey"] == sdim["s_suppkey"])
+            .groupBy(F.col("l_partkey").alias("p_key"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_val"))
+        )
+        total = vals.agg(F.sum("_val").alias("_total"))
+        return (
+            vals.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("_val") > F.lit(0.001).cast("decimal(18,6)") * F.col("_total")
+            )
+            .select("p_key", F.col("_val").cast("double").alias("value"))
+        )
+    q["q11_important_parts"] = q11_important_parts
+
+    def q12_late_shipping(spark, sf):
+        # TPC-H Q12 shape: conditional priority counts over a join, with
+        # the lateness predicate as timestamp+interval arithmetic
+        # (l_shipmode does not exist in this corpus; l_linestatus plays
+        # the grouping role)
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .filter(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            )
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+    q["q12_late_shipping"] = q12_late_shipping
+
+    def q13_order_distribution(spark, sf):
+        # TPC-H Q13 shape: LEFT OUTER join with the extra predicate ON
+        # the join (not WHERE — customers with zero qualifying orders
+        # must survive with c_count = 0), then a count-of-counts
+        cust = _t(spark, sf, "customer").select("c_custkey")
+        orders = _t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") != "1-URGENT"
+        ).select("o_custkey", "o_orderkey")
+        return (
+            cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+        )
+    q["q13_order_distribution"] = q13_order_distribution
+
+    def q17_small_qty_revenue(spark, sf):
+        # TPC-H Q17 shape: correlated per-part AVG subquery → aggregate
+        # once per part and join back (quantities are integer-valued, so
+        # the double avg is exact and engine-order-independent)
+        li = _t(spark, sf, "lineitem")
+        pavg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+            (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+        )
+        part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select(
+            "p_partkey"
+        )
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(pavg, F.col("l_partkey") == F.col("_pk"))
+            .filter(F.col("l_quantity") < F.col("qty_cut"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_s"))
+            .select(
+                F.round(F.col("_s").cast("double") / F.lit(7.0), 6).alias("avg_yearly")
+            )
+        )
+    q["q17_small_qty_revenue"] = q17_small_qty_revenue
+
+    def q20_excess_suppliers(spark, sf):
+        # TPC-H Q20 shape: nested IN chain — parts by name prefix, a
+        # HAVING-gated (supplier, part) quantity aggregate, then a semi
+        # join onto region-filtered suppliers
+        red = _t(spark, sf, "part").filter(F.col("p_name").like("red%")).select(
+            "p_partkey"
+        )
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        cand = (
+            li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").alias("_q"))
+            .filter(F.col("_q") > 15)
+            .select("l_suppkey")
+        )
+        supp = (
+            _t(spark, sf, "supplier")
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "nation").filter(F.col("n_regionkey") == 1)
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "s_name", "s_acctbal")
+        )
+        return (
+            supp.join(cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name")
+        )
+    q["q20_excess_suppliers"] = q20_excess_suppliers
+
+    def q21_waiting_suppliers(spark, sf):
+        # TPC-H Q21 shape: EXISTS (another supplier on the order) and
+        # NOT EXISTS (another LATE supplier) — both decorrelated into
+        # per-order aggregates joined back to the late rows, so the fact
+        # table is scanned three times but never self-joined row×row
+        orders = _t(spark, sf, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_orderdate")
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        late = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).select("l_orderkey", "l_suppkey")
+        nsupp = li.groupBy(F.col("l_orderkey").alias("_ok1")).agg(
+            F.countDistinct("l_suppkey").alias("_n_s")
+        )
+        nlate = (
+            late.select("l_orderkey", "l_suppkey")
+            .distinct()
+            .groupBy(F.col("l_orderkey").alias("_ok2"))
+            .agg(F.countDistinct("l_suppkey").alias("_n_late"))
+        )
+        supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return (
+            late.join(nsupp, F.col("l_orderkey") == F.col("_ok1"))
+            .join(nlate, F.col("l_orderkey") == F.col("_ok2"))
+            .filter((F.col("_n_s") >= 2) & (F.col("_n_late") == 1))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(100)
+        )
+    q["q21_waiting_suppliers"] = q21_waiting_suppliers
+
     # ---- text analysis ----
     def t_tokens(spark, sf):
         from napalm_logs_spark.operators.text import with_tokens
@@ -1608,6 +1941,184 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c.c_nationkey
+    """
+
+    o["q2_min_cost_supplier"] = """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), eligible AS (
+          SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+          FROM cost c
+          JOIN supplier s ON c.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey,
+               round(e.unit_cost, 6) AS unit_cost
+        FROM eligible e
+        JOIN part p ON e.l_partkey = p.p_partkey
+        WHERE p.p_type = 'STANDARD'
+          AND e.unit_cost = (SELECT min(e2.unit_cost) FROM eligible e2
+                             WHERE e2.l_partkey = e.l_partkey)
+        ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 100
+    """
+
+    o["q7_volume_shipping"] = """
+        SELECT supp_region, cust_region, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+                 year(l.l_shipdate) AS l_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+              OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        ) v
+        GROUP BY supp_region, cust_region, l_year
+    """
+
+    o["q8_market_share"] = """
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS volume,
+                 n1.n_name AS nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r ON n2.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        ) v
+        GROUP BY o_year
+    """
+
+    o["q9_product_profit"] = """
+        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                 - CAST(l.l_tax AS DECIMAL(18,4))
+                   * CAST(l.l_extendedprice AS DECIMAL(18,4)) AS amount
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%widget%'
+        ) v
+        GROUP BY nation, o_year
+    """
+
+    o["q11_important_parts"] = """
+        WITH vals AS (
+          SELECT l.l_partkey AS p_key,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS val
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_3'
+          GROUP BY l.l_partkey
+        )
+        SELECT p_key, CAST(val AS DOUBLE) AS value
+        FROM vals, (SELECT sum(val) AS total FROM vals) t
+        WHERE val > CAST(0.001 AS DECIMAL(18,6)) * total
+    """
+
+    o["q12_late_shipping"] = """
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """
+
+    o["q13_order_distribution"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) cc
+        GROUP BY c_count
+    """
+
+    o["q17_small_qty_revenue"] = """
+        WITH pavg AS (
+          SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN pavg a ON l.l_partkey = a.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_cut
+    """
+
+    o["q20_excess_suppliers"] = """
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 1
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 15
+          )
+        ORDER BY s.s_name
+    """
+
+    o["q21_waiting_suppliers"] = """
+        SELECT s.s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
     """
 
     o["t_tokens"] = r"""
