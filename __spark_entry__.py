@@ -1214,6 +1214,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return gopher_rules(_t(spark, sf, "documents"))
     q["t_gopher_rules"] = t_gopher_rules
 
+    def t_dsir_weights(spark, sf):
+        # DSIR importance weights toward a deterministic "in-domain"
+        # sample (every 7th doc) — hashed-bigram log-likelihood ratios
+        from napalm_logs_spark.operators.text import dsir_importance
+
+        docs = _t(spark, sf, "documents")
+        return dsir_importance(docs, docs.filter(F.col("doc_id") % 7 == 0))
+    q["t_dsir_weights"] = t_dsir_weights
+
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
 
@@ -2649,6 +2658,48 @@ def oracle_sql() -> dict[str, str]:
                  AND (alpha_frac >= 0.8)
                  AND (n_stopwords >= 2) AS keep
         FROM sig
+    """
+
+    # DSIR hashed-bigram importance weights: bucket = first 3 hex chars
+    # of md5(gram) base-16 (identical strpos arithmetic both engines)
+    o["t_dsir_weights"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                      ELSE [] END AS grams
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g
+        ), exb AS (
+          SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1) AS bucket
+          FROM ex
+        ), raw AS (
+          SELECT bucket, count(*) AS cr FROM exb GROUP BY bucket
+        ), tgt AS (
+          SELECT bucket, count(*) AS ct FROM exb WHERE doc_id % 7 = 0 GROUP BY bucket
+        ), nr AS (
+          SELECT CAST(sum(cr) AS DOUBLE) AS n FROM raw
+        ), nt AS (
+          SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tgt
+        ), ratio AS (
+          SELECT r.bucket,
+                 ln((coalesce(t.ct, 0) + 1.0) / (nt.n + 4096.0))
+               - ln((r.cr + 1.0) / (nr.n + 4096.0)) AS lr
+          FROM raw r LEFT JOIN tgt t USING (bucket), nr, nt
+        )
+        SELECT e.doc_id, count(*) AS n_grams, round(sum(ratio.lr), 6) AS dsir_logweight
+        FROM exb e JOIN ratio USING (bucket)
+        GROUP BY e.doc_id
     """
 
     # planted contact block per row, scrubbed by category (same pattern

@@ -568,6 +568,93 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+_DSIR_HEX = "0123456789abcdef"
+
+
+def _dsir_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, bucket) — one row per word n-gram occurrence (duplicates
+    kept: DSIR features are counts), bucket = first 3 hex chars of
+    md5(gram) read base-16 (0..4095).  The hex-digit arithmetic uses
+    only ``instr``/``substring``, so any md5-capable engine (the DuckDB
+    oracle included) computes bit-identical buckets."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT),
+        lambda x: F.length(x) > 0,
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select("doc_id", F.explode(grams).alias("gram"))
+    dig = (
+        "(instr('0123456789abcdef', substring(_h3, {i}, 1)) - 1)"
+    )
+    bucket = F.expr(
+        f"{dig.format(i=1)} * 256 + {dig.format(i=2)} * 16 + {dig.format(i=3)}"
+    )
+    return ex.withColumn("_h3", F.substring(F.md5("gram"), 1, 3)).select(
+        "doc_id", bucket.cast("int").alias("bucket")
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023):
+    score every document in ``df`` by how much more likely its hashed
+    word-n-gram features are under the ``target`` domain sample than
+    under the raw corpus — ``dsir_logweight`` = Σ_grams ln(p_target /
+    p_raw) with add-α smoothed bucket distributions.  Documents with
+    fewer than ``n`` words have no features and are omitted.
+
+    Scale shape: both bucket-count tables are bounded by ``n_buckets``
+    rows → broadcast joins; per-doc scoring is one explode + map-side-
+    combined groupBy(doc_id), so the shuffle carries one row per (doc,
+    bucket-partial) — output-sized, not token-sized.  The 1-row totals
+    ride broadcast crossJoins (no eager count job).
+    """
+    raw = _dsir_grams(df, text_col, n)
+    tgt = _dsir_grams(target, text_col, n)
+    raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    nr = raw_counts.agg(F.sum("_cr").cast("double").alias("_nr"))
+    nt = tgt_counts.agg(F.sum("_ct").cast("double").alias("_nt"))
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "left_outer")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_nt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("_cr") + F.lit(alpha))
+                    / (F.col("_nr") + F.lit(alpha * n_buckets))
+                )
+            ).alias("_lr"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_lr"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
 #: Gopher-style document-quality rule set (Rae et al. 2021, Table A1,
 #: re-expressed as pure Column predicates).  Thresholds are the paper's
 #: where the signal exists in this corpus shape.

@@ -368,3 +368,58 @@ def test_unigram_logprob_empty_doc_dropped(spark):
         [(0, "a b"), (1, "   "), (2, "")], "doc_id long, text string"
     )
     assert sorted(r.doc_id for r in unigram_logprob(df).collect()) == [0]
+
+
+def test_dsir_importance_vs_python_reference(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from napalm_logs_spark.operators.text import dsir_importance
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "dogs chase the cat quickly",
+        3: "x",  # one token -> no bigrams -> omitted from output
+        4: "spark shuffles data across executors",
+        5: "the cat chased the dog",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    target = df.filter(F.col("doc_id").isin(1, 5))
+    out = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in dsir_importance(df, target).collect()
+    }
+
+    hexd = "0123456789abcdef"
+
+    def grams(t):
+        w = t.lower().split()
+        return [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+
+    def bucket(g):
+        h = hashlib.md5(g.encode()).hexdigest()
+        return hexd.index(h[0]) * 256 + hexd.index(h[1]) * 16 + hexd.index(h[2])
+
+    raw, tgt, per_doc = Counter(), Counter(), {}
+    for i, t in texts.items():
+        bs = [bucket(g) for g in grams(t)]
+        per_doc[i] = bs
+        raw.update(bs)
+        if i in (1, 5):
+            tgt.update(bs)
+    nr, nt, B = sum(raw.values()), sum(tgt.values()), 4096
+    for i, bs in per_doc.items():
+        if not bs:
+            assert i not in out
+            continue
+        lw = sum(
+            math.log((tgt.get(b, 0) + 1.0) / (nt + B))
+            - math.log((raw.get(b, 0) + 1.0) / (nr + B))
+            for b in bs
+        )
+        ng, got = out[i]
+        assert ng == len(bs)
+        assert got == pytest.approx(lw, abs=2e-6)
+    # in-domain docs must outscore a disjoint-vocabulary doc
+    assert out[1][1] > out[4][1]
