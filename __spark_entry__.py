@@ -1397,6 +1397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
 
+    def s_semdedup(spark, sf):
+        # SemDeDup: spherical k-means + within-cluster cosine pruning,
+        # deterministic lower-id-wins keeper
+        from napalm_logs_spark.operators.similarity import semdedup
+
+        return semdedup(_t(spark, sf, "embeddings"), k=10, threshold=0.35)
+    q["s_semdedup"] = s_semdedup  # oracled: stored numpy golden
+
     def s_ann_join(spark, sf):
         from napalm_logs_spark.operators.similarity import ivf_join_topk
 
@@ -2881,6 +2889,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_kmeans"] = f"""
         SELECT vec_id, cluster
         FROM read_parquet('{gd}/kmeans_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_semdedup"] = f"""
+        SELECT vec_id, cluster, keep
+        FROM read_parquet('{gd}/semdedup_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

@@ -503,6 +503,65 @@ def kmeans_clusters(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 4,
+    seed: int = 42,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): spherical
+    k-means over the embedding space (:func:`kmeans_clusters`,
+    deterministic fixed-point trainer), then within-cluster cosine
+    pruning — a document is dropped iff a LOWER-id document in the SAME
+    cluster has cosine ≥ ``threshold`` (deterministic lower-id-wins
+    keeper instead of the paper's random representative).  Output:
+    ``(id, cluster, keep)`` for every input row.
+
+    Scale shape: clustering is what makes the quadratic tractable —
+    pairs are only compared inside a cluster, so with k ≈ √N the
+    expected per-cluster work is O(N) total (the paper's design point);
+    the pair join shuffles both sides once on the cluster key, and the
+    per-row norm is computed once per side, never per pair.  The dup
+    id-set is a distinct projection (map-side combined), and the final
+    flag attach is a broadcast-able left join against that small set.
+    """
+    clusters = kmeans_clusters(
+        df, k=k, iters=iters, seed=seed, id_col=id_col, emb_col=emb_col
+    )
+    withc = df.select(id_col, emb_col).join(clusters, id_col)
+    a = withc.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_ea"),
+        _norm(F.col(emb_col)).alias("_na"),
+    )
+    b = withc.select(
+        F.col("cluster").alias("_cb"),
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_eb"),
+        _norm(F.col(emb_col)).alias("_nb"),
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    dups = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("_cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return clusters.join(dups, id_col, "left_outer").select(
+        id_col,
+        "cluster",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
 def ivf_join_topk(
     df: DataFrame,
     dim: int,

@@ -282,3 +282,38 @@ def test_ivf_join_is_shuffle_join_not_broadcast_and_not_cartesian(emb):
     plan = ivf_join_topk(emb, dim=DIM, k=3, n_clusters=8, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_planted_near_dup_dropped(spark):
+    """Two near-identical vectors land in one cluster; the higher id is
+    dropped, the lower kept; a distant vector survives untouched."""
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(24, 16).astype("float32")
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(24)]
+    # planted: 100 ≈ copy of row 3 (tiny perturbation), 101 orthogonal-ish
+    near = base[3] + 0.001 * rng.randn(16).astype("float32")
+    rows.append((100, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cluster, r.keep) for r in semdedup(df, k=4, threshold=0.95).collect()}
+    assert len(out) == 25
+    assert out[3][0] == out[100][0], "near-copy must share the cluster"
+    assert out[3][1] is True
+    assert out[100][1] is False, "higher-id near-dup must be dropped"
+    # with tau=0.95 nothing else correlates: everyone else keeps
+    assert sum(1 for c, k in out.values() if not k) == 1
+
+
+def test_semdedup_pair_join_shuffles_on_cluster_not_cartesian(spark):
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = semdedup(df, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -308,13 +308,46 @@ def make_mm_real_features() -> pd.DataFrame:
     )
 
 
+def _numpy_kmeans(M: np.ndarray, k: int, iters: int, seed: int,
+                  sample_cap: int) -> np.ndarray:
+    """Numpy replication of kmeans_clusters' published spec (seeded init
+    from the sample_cap smallest ids, spherical Lloyd with fixed-point
+    2^20 half-away-from-zero integer centroid sums, cosine argmax with
+    ties -> lowest cluster); returns the final assignment."""
+    QUANT = float(1 << 20)
+    sample = M[:sample_cap]
+    rng = np.random.RandomState(seed)
+    idx = np.sort(rng.choice(len(sample), size=min(k, len(sample)), replace=False))
+    cent = sample[idx].astype("float64")
+    n = np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = cent / np.where(n > 0, n, 1.0)
+
+    def assign(M, cent):
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        sims = (M @ cent.T) / np.where(norms > 0, norms, 1.0)
+        sims[norms[:, 0] == 0] = 0.0
+        return sims.argmax(axis=1)
+
+    sq = M * QUANT
+    Q = np.where(sq >= 0, np.floor(sq + 0.5), np.ceil(sq - 0.5)).astype(np.int64)
+    for _ in range(iters):
+        a = assign(M, cent)
+        new = cent.copy()
+        for c in range(len(cent)):
+            members = Q[a == c]
+            if len(members):
+                m = (members.sum(axis=0) / QUANT) / len(members)
+                nn = np.linalg.norm(m)
+                if nn > 0:
+                    new[c] = m / nn
+        cent = new
+    return assign(M, cent)
+
+
 def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
                 sample_cap: int = 1024) -> pd.DataFrame:
-    """Independent numpy replication of kmeans_clusters' published spec:
-    seeded init from the sample_cap smallest vec_ids, spherical Lloyd
-    with fixed-point (2^20, half-away-from-zero) integer centroid sums,
-    cosine argmax assignment (ties -> lowest cluster)."""
-    QUANT = float(1 << 20)
+    """Independent numpy replication of kmeans_clusters (see
+    _numpy_kmeans), one frame per scale factor keyed by content."""
     frames = []
     for sf in SFS:
         path = os.path.join(TESTDATA, sf, "embeddings.parquet")
@@ -323,39 +356,45 @@ def make_kmeans(k: int = 10, iters: int = 4, seed: int = 42,
         emb = pd.read_parquet(path).sort_values("vec_id")
         ids = emb["vec_id"].to_numpy()
         M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
-
-        sample = M[:sample_cap]
-        rng = np.random.RandomState(seed)
-        idx = np.sort(rng.choice(len(sample), size=min(k, len(sample)), replace=False))
-        cent = sample[idx].astype("float64")
-        n = np.linalg.norm(cent, axis=1, keepdims=True)
-        cent = cent / np.where(n > 0, n, 1.0)
-
-        def assign(M, cent):
-            norms = np.linalg.norm(M, axis=1, keepdims=True)
-            sims = (M @ cent.T) / np.where(norms > 0, norms, 1.0)
-            sims[norms[:, 0] == 0] = 0.0
-            return sims.argmax(axis=1)
-
-        sq = M * QUANT
-        Q = np.where(sq >= 0, np.floor(sq + 0.5), np.ceil(sq - 0.5)).astype(np.int64)
-        for _ in range(iters):
-            a = assign(M, cent)
-            new = cent.copy()
-            for c in range(len(cent)):
-                members = Q[a == c]
-                if len(members):
-                    m = (members.sum(axis=0) / QUANT) / len(members)
-                    nn = np.linalg.norm(m)
-                    if nn > 0:
-                        new[c] = m / nn
-            cent = new
-        final = assign(M, cent)
+        final = _numpy_kmeans(M, k, iters, seed, sample_cap)
         scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
         frames.append(pd.DataFrame({
             "scale_key": scale_key,
             "vec_id": ids.astype("int64"),
             "cluster": final.astype("int32"),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def make_semdedup(k: int = 10, iters: int = 4, seed: int = 42,
+                  threshold: float = 0.35,
+                  sample_cap: int = 1024) -> pd.DataFrame:
+    """Independent numpy replication of operators/similarity.semdedup:
+    cluster via _numpy_kmeans, unit-normalize, and drop any row with a
+    lower-vec_id same-cluster neighbor at cosine >= threshold."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        cl = _numpy_kmeans(M, k, iters, seed, sample_cap)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        N = M / np.where(norms > 0, norms, 1.0)
+        S = N @ N.T
+        keep = np.ones(len(M), dtype=bool)
+        for j in range(len(M)):
+            same = (cl[:j] == cl[j])
+            if same.any() and (S[:j, j][same] >= threshold).any():
+                keep[j] = False
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(pd.DataFrame({
+            "scale_key": scale_key,
+            "vec_id": ids.astype("int64"),
+            "cluster": cl.astype("int32"),
+            "keep": keep,
         }))
     return pd.concat(frames, ignore_index=True)
 
@@ -457,6 +496,9 @@ def main() -> None:
     aj = make_ann_join()
     aj.to_parquet(os.path.join(OUT, "ann_join_golden.parquet"), index=False)
     print(f"ann_join: {len(aj)} rows across {aj['scale_key'].nunique()} sfs")
+    sd = make_semdedup()
+    sd.to_parquet(os.path.join(OUT, "semdedup_golden.parquet"), index=False)
+    print(f"semdedup: {len(sd)} rows across {sd['scale_key'].nunique()} sfs")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
