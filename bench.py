@@ -52,6 +52,12 @@ HEADLINE = [
     "s_knn_cosine",
     "s_ann_ivf",
     "s_ann_join",
+    # s_semdedup / s_kmeans are deliberately NOT here: iterative
+    # trainers (4 driver-synchronized Lloyd rounds) are fixed-cost
+    # multi-job ops that would swamp the wall-clock suite; they are
+    # correctness-gated by the driver and timed in their own tests
+    "t_gopher_rules",
+    "t_dsir_weights",
     "q_window_running",
     "golden_normalize",
 ]
