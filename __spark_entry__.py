@@ -788,6 +788,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q22_idle_customers"] = q22_idle_customers
 
+    def c13_cohort_retention(spark, sf):
+        # classic web-scale cohort retention: cohort = ISO week of a
+        # user's first event, activity bucketed by week — the per-user
+        # first-event aggregate and the re-join both shuffle on user_id
+        # (same key, one exchange reused), then a distinct-count per
+        # (cohort, activity) cell
+        ev = _t(spark, sf, "events").select("user_id", "ts")
+        firsts = ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        )
+        return (
+            ev.join(firsts, "user_id")
+            .groupBy(
+                "cohort_week",
+                F.date_trunc("week", F.col("ts")).alias("activity_week"),
+            )
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+    q["c13_cohort_retention"] = c13_cohort_retention
+
+    def q_window_range_7d(spark, sf):
+        # RANGE-frame rolling window (vs q_window_running's ROWS frame):
+        # trailing-7-day revenue per nation ordered by integer epoch-day
+        # — partitioned by nation so no single-partition global sort
+        daily = (
+            _t(spark, sf, "orders")
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy(
+                "c_nationkey", F.date_trunc("day", F.col("o_orderdate")).alias("d")
+            )
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_rev"))
+        )
+        w = (
+            Window.partitionBy("c_nationkey")
+            .orderBy(F.datediff(F.col("d").cast("date"), F.lit("1990-01-01").cast("date")))
+            .rangeBetween(-6, 0)
+        )
+        return daily.select(
+            "c_nationkey",
+            "d",
+            F.col("_rev").cast("double").alias("day_rev"),
+            F.sum("_rev").over(w).cast("double").alias("rev_7d"),
+        )
+    q["q_window_range_7d"] = q_window_range_7d
+
+    def e_props_json(spark, sf):
+        # semi-structured extraction: JSON path get over the props
+        # column, grouped rollup — get_json_object stays JVM-side
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias(
+                "sum_k"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    q["e_props_json"] = e_props_json
+
     def q2_min_cost_supplier(spark, sf):
         # TPC-H Q2 shape (correlated MIN subquery → window-min over the
         # eligible set; unit cost proxy = min observed unit price per
@@ -1958,6 +2020,39 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c.c_nationkey
+    """
+
+    o["c13_cohort_retention"] = """
+        WITH firsts AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+          FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    o["q_window_range_7d"] = """
+        WITH daily AS (
+          SELECT c.c_nationkey, date_trunc('day', o.o_orderdate) AS d,
+                 sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT c_nationkey, d, CAST(rev AS DOUBLE) AS day_rev,
+               CAST(sum(rev) OVER (PARTITION BY c_nationkey
+                     ORDER BY date_diff('day', DATE '1990-01-01', CAST(d AS DATE))
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        FROM daily
+    """
+
+    o["e_props_json"] = """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
     """
 
     o["q2_min_cost_supplier"] = """
