@@ -838,6 +838,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_window_range_7d"] = q_window_range_7d
 
+    def q_gapfill_ffill(spark, sf):
+        # time-series gap filling: per-nation daily revenue densified
+        # onto a generated date spine (sequence+explode — the spine is
+        # built per group, never collected to the driver) and forward-
+        # filled with last-known revenue (last IGNORE NULLS over a rows
+        # frame).  The spine join and the window share the nation
+        # partitioning, so densify+fill is one shuffle after the agg
+        daily = (
+            _t(spark, sf, "orders")
+            .join(
+                F.broadcast(
+                    _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy(
+                "c_nationkey", F.date_trunc("day", F.col("o_orderdate")).alias("d")
+            )
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_rev"))
+        )
+        spine = (
+            daily.groupBy("c_nationkey")
+            .agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+            .select(
+                F.col("c_nationkey").alias("_nk"),
+                F.explode(
+                    F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+                ).alias("_d"),
+            )
+        )
+        w = (
+            Window.partitionBy("_nk")
+            .orderBy("_d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            spine.join(
+                daily,
+                (F.col("_nk") == F.col("c_nationkey")) & (F.col("_d") == F.col("d")),
+                "left_outer",
+            )
+            .select(
+                F.col("_nk").alias("c_nationkey"),
+                F.col("_d").alias("d"),
+                F.col("_rev").cast("double").alias("day_rev"),
+                F.last("_rev", ignorenulls=True)
+                .over(w)
+                .cast("double")
+                .alias("filled_rev"),
+            )
+        )
+    q["q_gapfill_ffill"] = q_gapfill_ffill
+
     def e_props_json(spark, sf):
         # semi-structured extraction: JSON path get over the props
         # column, grouped rollup — get_json_object stays JVM-side
@@ -849,6 +902,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_events"),
         )
     q["e_props_json"] = e_props_json
+
+    def q_unpivot_measures(spark, sf):
+        # wide→long UNPIVOT (inverse of q_pivot): per-flag totals of the
+        # four lineitem measures melt into (flag, measure, total) — the
+        # unpivot is a zero-shuffle projection after the aggregate
+        agg = (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("quantity"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("extendedprice"),
+                F.sum(F.col("l_discount").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("discount"),
+                F.sum(F.col("l_tax").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("tax"),
+            )
+        )
+        return agg.unpivot(
+            ["l_returnflag"],
+            ["quantity", "extendedprice", "discount", "tax"],
+            "measure",
+            "total",
+        )
+    q["q_unpivot_measures"] = q_unpivot_measures
 
     def q2_min_cost_supplier(spark, sf):
         # TPC-H Q2 shape (correlated MIN subquery → window-min over the
@@ -2048,11 +2131,54 @@ def oracle_sql() -> dict[str, str]:
         FROM daily
     """
 
+    o["q_gapfill_ffill"] = """
+        WITH daily AS (
+          SELECT c.c_nationkey, date_trunc('day', o.o_orderdate) AS d,
+                 sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ), bounds AS (
+          SELECT c_nationkey, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+        ), spine AS (
+          SELECT b.c_nationkey, s.d
+          FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d
+          ) s
+        )
+        SELECT sp.c_nationkey, sp.d,
+               CAST(dl.rev AS DOUBLE) AS day_rev,
+               CAST(last_value(dl.rev IGNORE NULLS) OVER (
+                    PARTITION BY sp.c_nationkey ORDER BY sp.d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS filled_rev
+        FROM spine sp
+        LEFT JOIN daily dl
+          ON sp.c_nationkey = dl.c_nationkey AND sp.d = dl.d
+    """
+
     o["e_props_json"] = """
         SELECT event_type,
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """
+
+    o["q_unpivot_measures"] = """
+        WITH agg AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS quantity,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS extendedprice,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS discount,
+                 CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS tax
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'discount', discount FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'tax', tax FROM agg
     """
 
     o["q2_min_cost_supplier"] = """
