@@ -621,9 +621,17 @@ def dsir_importance(
     bucket-partial) — output-sized, not token-sized.  The 1-row totals
     ride broadcast crossJoins (no eager count job).
     """
-    raw = _dsir_grams(df, text_col, n)
+    # per-doc bucket counts FIRST: the md5+explode gram pass is the
+    # expensive scan, and both of its consumers (the corpus bucket
+    # histogram and the per-doc scoring) read the SAME (doc_id, bucket)
+    # aggregate — one shuffle, reused exchange, grams hashed once
+    raw = (
+        _dsir_grams(df, text_col, n)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     tgt = _dsir_grams(target, text_col, n)
-    raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    raw_counts = raw.groupBy("bucket").agg(F.sum("_c").alias("_cr"))
     tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
     nr = raw_counts.agg(F.sum("_cr").cast("double").alias("_nr"))
     nt = tgt_counts.agg(F.sum("_ct").cast("double").alias("_nt"))
@@ -649,8 +657,8 @@ def dsir_importance(
         raw.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("_lr"), 6).alias("dsir_logweight"),
+            F.sum("_c").alias("n_grams"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")), 6).alias("dsir_logweight"),
         )
     )
 
