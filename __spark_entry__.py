@@ -1516,7 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
             n_planes=4, n_tables=8,
         ).withColumn("rank", F.col("rank").cast("long"))
-    q["s_ann_lsh"] = s_ann_lsh  # no oracle: approximate by construction
+    q["s_ann_lsh"] = s_ann_lsh  # oracled: stored numpy golden (seeded planes)
 
     def s_ann_ivf(spark, sf):
         from napalm_logs_spark.operators.similarity import ivf_cosine_topk
@@ -1526,7 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5,
             n_clusters=8, nprobe=4,
         ).withColumn("rank", F.col("rank").cast("long"))
-    q["s_ann_ivf"] = s_ann_ivf  # no oracle: approximate by construction
+    q["s_ann_ivf"] = s_ann_ivf  # oracled: stored numpy golden (seeded IVF)
 
     def s_embedding_near_dup(spark, sf):
         from napalm_logs_spark.operators.similarity import embedding_near_dup
@@ -3119,6 +3119,27 @@ def oracle_sql() -> dict[str, str]:
     o["s_semdedup"] = f"""
         SELECT vec_id, cluster, keep
         FROM read_parquet('{gd}/semdedup_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    # approximate-by-construction ANN, but DETERMINISTIC by seed: the
+    # stored goldens replicate the published spec (planes/centroid
+    # training, stable probe order, HALF_UP cosine, id tie-breaks)
+    o["s_ann_lsh"] = f"""
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM read_parquet('{gd}/ann_lsh_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_ann_ivf"] = f"""
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM read_parquet('{gd}/ann_ivf_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

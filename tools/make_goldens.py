@@ -473,6 +473,124 @@ def make_ann_join(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_ann_lsh(
+    dim: int = 64, k: int = 5, n_planes: int = 4, n_tables: int = 8,
+    seed: int = 42, n_queries: int = 5,
+) -> pd.DataFrame:
+    """Expected ``lsh_cosine_topk`` output (queries = vec_id < 5) from
+    the published spec: per table t the planes are
+    RandomState(seed+t).normal((n_planes, dim)); bucket bit i is
+    (v @ plane_i) > 0; candidates share a bucket in >=1 table,
+    deduplicated; exact double cosine HALF_UP-rounded to 6; rank by
+    (-cosine, neighbor_id), top k."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        norms = np.linalg.norm(M, axis=1)
+        qidx = np.where(ids < n_queries)[0]
+
+        powers = 1 << np.arange(n_planes, dtype=np.int64)
+        sigs = []
+        for t in range(n_tables):
+            planes = np.random.RandomState(seed + t).normal(size=(n_planes, dim))
+            sigs.append(((M @ planes.T) > 0) @ powers)
+
+        rows = []
+        for i in qidx:
+            cand_ids = set()
+            for t in range(n_tables):
+                cand_ids.update(np.where(sigs[t] == sigs[t][i])[0].tolist())
+            cand_ids.discard(int(i))
+            cands = []
+            for j in sorted(cand_ids):
+                cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
+                cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
+            cands.sort(key=lambda t2: (-t2[1], t2[0]))
+            for r, (nid, cos) in enumerate(cands[:k], start=1):
+                rows.append((int(ids[i]), nid, cos, r))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64", "scale_key": "int64"})
+
+
+def make_ann_ivf(
+    dim: int = 64, k: int = 5, n_clusters: int = 8, nprobe: int = 4,
+    seed: int = 42, sample_cap: int = 4096, n_queries: int = 5,
+) -> pd.DataFrame:
+    """Expected ``ivf_cosine_topk`` output (queries = vec_id < 5): same
+    published IVF trainer spec as make_ann_join (seeded Lloyd on the
+    vec_id-ordered sample, 10 iterations, dead-centroid reseeding),
+    corpus rows in argmax lists, queries probe their nprobe stably
+    ordered nearest lists; exact double cosine HALF_UP-rounded to 6;
+    rank by (-cosine, neighbor_id), top k."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+
+        S = M[:sample_cap]
+        rng = np.random.RandomState(seed)
+        nrm = np.linalg.norm(S, axis=1, keepdims=True)
+        U = S / np.where(nrm > 0, nrm, 1.0)
+        pick = np.sort(rng.choice(len(U), size=min(n_clusters, len(U)), replace=False))
+        cent = U[pick].copy()
+        for _ in range(10):
+            lab = (U @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                mem = U[lab == c]
+                if len(mem):
+                    m = mem.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cent[c] = m / n
+                else:
+                    cent[c] = U[rng.randint(len(U))]
+
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+        sims[norms == 0] = 0.0
+        assign = sims.argmax(axis=1)
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+        members: dict = {}
+        for j, c in enumerate(assign):
+            members.setdefault(int(c), []).append(j)
+        rows = []
+        for i in np.where(ids < n_queries)[0]:
+            cands = []
+            for c in probes[i]:
+                for j in members.get(int(c), ()):
+                    if j == i:
+                        continue
+                    cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
+                    cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
+            cands.sort(key=lambda t2: (-t2[1], t2[0]))
+            for r, (nid, cos) in enumerate(cands[:k], start=1):
+                rows.append((int(ids[i]), nid, cos, r))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64", "scale_key": "int64"})
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -499,6 +617,12 @@ def main() -> None:
     sd = make_semdedup()
     sd.to_parquet(os.path.join(OUT, "semdedup_golden.parquet"), index=False)
     print(f"semdedup: {len(sd)} rows across {sd['scale_key'].nunique()} sfs")
+    al = make_ann_lsh()
+    al.to_parquet(os.path.join(OUT, "ann_lsh_golden.parquet"), index=False)
+    print(f"ann_lsh: {len(al)} rows across {al['scale_key'].nunique()} sfs")
+    ai = make_ann_ivf()
+    ai.to_parquet(os.path.join(OUT, "ann_ivf_golden.parquet"), index=False)
+    print(f"ann_ivf: {len(ai)} rows across {ai['scale_key'].nunique()} sfs")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
