@@ -1,0 +1,154 @@
+"""Streaming cross-batch embedding near-dup filter.
+
+A firehose of embedded documents arrives in micro-batches; each batch
+must be deduplicated against EVERYTHING kept so far, not just within
+itself.  The state is an LSH bucket index persisted as a per-batch-id
+parquet layout (exactly the sink's idempotent ``_batch_id=<n>`` +
+overwrite recipe, streaming/sink.py): a replayed micro-batch overwrites
+its own output AND its own index slice, and only compares against index
+slices with ``_batch_id`` strictly below its own — so the result of any
+batch is a pure function of the committed prefix, and restarts/retries
+are exactly-once.
+
+Per batch the work is candidate-bounded, never quadratic: new rows are
+bucketed into ``n_tables`` seeded hyperplane tables
+(:func:`..operators.similarity._bucket_table` — the same scheme as the
+batch near-dup operator, so batch and stream can never disagree), the
+index join hits only matching (table, bucket) keys, and exact cosine
+runs on candidates only with per-row norms precomputed.  At production
+scale the index side should be laid out for bucket pruning (bucketed /
+Z-ordered by (table, bucket), or an Iceberg table with bucket bloom
+filters); the comparison semantics here are identical.
+
+Within a batch the keeper is lower-id-wins; across batches the earlier
+batch always wins (its rows are already in the index).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _bucket_table, _dot
+
+
+def _read_index(spark, index_dir: str, before_batch: int) -> DataFrame | None:
+    """Committed index slices with _batch_id < before_batch, or None."""
+    if not os.path.isdir(index_dir):
+        return None
+    try:
+        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    except Exception:
+        return None
+    if "_batch_id" not in idx.columns:
+        return None
+    return idx.filter(F.col("_batch_id") < before_batch)
+
+
+def near_dup_filter_batch(
+    out_dir: str,
+    index_dir: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """foreachBatch function: filter near-dups vs the committed index,
+    write survivors to ``out_dir/_batch_id=<n>`` and their bucket rows
+    to ``index_dir/_batch_id=<n>`` (both overwrite — idempotent)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bt = _bucket_table(
+            batch_df, dim, n_planes, n_tables, seed, id_col, emb_col
+        )
+        cos = _dot(F.col("emb"), F.col("_p_emb")) / (
+            F.col("nrm") * F.col("_p_nrm")
+        )
+
+        dup_vs_prev = None
+        idx = _read_index(spark, index_dir, batch_id)
+        if idx is not None:
+            prev = idx.select(
+                "table",
+                "bucket",
+                F.col("emb").alias("_p_emb"),
+                F.col("nrm").alias("_p_nrm"),
+            )
+            dup_vs_prev = (
+                bt.join(prev, ["table", "bucket"])
+                .filter(cos >= threshold)
+                .select("id")
+            )
+
+        other = bt.select(
+            "table",
+            "bucket",
+            F.col("id").alias("_p_id"),
+            F.col("emb").alias("_p_emb"),
+            F.col("nrm").alias("_p_nrm"),
+        )
+        dup_in_batch = (
+            bt.join(other, ["table", "bucket"])
+            .filter(F.col("_p_id") < F.col("id"))
+            .filter(cos >= threshold)
+            .select("id")
+        )
+        dups = (
+            dup_in_batch if dup_vs_prev is None
+            else dup_in_batch.unionByName(dup_vs_prev)
+        ).distinct()
+
+        kept = batch_df.join(
+            dups.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/_batch_id={batch_id}"
+        )
+        # index slice = the survivors' bucket rows (drop dup ids too —
+        # a dropped row must never become a future comparison anchor)
+        kept_bt = bt.join(
+            dups.withColumnRenamed("id", "_d"), bt["id"] == F.col("_d"), "left_anti"
+        ).select("table", "bucket", "id", "emb", "nrm")
+        kept_bt.write.mode("overwrite").parquet(
+            f"{index_dir}/_batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def run_near_dup_stream_once(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema,
+    dim: int,
+    threshold: float = 0.9,
+    **kwargs,
+) -> None:
+    """Drain all available source files through the filter once
+    (availableNow trigger), exactly-once under replay."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            near_dup_filter_batch(
+                out_dir, index_dir, dim, threshold=threshold, **kwargs
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kept(spark, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

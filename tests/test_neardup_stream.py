@@ -1,0 +1,85 @@
+"""Streaming cross-batch embedding near-dup filter: earlier-batch-wins
+semantics, within-batch lower-id-wins, exactly-once under replay."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.streaming.neardup_stream import (
+    read_kept,
+    run_near_dup_stream_once,
+)
+
+DIM = 16
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _vecs(seed, n):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, DIM).astype("float32")
+
+
+def _rows(ids, M):
+    return [(int(i), [float(x) for x in v]) for i, v in zip(ids, M)]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "out", "idx", "ckpt")}
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_cross_batch_and_in_batch_dedup(spark, dirs):
+    base = _vecs(3, 6)
+    # batch 1: ids 0..5 distinct, plus 50 = near-copy of 2 (in-batch dup)
+    b1 = _rows(range(6), base) + _rows(
+        [50], [base[2] + 0.001 * _vecs(4, 1)[0]]
+    )
+    _write(spark, dirs["src"], b1)
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    kept1 = {r.vec_id for r in read_kept(spark, dirs["out"]).collect()}
+    assert kept1 == {0, 1, 2, 3, 4, 5}, kept1  # 50 dropped in-batch
+
+    # batch 2: 100 = near-copy of batch-1's id 4 (cross-batch dup),
+    # 101 fresh
+    b2 = _rows([100], [base[4] + 0.001 * _vecs(5, 1)[0]]) + _rows(
+        [101], _vecs(6, 1)
+    )
+    _write(spark, dirs["src"], b2)
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    out = read_kept(spark, dirs["out"])
+    kept = {r.vec_id for r in out.collect()}
+    assert 100 not in kept, "cross-batch near-dup must be dropped"
+    assert 101 in kept
+    # lineage partition column present, two batch ids
+    assert out.select("_batch_id").distinct().count() == 2
+
+
+def test_replayed_batch_is_idempotent(spark, dirs):
+    base = _vecs(7, 4)
+    _write(spark, dirs["src"], _rows(range(4), base))
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    first = sorted(
+        tuple(r) for r in read_kept(spark, dirs["out"]).select("vec_id").collect()
+    )
+    # replay batch 0 by hand: same batch function, same batch id
+    from napalm_logs_spark.streaming.neardup_stream import near_dup_filter_batch
+
+    bdf = spark.createDataFrame(_rows(range(4), base), SCHEMA)
+    near_dup_filter_batch(dirs["out"], dirs["idx"], DIM, threshold=0.95)(bdf, 0)
+    second = sorted(
+        tuple(r) for r in read_kept(spark, dirs["out"]).select("vec_id").collect()
+    )
+    assert first == second, "replay must overwrite, not duplicate"
