@@ -75,8 +75,8 @@ def test_every_query_has_oracle_or_reason():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o.issubset(q)
-    # the rows-only set is intentional and documented in-code
+    # every query is gated: SQL-mirrorable ones against DuckDB SQL, the
+    # rest (incl. the seed-deterministic ANN entries) against stored
+    # independent goldens — no rows-only entries remain
     rows_only = q - o
-    # only the genuinely-approximate ANN entries stay rows-only
-    expected_rows_only = {"s_ann_lsh", "s_ann_ivf"}
-    assert rows_only == expected_rows_only, rows_only
+    assert rows_only == set(), rows_only
