@@ -531,6 +531,10 @@ def semdedup(
     clusters = kmeans_clusters(
         df, k=k, iters=iters, seed=seed, id_col=id_col, emb_col=emb_col
     )
+    # (id, cluster) is output-sized and narrow; materialize it once so
+    # the two pair sides + the final flag join don't each re-run the
+    # full-corpus centroid-assignment matmul
+    clusters = clusters.localCheckpoint(eager=True)
     withc = df.select(id_col, emb_col).join(clusters, id_col)
     a = withc.select(
         F.col("cluster"),
@@ -544,7 +548,12 @@ def semdedup(
         F.col(emb_col).alias("_eb"),
         _norm(F.col(emb_col)).alias("_nb"),
     )
-    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    # try_divide: a zero-norm vector gets NULL cosine (kept) instead of
+    # an ANSI-mode DIVIDE_BY_ZERO job abort — matching the numpy golden,
+    # which scores zero vectors as non-duplicates
+    cos = F.try_divide(
+        _dot(F.col("_ea"), F.col("_eb")), F.col("_na") * F.col("_nb")
+    )
     dups = (
         a.join(
             b,

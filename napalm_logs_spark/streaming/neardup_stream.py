@@ -10,18 +10,24 @@ slices with ``_batch_id`` strictly below its own — so the result of any
 batch is a pure function of the committed prefix, and restarts/retries
 are exactly-once.
 
+Semantics are GREEDY ONLINE dedup: only KEPT rows enter the index, so
+only kept rows anchor future comparisons (earlier-batch-wins across
+batches, lower-id-wins within one).  This intentionally differs from
+batch :func:`..operators.similarity.semdedup`, where a dropped row
+still suppresses later rows — online, the kept set is the transitive
+answer achievable without revisiting history, and (as with any online
+dedup) the exact kept set can depend on how rows split into batches.
+
 Per batch the work is candidate-bounded, never quadratic: new rows are
-bucketed into ``n_tables`` seeded hyperplane tables
-(:func:`..operators.similarity._bucket_table` — the same scheme as the
-batch near-dup operator, so batch and stream can never disagree), the
-index join hits only matching (table, bucket) keys, and exact cosine
-runs on candidates only with per-row norms precomputed.  At production
+bucketed into ``n_tables`` seeded hyperplane tables with the SAME
+scheme, defaults, per-table ``max_bucket`` skew cap, pair
+deduplication, and 6-dp HALF_UP cosine threshold as the batch
+:func:`..operators.similarity.embedding_near_dup` — the two paths
+cannot disagree on a pair verdict.  The index join hits only matching
+(table, bucket) keys with per-row norms precomputed.  At production
 scale the index side should be laid out for bucket pruning (bucketed /
 Z-ordered by (table, bucket), or an Iceberg table with bucket bloom
 filters); the comparison semantics here are identical.
-
-Within a batch the keeper is lower-id-wins; across batches the earlier
-batch always wins (its rows are already in the index).
 """
 
 from __future__ import annotations
@@ -30,18 +36,25 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window
+from pyspark.sql.utils import AnalysisException
 
 from ..operators.similarity import _bucket_table, _dot
 
 
 def _read_index(spark, index_dir: str, before_batch: int) -> DataFrame | None:
-    """Committed index slices with _batch_id < before_batch, or None."""
-    if not os.path.isdir(index_dir):
+    """Committed index slices with _batch_id < before_batch, or None on
+    the FIRST batch only (missing directory).  Any other read failure
+    (corrupt slice, transient store error) raises — silently skipping
+    the index would admit duplicates without a trace."""
+    if "://" not in index_dir and not os.path.isdir(index_dir):
         return None
     try:
         idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
     if "_batch_id" not in idx.columns:
         return None
     return idx.filter(F.col("_batch_id") < before_batch)
@@ -51,10 +64,11 @@ def near_dup_filter_batch(
     out_dir: str,
     index_dir: str,
     dim: int,
-    threshold: float = 0.9,
-    n_planes: int = 8,
+    threshold: float = 0.95,
+    n_planes: int = 10,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket: int = 2000,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ):
@@ -64,60 +78,86 @@ def near_dup_filter_batch(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        bt = _bucket_table(
-            batch_df, dim, n_planes, n_tables, seed, id_col, emb_col
+        wb = Window.partitionBy("table", "bucket")
+        # same skew cap as embedding_near_dup: an oversized bucket is
+        # excluded per table (other tables still recover its true pairs)
+        bt = (
+            _bucket_table(batch_df, dim, n_planes, n_tables, seed, id_col, emb_col)
+            .withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        cos = _dot(F.col("emb"), F.col("_p_emb")) / (
-            F.col("nrm") * F.col("_p_nrm")
-        )
+        # the bucketing (pandas-UDF matmuls) feeds the index join, the
+        # in-batch join, AND the index-slice write — persist once
+        bt = bt.persist()
+        try:
+            # try_divide: a zero-norm vector yields NULL cosine (row
+            # kept) instead of an ANSI DIVIDE_BY_ZERO poison-pilling
+            # the streaming query on every replay
+            cos = F.round(
+                F.try_divide(
+                    _dot(F.col("emb"), F.col("_p_emb")),
+                    F.col("nrm") * F.col("_p_nrm"),
+                ),
+                6,
+            )
 
-        dup_vs_prev = None
-        idx = _read_index(spark, index_dir, batch_id)
-        if idx is not None:
-            prev = idx.select(
+            dup_vs_prev = None
+            idx = _read_index(spark, index_dir, batch_id)
+            if idx is not None:
+                prev = idx.select(
+                    "table",
+                    "bucket",
+                    F.col("id").alias("_p_id"),
+                    F.col("emb").alias("_p_emb"),
+                    F.col("nrm").alias("_p_nrm"),
+                )
+                dup_vs_prev = (
+                    bt.join(prev, ["table", "bucket"])
+                    .dropDuplicates(["id", "_p_id"])
+                    .filter(cos >= threshold)
+                    .select("id")
+                )
+
+            other = bt.select(
                 "table",
                 "bucket",
+                F.col("id").alias("_p_id"),
                 F.col("emb").alias("_p_emb"),
                 F.col("nrm").alias("_p_nrm"),
             )
-            dup_vs_prev = (
-                bt.join(prev, ["table", "bucket"])
+            dup_in_batch = (
+                bt.join(other, ["table", "bucket"])
+                .filter(F.col("_p_id") < F.col("id"))
+                .dropDuplicates(["id", "_p_id"])
                 .filter(cos >= threshold)
                 .select("id")
             )
-
-        other = bt.select(
-            "table",
-            "bucket",
-            F.col("id").alias("_p_id"),
-            F.col("emb").alias("_p_emb"),
-            F.col("nrm").alias("_p_nrm"),
-        )
-        dup_in_batch = (
-            bt.join(other, ["table", "bucket"])
-            .filter(F.col("_p_id") < F.col("id"))
-            .filter(cos >= threshold)
-            .select("id")
-        )
-        dups = (
-            dup_in_batch if dup_vs_prev is None
-            else dup_in_batch.unionByName(dup_vs_prev)
-        ).distinct()
-
-        kept = batch_df.join(
-            dups.withColumnRenamed("id", id_col), id_col, "left_anti"
-        )
-        kept.write.mode("overwrite").parquet(
-            f"{out_dir}/_batch_id={batch_id}"
-        )
-        # index slice = the survivors' bucket rows (drop dup ids too —
-        # a dropped row must never become a future comparison anchor)
-        kept_bt = bt.join(
-            dups.withColumnRenamed("id", "_d"), bt["id"] == F.col("_d"), "left_anti"
-        ).select("table", "bucket", "id", "emb", "nrm")
-        kept_bt.write.mode("overwrite").parquet(
-            f"{index_dir}/_batch_id={batch_id}"
-        )
+            dups = (
+                dup_in_batch if dup_vs_prev is None
+                else dup_in_batch.unionByName(dup_vs_prev)
+            ).distinct().persist()
+            try:
+                kept = batch_df.join(
+                    dups.withColumnRenamed("id", id_col), id_col, "left_anti"
+                )
+                kept.write.mode("overwrite").parquet(
+                    f"{out_dir}/_batch_id={batch_id}"
+                )
+                # index slice = the survivors' bucket rows (greedy
+                # online: a dropped row never becomes a future anchor)
+                kept_bt = bt.join(
+                    dups.withColumnRenamed("id", "_d"),
+                    bt["id"] == F.col("_d"),
+                    "left_anti",
+                ).select("table", "bucket", "id", "emb", "nrm")
+                kept_bt.write.mode("overwrite").parquet(
+                    f"{index_dir}/_batch_id={batch_id}"
+                )
+            finally:
+                dups.unpersist()
+        finally:
+            bt.unpersist()
 
     return _write
 
@@ -130,7 +170,7 @@ def run_near_dup_stream_once(
     checkpoint_dir: str,
     schema,
     dim: int,
-    threshold: float = 0.9,
+    threshold: float = 0.95,
     **kwargs,
 ) -> None:
     """Drain all available source files through the filter once
@@ -147,7 +187,9 @@ def run_near_dup_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("near-dup stream did not drain within 600s")
 
 
 def read_kept(spark, out_dir: str) -> DataFrame:

@@ -41,7 +41,7 @@ def _drain(spark, out_df, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate within 120s"
     return rows
 
 

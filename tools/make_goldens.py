@@ -403,18 +403,68 @@ def make_semdedup(k: int = 10, iters: int = 4, seed: int = 42,
 # 7. IVF all-pairs kNN join golden (numpy re-implementation of the spec)
 
 
+def _numpy_ivf_centroids(M: np.ndarray, n_clusters: int, seed: int,
+                         sample_cap: int) -> np.ndarray:
+    """The published IVF trainer spec (similarity.py docstrings), shared
+    by every IVF golden: seeded Lloyd on the vec_id-ordered sample
+    (RandomState(seed).choice without replacement, index-sorted, 10
+    iterations, cosine argmax on unit vectors, mean-then-renormalize,
+    dead centroids reseeded via rng.randint)."""
+    S = M[:sample_cap]
+    rng = np.random.RandomState(seed)
+    nrm = np.linalg.norm(S, axis=1, keepdims=True)
+    U = S / np.where(nrm > 0, nrm, 1.0)
+    pick = np.sort(rng.choice(len(U), size=min(n_clusters, len(U)), replace=False))
+    cent = U[pick].copy()
+    for _ in range(10):
+        lab = (U @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mem = U[lab == c]
+            if len(mem):
+                m = mem.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+            else:
+                cent[c] = U[rng.randint(len(U))]
+    return cent
+
+
+def _numpy_ivf_topk_rows(M: np.ndarray, ids: np.ndarray, cent: np.ndarray,
+                         nprobe: int, k: int, query_idx) -> list:
+    """Candidate scoring shared by the IVF goldens: corpus rows in their
+    argmax lists, queries probe their nprobe stably ordered nearest
+    lists, exact double cosine HALF_UP-rounded to 6, rank by (-cosine,
+    neighbor_id), top k."""
+    norms = np.linalg.norm(M, axis=1)
+    sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+    sims[norms == 0] = 0.0
+    assign = sims.argmax(axis=1)
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    members: dict = {}
+    for j, c in enumerate(assign):
+        members.setdefault(int(c), []).append(j)
+    rows = []
+    for i in query_idx:
+        cands = []
+        for c in probes[i]:
+            for j in members.get(int(c), ()):
+                if j == i:
+                    continue
+                cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
+                cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
+        cands.sort(key=lambda t2: (-t2[1], t2[0]))
+        for r, (nid, cos) in enumerate(cands[:k], start=1):
+            rows.append((int(ids[i]), nid, cos, r))
+    return rows
+
+
 def make_ann_join(
     dim: int = 64, k: int = 3, n_clusters: int = 32, nprobe: int = 2,
     seed: int = 42, sample_cap: int = 4096,
 ) -> pd.DataFrame:
-    """Expected ``ivf_join_topk`` output per scale, from the operator\'s
-    PUBLISHED spec (similarity.py docstrings), not its code: seeded
-    Lloyd on the vec_id-ordered sample (RandomState(seed).choice
-    without replacement, index-sorted, 10 iterations, cosine argmax on
-    unit vectors, mean-then-renormalize, dead centroids reseeded via
-    rng.randint), one inverted list per row, stable nprobe probe order,
-    exact double cosine HALF_UP-rounded to 6, rank by (-cosine,
-    neighbor_id)."""
+    """Expected ``ivf_join_topk`` output per scale (all rows are
+    queries), from the shared _numpy_ivf_* spec replication."""
     frames = []
     for sf in SFS:
         path = os.path.join(TESTDATA, sf, "embeddings.parquet")
@@ -423,46 +473,8 @@ def make_ann_join(
         emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
         ids = emb["vec_id"].to_numpy()
         M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
-
-        S = M[:sample_cap]
-        rng = np.random.RandomState(seed)
-        nrm = np.linalg.norm(S, axis=1, keepdims=True)
-        U = S / np.where(nrm > 0, nrm, 1.0)
-        pick = np.sort(rng.choice(len(U), size=min(n_clusters, len(U)), replace=False))
-        cent = U[pick].copy()
-        for _ in range(10):
-            lab = (U @ cent.T).argmax(axis=1)
-            for c in range(len(cent)):
-                mem = U[lab == c]
-                if len(mem):
-                    m = mem.mean(axis=0)
-                    n = np.linalg.norm(m)
-                    if n > 0:
-                        cent[c] = m / n
-                else:
-                    cent[c] = U[rng.randint(len(U))]
-
-        norms = np.linalg.norm(M, axis=1)
-        sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
-        sims[norms == 0] = 0.0
-        assign = sims.argmax(axis=1)
-        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-
-        members: dict = {}
-        for j, c in enumerate(assign):
-            members.setdefault(int(c), []).append(j)
-        rows = []
-        for i in range(len(M)):
-            cands = []
-            for c in probes[i]:
-                for j in members.get(int(c), ()):
-                    if j == i:
-                        continue
-                    cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
-                    cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
-            cands.sort(key=lambda t: (-t[1], t[0]))
-            for r, (nid, cos) in enumerate(cands[:k], start=1):
-                rows.append((int(ids[i]), nid, cos, r))
+        cent = _numpy_ivf_centroids(M, n_clusters, seed, sample_cap)
+        rows = _numpy_ivf_topk_rows(M, ids, cent, nprobe, k, range(len(M)))
         scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
         frames.append(
             pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
@@ -527,12 +539,8 @@ def make_ann_ivf(
     dim: int = 64, k: int = 5, n_clusters: int = 8, nprobe: int = 4,
     seed: int = 42, sample_cap: int = 4096, n_queries: int = 5,
 ) -> pd.DataFrame:
-    """Expected ``ivf_cosine_topk`` output (queries = vec_id < 5): same
-    published IVF trainer spec as make_ann_join (seeded Lloyd on the
-    vec_id-ordered sample, 10 iterations, dead-centroid reseeding),
-    corpus rows in argmax lists, queries probe their nprobe stably
-    ordered nearest lists; exact double cosine HALF_UP-rounded to 6;
-    rank by (-cosine, neighbor_id), top k."""
+    """Expected ``ivf_cosine_topk`` output (queries = vec_id < 5), from
+    the shared _numpy_ivf_* spec replication."""
     frames = []
     for sf in SFS:
         path = os.path.join(TESTDATA, sf, "embeddings.parquet")
@@ -541,46 +549,10 @@ def make_ann_ivf(
         emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
         ids = emb["vec_id"].to_numpy()
         M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
-
-        S = M[:sample_cap]
-        rng = np.random.RandomState(seed)
-        nrm = np.linalg.norm(S, axis=1, keepdims=True)
-        U = S / np.where(nrm > 0, nrm, 1.0)
-        pick = np.sort(rng.choice(len(U), size=min(n_clusters, len(U)), replace=False))
-        cent = U[pick].copy()
-        for _ in range(10):
-            lab = (U @ cent.T).argmax(axis=1)
-            for c in range(len(cent)):
-                mem = U[lab == c]
-                if len(mem):
-                    m = mem.mean(axis=0)
-                    n = np.linalg.norm(m)
-                    if n > 0:
-                        cent[c] = m / n
-                else:
-                    cent[c] = U[rng.randint(len(U))]
-
-        norms = np.linalg.norm(M, axis=1)
-        sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
-        sims[norms == 0] = 0.0
-        assign = sims.argmax(axis=1)
-        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-
-        members: dict = {}
-        for j, c in enumerate(assign):
-            members.setdefault(int(c), []).append(j)
-        rows = []
-        for i in np.where(ids < n_queries)[0]:
-            cands = []
-            for c in probes[i]:
-                for j in members.get(int(c), ()):
-                    if j == i:
-                        continue
-                    cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
-                    cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
-            cands.sort(key=lambda t2: (-t2[1], t2[0]))
-            for r, (nid, cos) in enumerate(cands[:k], start=1):
-                rows.append((int(ids[i]), nid, cos, r))
+        cent = _numpy_ivf_centroids(M, n_clusters, seed, sample_cap)
+        rows = _numpy_ivf_topk_rows(
+            M, ids, cent, nprobe, k, np.where(ids < n_queries)[0]
+        )
         scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
         frames.append(
             pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
