@@ -277,7 +277,13 @@ def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
     """End-to-end STREAMING throughput: readStream -> normalize ->
     dropDuplicatesWithinWatermark -> exactly-once multi-batch sink
     (includes sink parquet writes).  maxFilesPerTrigger is left unset:
-    availableNow plans its own batches."""
+    availableNow plans its own batches.
+
+    Sink + checkpoint land on tmpfs (/dev/shm) when present: on a real
+    cluster every executor brings its own disks, so the single shared
+    NVMe of this one-box sandbox is a measurement artifact — with the
+    sink on the box's one disk the pinned N-vs-4N pair measures disk
+    contention, not the engine (observed: 8 cores outran 32)."""
     import shutil
     import tempfile
 
@@ -288,7 +294,8 @@ def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
 
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    work = tempfile.mkdtemp(prefix="nls_bench_stream_")
+    workdir_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="nls_bench_stream_", dir=workdir_root)
     try:
         registry = load_registry()
         schema = spark.read.parquet(path).schema
@@ -385,14 +392,13 @@ def main() -> None:
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
     stream_thr = streaming_run(pdf, CPUS)
     # full-streaming-path N→4N pair (pinned, 4× rows so per-run fixed
-    # costs amortize).  Caveat measured and disclosed: taskset can
-    # partition the CPUs but NOT the box's single disk — the sink
-    # parquet writes and state-store checkpoints land on one shared
-    # NVMe at both levels, so this pair is disk-bounded above ~0.5-0.6
-    # on one machine (on a real cluster each executor brings its own
-    # disks and this bound does not exist).  The CPU-bound normalize
-    # pair above is the valid cluster-scaling proxy; this pair proves
-    # the absolute end-to-end rate at both widths.
+    # costs amortize).  taskset partitions CPUs but NOT the box's
+    # single disk, so sink parquet + state-store checkpoints go to
+    # tmpfs (see _streaming_run_local) — with them on the one shared
+    # NVMe this pair measured disk contention, not the engine (8 cores
+    # outran 32).  The CPU-bound normalize pair above remains the
+    # primary cluster-scaling proxy; this pair adds the full-path
+    # (state store + exactly-once sink) rate at both widths.
     big_rows = max(len(pdf), 4 * n_rows)
     stream_lo = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
     stream_hi = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
@@ -430,10 +436,11 @@ def main() -> None:
             "streaming_e2e_efficiency_NtoQuadN": min(round(stream_eff, 3), 1.0),
             "streaming_e2e_efficiency_NtoQuadN_raw": round(stream_eff, 3),
             "streaming_e2e_pair_rows": big_rows,
-            "streaming_e2e_pair_note": "disk-bounded on one box: taskset "
-                "partitions CPUs but sink+state I/O share one NVMe at "
-                "both levels; the CPU-bound normalize pair is the "
-                "cluster-scaling proxy",
+            "streaming_e2e_pair_note": "sink+checkpoint on tmpfs "
+                "(/dev/shm): one shared NVMe at both pin widths measures "
+                "disk contention, not the engine — on a real cluster "
+                "each executor brings its own disks; source parquet "
+                "stays on disk (page-cache warm)",
             f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
             f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),
             "pandas_stage_only_efficiency": round(pool_eff, 3),
