@@ -155,5 +155,9 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
 
 
 def read_sink(spark, path: str) -> DataFrame:
-    """Read a sink directory back (all batches), restoring _batch_id."""
-    return spark.read.option("basePath", path).parquet(path + "/_batch_id=*")
+    """Read a sink directory back (all batches), restoring _batch_id.
+    Compaction-aware: after :func:`.maintenance.compact_sink` the read
+    unions the compacted generation with the uncompacted tail."""
+    from .maintenance import read_table
+
+    return read_table(spark, path)

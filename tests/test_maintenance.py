@@ -1,0 +1,170 @@
+"""Lakehouse compaction: content identity, file reduction, manifest
+crash windows, idempotence, replay invisibility, time travel."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.streaming.maintenance import (
+    MANIFEST,
+    compact_sink,
+    read_asof,
+    read_table,
+)
+from napalm_logs_spark.streaming.sink import (
+    SinkSpec,
+    exactly_once_parquet_sink,
+    read_sink,
+)
+
+
+def _land(spark, out, n_batches=5, rows_per=40, parts=4):
+    """Land n_batches micro-batches through the real sink fn (each
+    multi-file: `parts` partitions per batch)."""
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    for b in range(n_batches):
+        df = (
+            spark.range(rows_per)
+            .select(
+                F.concat(F.lit(f"c{b}-"), (F.col("id") % 8).cast("string")).alias("conv_id"),
+                F.col("id").cast("int").alias("turn_idx"),
+                F.lit("INTERFACE_DOWN").alias("error"),
+            )
+            .repartition(parts)
+        )
+        sink(df, b)
+    return n_batches * rows_per
+
+
+def _rows(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.error, r._batch_id)
+        for r in df.select("conv_id", "turn_idx", "error", "_batch_id").collect()
+    )
+
+
+def _data_files(root):
+    return [
+        p for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if "/_compacted_upto=" in p or "/_batch_id=" in p
+    ]
+
+
+def test_compact_preserves_rows_and_cuts_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    total = _land(spark, out)
+    before = _rows(read_sink(spark, out))
+    files_before = len(_data_files(out))
+    assert len(before) == total
+
+    stats = compact_sink(spark, out, target_file_bytes=1 << 30)
+    assert not stats["skipped"]
+    assert stats["upto"] == 3  # newest batch (4) stays replayable
+    after = _rows(read_sink(spark, out))
+    assert after == before, "compaction must be row-for-row invisible"
+    files_after = len(_data_files(out))
+    assert files_after < files_before
+    # tail dir for the newest batch untouched, consumed dirs gone
+    assert os.path.isdir(out + "/_batch_id=4")
+    assert not os.path.isdir(out + "/_batch_id=0")
+    # lineage columns survive
+    cols = set(read_sink(spark, out).columns)
+    assert {"_batch_id", "_task_partition"}.issubset(cols)
+
+
+def test_second_compaction_and_new_tail(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=4)
+    compact_sink(spark, out)  # upto=2
+    before = _rows(read_sink(spark, out))
+    # two more batches land after the first compaction
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    for b in (4, 5):
+        df = spark.range(10).select(
+            F.lit(f"late{b}").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("RAW").alias("error"),
+        )
+        sink(df, b)
+    stats = compact_sink(spark, out)
+    assert stats["upto"] == 4
+    rows = _rows(read_sink(spark, out))
+    assert len(rows) == len(before) + 20
+    assert {r[3] for r in rows} == {0, 1, 2, 3, 4, 5}
+    # exactly one generation remains
+    gens = glob.glob(out + "/_compacted_upto=*")
+    assert [os.path.basename(g) for g in gens] == ["_compacted_upto=4"]
+
+
+def test_rerun_same_watermark_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=3)
+    compact_sink(spark, out, upto_batch_id=1)
+    first = _rows(read_sink(spark, out))
+    stats = compact_sink(spark, out, upto_batch_id=1)
+    assert stats["skipped"]
+    assert _rows(read_sink(spark, out)) == first
+
+
+def test_crash_between_manifest_and_gc_no_duplicates(spark, tmp_path):
+    """Manifest flipped but consumed dirs not yet deleted: readers must
+    not double-count (GC is pure cleanup)."""
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=3)
+    before = _rows(read_sink(spark, out))
+    compact_sink(spark, out)  # upto=1
+    # resurrect a consumed dir, simulating a crash before GC (or a
+    # stale replay landing into an already-compacted id)
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    df = spark.range(99).select(
+        F.lit("ghost").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("RAW").alias("error"),
+    )
+    sink(df, 0)
+    assert _rows(read_sink(spark, out)) == before, (
+        "tail read must ignore _batch_id <= compaction watermark"
+    )
+
+
+def test_crash_before_manifest_leaves_old_state(spark, tmp_path):
+    """A generation dir without a manifest flip is invisible garbage."""
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=3)
+    before = _rows(read_sink(spark, out))
+    # fake a crashed run: orphan tmp generation, no manifest
+    os.makedirs(out + "/_compacted_upto=1.tmp")
+    assert _rows(read_sink(spark, out)) == before
+    # the next real compaction sweeps the orphan
+    compact_sink(spark, out)
+    assert not os.path.exists(out + "/_compacted_upto=1.tmp")
+    assert _rows(read_sink(spark, out)) == before
+
+
+def test_read_asof_time_travel(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=5, rows_per=20)
+    asof2 = _rows(read_asof(spark, out, 2))
+    assert {r[3] for r in asof2} == {0, 1, 2}
+    compact_sink(spark, out)  # upto=3
+    # watermark at/above the compaction point still works
+    assert {r[3] for r in _rows(read_asof(spark, out, 3))} == {0, 1, 2, 3}
+    # below it the snapshot is gone — loud error, not silent wrong rows
+    with pytest.raises(ValueError, match="compacted away"):
+        read_asof(spark, out, 2)
+
+
+def test_manifest_contents_and_empty_table(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=2)
+    compact_sink(spark, out)
+    with open(os.path.join(out, MANIFEST)) as fh:
+        assert json.load(fh) == {"upto": 0}
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, str(tmp_path / "missing"))
