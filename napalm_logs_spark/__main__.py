@@ -5,10 +5,15 @@
     python -m napalm_logs_spark run --source DIR --sink DIR \
         --checkpoint DIR [--metrics FILE.jsonl] [--no-dedup] \
         [--profiles DIR] [--master local[*]]
+    python -m napalm_logs_spark compact --table DIR \
+        [--upto N] [--target-file-mb 128]
 
 ``normalize`` is the batch path (read → normalize → write parquet);
 ``run`` is the streaming pipeline (readStream → normalize → TTL dedup →
-exactly-once sink), resumable from its checkpoint.
+exactly-once sink), resumable from its checkpoint; ``compact`` is the
+table-maintenance job for long-running sinks (rewrite committed
+micro-batch dirs into size-targeted files — see
+:mod:`.streaming.maintenance`).
 """
 
 from __future__ import annotations
@@ -84,13 +89,33 @@ def main(argv=None) -> int:
                        help="file-source format (json = JSON-lines "
                             "transcripts, PERMISSIVE)")
 
+    p_cmp = sub.add_parser(
+        "compact", help="rewrite committed sink batches into "
+                        "size-targeted files (small-file maintenance)")
+    p_cmp.add_argument("--table", required=True,
+                       help="sink dir (the _batch_id=N layout)")
+    p_cmp.add_argument("--upto", type=int, default=None,
+                       help="compact batches <= N (default: newest-but-"
+                            "one — the newest stays replayable)")
+    p_cmp.add_argument("--target-file-mb", type=int, default=128)
+
     args = parser.parse_args(argv)
 
-    from .profiles import load_registry
-
-    registry = load_registry(args.profiles)
     spark, owns_session = _session(args.master, args.shuffle_partitions)
     try:
+        if args.command == "compact":
+            from .streaming.maintenance import compact_sink
+
+            stats = compact_sink(
+                spark, args.table, upto_batch_id=args.upto,
+                target_file_bytes=args.target_file_mb << 20,
+            )
+            print(f"compacted {args.table}: {stats}")
+            return 0
+
+        from .profiles import load_registry
+
+        registry = load_registry(args.profiles)
         if args.command == "normalize":
             from .operators.normalize import normalize
 

@@ -57,8 +57,26 @@ def test_cli_normalize_and_run(spark, tmp_path):
     ]) == 0
     from napalm_logs_spark.streaming.sink import read_sink
 
-    assert read_sink(spark, sink).count() >= 30
+    n1 = read_sink(spark, sink).count()
+    assert n1 >= 30
     assert json.loads(open(metrics).readline())["num_input_rows"] == 30
+
+    # a second batch lands, then the maintenance job compacts batch 0
+    transcripts_df(spark, golden_transcripts_pandas().iloc[30:40]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert main([
+        "run", "--source", src, "--sink", sink, "--checkpoint", ckpt,
+        "--metrics", metrics, "--no-dedup",
+    ]) == 0
+    n2 = read_sink(spark, sink).count()
+    assert n2 > n1
+    import os
+
+    assert main(["compact", "--table", sink]) == 0
+    assert read_sink(spark, sink).count() == n2
+    assert not os.path.isdir(sink + "/_batch_id=0")
+    assert os.path.isdir(sink + "/_compacted_upto=0")
 
 
 def test_cli_orphan_alerts(spark, tmp_path):
