@@ -1365,7 +1365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from napalm_logs_spark.operators.text import dsir_importance
 
         docs = _t(spark, sf, "documents")
-        return dsir_importance(docs, docs.filter(F.col("doc_id") % 7 == 0))
+        # predicate form = the single-scan plan (target histogram
+        # derived from the same gram aggregate the scoring reads)
+        return dsir_importance(docs, target_filter=F.col("doc_id") % 7 == 0)
     q["t_dsir_weights"] = t_dsir_weights
 
     def t_pack_chunks(spark, sf):

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import widen_if_narrow_scan
+
 # small multilingual stopword lists for the n-gram/stopword language
 # heuristic (public common-word lists)
 STOPWORDS = {
@@ -571,12 +573,13 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 _DSIR_HEX = "0123456789abcdef"
 
 
-def _dsir_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """(doc_id, bucket) — one row per word n-gram occurrence (duplicates
-    kept: DSIR features are counts), bucket = first 3 hex chars of
-    md5(gram) read base-16 (0..4095).  The hex-digit arithmetic uses
-    only ``instr``/``substring``, so any md5-capable engine (the DuckDB
-    oracle included) computes bit-identical buckets."""
+def _dsir_grams(df: DataFrame, text_col: str, n: int, carry=()) -> DataFrame:
+    """(doc_id, bucket, *carry) — one row per word n-gram occurrence
+    (duplicates kept: DSIR features are counts), bucket = first 3 hex
+    chars of md5(gram) read base-16 (0..4095).  The hex-digit
+    arithmetic uses only ``instr``/``substring``, so any md5-capable
+    engine (the DuckDB oracle included) computes bit-identical buckets.
+    ``carry`` names per-doc columns to keep alongside."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT),
         lambda x: F.length(x) > 0,
@@ -588,7 +591,7 @@ def _dsir_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select("doc_id", F.explode(grams).alias("gram"))
+    ex = df.select("doc_id", *carry, F.explode(grams).alias("gram"))
     dig = (
         "(instr('0123456789abcdef', substring(_h3, {i}, 1)) - 1)"
     )
@@ -596,24 +599,33 @@ def _dsir_grams(df: DataFrame, text_col: str, n: int) -> DataFrame:
         f"{dig.format(i=1)} * 256 + {dig.format(i=2)} * 16 + {dig.format(i=3)}"
     )
     return ex.withColumn("_h3", F.substring(F.md5("gram"), 1, 3)).select(
-        "doc_id", bucket.cast("int").alias("bucket")
+        "doc_id", bucket.cast("int").alias("bucket"), *carry
     )
 
 
 def dsir_importance(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     n: int = 2,
     n_buckets: int = 4096,
     alpha: float = 1.0,
+    target_filter=None,
 ) -> DataFrame:
     """DSIR-style hashed n-gram importance weights (Xie et al. 2023):
     score every document in ``df`` by how much more likely its hashed
-    word-n-gram features are under the ``target`` domain sample than
+    word-n-gram features are under the target domain sample than
     under the raw corpus — ``dsir_logweight`` = Σ_grams ln(p_target /
     p_raw) with add-α smoothed bucket distributions.  Documents with
     fewer than ``n`` words have no features and are omitted.
+
+    The target domain is EITHER a separate ``target`` DataFrame OR —
+    when the target is a subset of ``df`` itself (the common "docs that
+    look like Wikipedia" setup) — a ``target_filter`` Column predicate
+    on ``df``'s rows.  The predicate form is the scale path: the target
+    histogram is derived from the same per-doc gram aggregate the
+    scoring reads, so the corpus is tokenized+hashed exactly ONCE and
+    no second scan, explode, or join exists anywhere in the plan.
 
     Scale shape: both bucket-count tables are bounded by ``n_buckets``
     rows → broadcast joins; per-doc scoring is one explode + map-side-
@@ -621,18 +633,47 @@ def dsir_importance(
     bucket-partial) — output-sized, not token-sized.  The 1-row totals
     ride broadcast crossJoins (no eager count job).
     """
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
+    # the md5 gram pass is CPU-heavy and narrow: spread a small-split
+    # scan over the cluster (no-op on a well-split 100 TB input)
+    df = widen_if_narrow_scan(df)
+    if target is not None:
+        target = widen_if_narrow_scan(target)
     # per-doc bucket counts FIRST: the md5+explode gram pass is the
-    # expensive scan, and both of its consumers (the corpus bucket
-    # histogram and the per-doc scoring) read the SAME (doc_id, bucket)
-    # aggregate — one shuffle, reused exchange, grams hashed once
-    raw = (
-        _dsir_grams(df, text_col, n)
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    tgt = _dsir_grams(target, text_col, n)
+    # expensive scan, and all of its consumers (the corpus bucket
+    # histogram, the target histogram in predicate form, and the
+    # per-doc scoring) read the SAME (doc_id, bucket) aggregate
+    if target_filter is not None:
+        raw = (
+            _dsir_grams(
+                df.withColumn("_tgt", target_filter), text_col, n, carry=("_tgt",)
+            )
+            .groupBy("doc_id", "bucket")
+            # _tgt is constant per doc_id: any() ≡ the doc's flag
+            .agg(F.count(F.lit(1)).alias("_c"), F.any_value("_tgt").alias("_t"))
+        )
+    else:
+        raw = (
+            _dsir_grams(df, text_col, n)
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        tgt = _dsir_grams(target, text_col, n)
+        tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    # materialize the featurization ONCE: its consumers (the corpus
+    # histogram, the predicate-mode target histogram, the totals, and
+    # the scoring join) have different column prunings, so Catalyst's
+    # ReuseExchange matches only some of them and the token-sized
+    # explode+md5 pass would otherwise run up to 4× — the standard
+    # write-the-DSIR-features-table step, as an executor-local
+    # checkpoint (output-sized: ≤ n_buckets rows per doc)
+    raw = raw.localCheckpoint(eager=True)
+    if target_filter is not None:
+        tgt_counts = (
+            raw.filter(F.col("_t")).groupBy("bucket").agg(F.sum("_c").alias("_ct"))
+        )
     raw_counts = raw.groupBy("bucket").agg(F.sum("_c").alias("_cr"))
-    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
     nr = raw_counts.agg(F.sum("_cr").cast("double").alias("_nr"))
     nt = tgt_counts.agg(F.sum("_ct").cast("double").alias("_nt"))
     ratio = (

@@ -423,3 +423,17 @@ def test_dsir_importance_vs_python_reference(spark):
         assert got == pytest.approx(lw, abs=2e-6)
     # in-domain docs must outscore a disjoint-vocabulary doc
     assert out[1][1] > out[4][1]
+
+    # the predicate form (single-scan plan) is value-identical to the
+    # separate-target form for a subset target
+    alt = {
+        r.doc_id: (r.n_grams, r.dsir_logweight)
+        for r in dsir_importance(
+            df, target_filter=F.col("doc_id").isin(1, 5)
+        ).collect()
+    }
+    assert alt == out
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance(df, target, target_filter=F.col("doc_id") == 1)
