@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .util import widen_if_narrow_scan
+
 
 def _dot(a, b):
     # element-wise double arithmetic (float*float would lose precision
@@ -70,6 +72,9 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank) — excludes self-match.
     """
+    # the per-candidate cosine runs at the corpus's split count: spread
+    # a small-split scan over the cluster (no-op on a well-split input)
+    corpus = widen_if_narrow_scan(corpus)
     # norms are per-ROW quantities: computed once on each narrow side
     # (recomputing ||q||·||c|| per candidate through the interpreted HOF
     # chain costs ~3x the dot product; same expression, same doubles)
@@ -142,6 +147,7 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = same bucket in ≥1 of ``n_tables``
     hash tables, then exact cosine on candidates only."""
+    corpus = widen_if_narrow_scan(corpus)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
                       _norm(F.col(emb_col)).alias("c_nrm"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
@@ -278,6 +284,8 @@ def ivf_cosine_topk(
     sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[emb_col]])
     cent = _train_centroids(sample, n_clusters, seed)
 
+    # assignment matmul + norm HOFs run at the corpus's split count
+    corpus = widen_if_narrow_scan(corpus)
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
                       _norm(F.col(emb_col)).alias("c_nrm")),
@@ -313,8 +321,9 @@ def _bucket_table(
     """(id, emb, table, bucket) rows over ``n_tables`` LSH tables —
     shared by :func:`embedding_near_dup` and its observability
     companion so the two can never disagree on the bucketing scheme."""
-    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
-                     _norm(F.col(emb_col)).alias("nrm"))
+    base = widen_if_narrow_scan(df).select(
+        F.col(id_col).alias("id"), F.col(emb_col).alias("emb"),
+        _norm(F.col(emb_col)).alias("nrm"))
     tables = None
     for t in range(n_tables):
         bt = lsh_bucket(base, dim, n_planes, seed + t, "emb").select(
@@ -468,7 +477,9 @@ def kmeans_clusters(
     )
     sample = np.array([r[1] for r in sample_rows], dtype="float64")
     cent = kmeans_init_centroids(sample, k, seed)
-    base = df.select(id_col, emb_col)
+    # every Lloyd pass re-reads this: spread a small-split scan so the
+    # assignment matmul uses the whole cluster (no-op when well-split)
+    base = widen_if_narrow_scan(df.select(id_col, emb_col))
     for _ in range(iters):
         assigned = ivf_assign(base, cent, emb_col=emb_col, out_col="cluster")
         q = assigned.select(
@@ -611,6 +622,8 @@ def ivf_join_topk(
     sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[emb_col]])
     cent = _train_centroids(sample, n_clusters, seed)
 
+    # both sides' matmuls + norm HOFs run at the input's split count
+    df = widen_if_narrow_scan(df)
     # per-row norms are computed ONCE on the narrow side (a candidate
     # pair re-deriving ‖q‖ and ‖c‖ through the interpreted HOF chain
     # costs ~3× the dot product itself — measured 19 s → ~2 s at 1M
