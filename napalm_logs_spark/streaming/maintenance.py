@@ -21,15 +21,20 @@ Layout after a compaction up to batch ``k``::
 Correctness / crash-safety (order matters):
 
 1. compacted data is written to ``_compacted_upto=<k>.tmp`` and
-   renamed into place — readers never see partial generations;
-2. the manifest flips AFTER the generation rename (tmp + rename, an
-   atomic metadata swap on HDFS/local; on S3 use a real catalog);
+   renamed into place — readers never see partial generations.  The
+   generation rename IS the commit point: the committed watermark is
+   ``max`` over the manifest value and the highest non-tmp generation
+   id, so a crash before/during the manifest rewrite cannot hide a
+   complete generation (the manifest is a convenience mirror, never
+   the sole source of truth — a delete+rename pair is not atomic);
+2. the manifest is rewritten AFTER the generation rename (tmp +
+   rename; on S3 use a real catalog);
 3. consumed inputs (``_batch_id<=k`` dirs, the previous generation)
    are deleted LAST — pure garbage collection.  The read path takes
-   only the manifest's generation plus tail dirs with
+   only the committed generation plus tail dirs with
    ``_batch_id > k``, so a crash between (2) and (3) cannot
-   double-read, and a crash before (2) leaves the old state intact
-   (orphan ``.tmp``/stale generations are swept by the next run).
+   double-read, and a crash before (1)'s rename leaves the old state
+   intact (orphan ``.tmp`` generations are swept by the next run).
 4. only COMMITTED batches may be compacted: after a restart,
    Structured Streaming can replay the last micro-batch (it re-lands
    ``_batch_id=<M>`` idempotently), so ``upto`` defaults to ``M-1``
@@ -37,10 +42,11 @@ Correctness / crash-safety (order matters):
    already-compacted id is invisible to readers (tail reads filter
    ``_batch_id > k``) — exactly-once survives compaction.
 
-Compaction rewrites with an explicit ``repartition`` sized from the
-measured input bytes and re-sorts by ``(_batch_id, conv_id, turn_idx)``
-so parquet row-group min/max stats keep :func:`read_asof` (time travel
-to a batch watermark) a metadata-skip, not a scan.
+Compaction rewrites with a RANGE repartition on ``(_batch_id,
+conv_id, turn_idx)`` sized from the measured input bytes, so each
+output file covers a contiguous batch range and parquet row-group
+min/max stats keep :func:`read_asof` (time travel to a batch
+watermark) a metadata-skip, not a scan.
 """
 
 from __future__ import annotations
@@ -72,7 +78,7 @@ def _ls(spark: SparkSession, path: str) -> list[str]:
 
 
 def _read_manifest(spark: SparkSession, path: str) -> int | None:
-    """Compacted-up-to batch id, or None when never compacted."""
+    """The manifest file's upto value, or None when absent."""
     fs, _ = _fs(spark, path)
     jvm = spark.sparkContext._jvm
     mpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{MANIFEST}")
@@ -84,6 +90,22 @@ def _read_manifest(spark: SparkSession, path: str) -> int | None:
     finally:
         stream.close()
     return int(json.loads(raw.decode("utf-8"))["upto"])
+
+
+def _committed_upto(spark: SparkSession, path: str) -> int | None:
+    """The committed compaction watermark: max of the manifest value
+    and the highest fully-renamed generation dir.  The generation
+    rename is the commit point — a manifest lost to a crash mid-swap
+    must not hide a complete generation (that would both drop rows
+    from reads and let the next compaction GC the only copy)."""
+    gens = [
+        int(m.group(1))
+        for m in (_GEN_RE.match(name) for name in _ls(spark, path))
+        if m and not m.group(2)
+    ]
+    manifest = _read_manifest(spark, path)
+    candidates = gens + ([manifest] if manifest is not None else [])
+    return max(candidates) if candidates else None
 
 
 def _write_manifest(spark: SparkSession, path: str, upto: int) -> None:
@@ -112,13 +134,21 @@ def _batch_ids(spark: SparkSession, path: str) -> list[int]:
     return sorted(ids)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read the table back — manifest-aware union of the compacted
+def read_table(
+    spark: SparkSession, path: str, upto_batch_id: int | None = None
+) -> DataFrame:
+    """Read the table back — union of the committed compacted
     generation and the uncompacted tail, ``_batch_id`` restored either
-    way.  Without a manifest this is exactly the original
-    ``_batch_id=*`` read."""
-    upto = _read_manifest(spark, path)
-    tail_ids = [b for b in _batch_ids(spark, path) if upto is None or b > upto]
+    way.  Without a compaction this is exactly the original
+    ``_batch_id=*`` read.  ``upto_batch_id`` prunes tail DIRECTORIES
+    (not just rows) above the watermark."""
+    upto = _committed_upto(spark, path)
+    tail_ids = [
+        b
+        for b in _batch_ids(spark, path)
+        if (upto is None or b > upto)
+        and (upto_batch_id is None or b <= upto_batch_id)
+    ]
     parts = []
     if upto is not None:
         parts.append(spark.read.parquet(f"{path}/_compacted_upto={upto}"))
@@ -137,19 +167,21 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 def read_asof(spark: SparkSession, path: str, upto_batch_id: int) -> DataFrame:
     """Time travel: rows of the committed prefix ``_batch_id <=
-    upto_batch_id``.  Tail directories outside the watermark are pruned
-    by partition value; inside the compacted generation the
-    ``(_batch_id, …)`` sort order makes the filter a row-group
-    stats skip.  Watermarks older than the compaction point are gone
-    (this layout keeps a single snapshot — use Iceberg for full
-    history)."""
-    compacted = _read_manifest(spark, path)
+    upto_batch_id``.  Tail directories above the watermark are pruned
+    at listing time (never opened); inside the compacted generation
+    the range layout on ``(_batch_id, …)`` makes the residual filter a
+    row-group stats skip.  Watermarks older than the compaction point
+    are gone (this layout keeps a single snapshot — use Iceberg for
+    full history)."""
+    compacted = _committed_upto(spark, path)
     if compacted is not None and upto_batch_id < compacted:
         raise ValueError(
             f"batches <= {compacted} were compacted away; asof "
             f"{upto_batch_id} needs a catalog that retains snapshots"
         )
-    return read_table(spark, path).filter(F.col("_batch_id") <= int(upto_batch_id))
+    return read_table(spark, path, upto_batch_id=upto_batch_id).filter(
+        F.col("_batch_id") <= int(upto_batch_id)
+    )
 
 
 def compact_sink(
@@ -176,15 +208,32 @@ def compact_sink(
     def jp(s: str):
         return jvm.org.apache.hadoop.fs.Path(s)
 
-    prev = _read_manifest(spark, path)
+    prev = _committed_upto(spark, path)
     ids = _batch_ids(spark, path)
     newest = max(ids) if ids else None
     if upto_batch_id is None:
         upto_batch_id = (newest - 1) if newest is not None else (prev if prev is not None else -1)
     if newest is not None:
         upto_batch_id = min(upto_batch_id, newest - 1)
+    def _gc(committed: int) -> None:
+        """Remove everything a committed generation supersedes: consumed
+        tail dirs, stale/orphan generations, a drifted manifest — pure
+        cleanup (reads never look at any of it), also run on the no-op
+        path so a crash between commit and GC heals on the next call."""
+        for b in _batch_ids(spark, path):
+            if b <= committed:
+                fs.delete(jp(f"{path}/_batch_id={b}"), True)
+        for name in _ls(spark, path):
+            m = _GEN_RE.match(name)
+            if m and (int(m.group(1)) != committed or m.group(2)):
+                fs.delete(jp(f"{path}/{name}"), True)
+        if _read_manifest(spark, path) != committed:
+            _write_manifest(spark, path, committed)
+
     eligible = [b for b in ids if b <= upto_batch_id and (prev is None or b > prev)]
     if not eligible and (prev is None or upto_batch_id <= prev):
+        if prev is not None:
+            _gc(prev)
         return {"upto": prev, "in_dirs": 0, "in_files": 0, "in_bytes": 0,
                 "out_files": 0, "skipped": True}
     upto = max([upto_batch_id] + ([prev] if prev is not None else []))
@@ -212,8 +261,12 @@ def compact_sink(
     sort_cols = ["_batch_id"] + [c for c in order_cols if c in df.columns]
     tmp_dir = f"{path}/_compacted_upto={upto}.tmp"
     dst_dir = f"{path}/_compacted_upto={upto}"
+    # RANGE partition: each output file covers a contiguous
+    # (_batch_id, …) slice, so read_asof's watermark filter is a
+    # row-group min/max skip (a round-robin repartition would spread
+    # every batch across every file and defeat the stats)
     (
-        df.repartition(n_out)
+        df.repartitionByRange(n_out, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .parquet(tmp_dir)
@@ -223,14 +276,7 @@ def compact_sink(
     if not fs.rename(jp(tmp_dir), jp(dst_dir)):
         raise IOError(f"generation rename failed for {dst_dir}")
     _write_manifest(spark, path, upto)
-
-    # GC (pure cleanup — readers already ignore all of this)
-    for b in eligible:
-        fs.delete(jp(f"{path}/_batch_id={b}"), True)
-    for name in _ls(spark, path):
-        m = _GEN_RE.match(name)
-        if m and (int(m.group(1)) != upto or m.group(2)):
-            fs.delete(jp(f"{path}/{name}"), True)
+    _gc(upto)
 
     out_files = fs.getContentSummary(jp(dst_dir)).getFileCount()
     return {"upto": upto, "in_dirs": len(srcs), "in_files": in_files,

@@ -10,13 +10,19 @@ slices with ``_batch_id`` strictly below its own — so the result of any
 batch is a pure function of the committed prefix, and restarts/retries
 are exactly-once.
 
-Semantics are GREEDY ONLINE dedup: only KEPT rows enter the index, so
-only kept rows anchor future comparisons (earlier-batch-wins across
-batches, lower-id-wins within one).  This intentionally differs from
-batch :func:`..operators.similarity.semdedup`, where a dropped row
-still suppresses later rows — online, the kept set is the transitive
-answer achievable without revisiting history, and (as with any online
-dedup) the exact kept set can depend on how rows split into batches.
+Semantics, precisely: ACROSS batches only KEPT rows anchor (the index
+holds survivors — earlier-batch-wins); WITHIN a batch the pair
+semantics are the batch operator's (any lower-id near row suppresses,
+even one that is itself dropped) — a single pass, deliberately not the
+iterative chase that exact greedy-by-id would need in the hot path.
+The two rules meet at the batch boundary, so (as with any online
+dedup) the exact kept set can depend on how rows split into batches:
+rows B,C with only B~C in one batch keep {B}; split across batches
+they keep {B} too, but if B was dropped against the index first, the
+one-batch case drops C (B anchored it) while the split case keeps C
+(dropped B never reached the index).  Batch
+:func:`..operators.similarity.semdedup` has a third rule again
+(cluster-scoped, dropped rows suppress).
 
 Per batch the work is candidate-bounded, never quadratic: new rows are
 bucketed into ``n_tables`` seeded hyperplane tables with the SAME
@@ -32,32 +38,76 @@ filters); the comparison semantics here are identical.
 
 from __future__ import annotations
 
-import os
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
-from pyspark.sql.utils import AnalysisException
 
 from ..operators.similarity import _bucket_table, _dot
+from .maintenance import _fs, _ls
+
+PARAMS_FILE = "_PARAMS.json"
+
+
+def _index_slices(spark, index_dir: str, before_batch: int) -> list[int]:
+    """Committed slice ids strictly below ``before_batch`` (FS listing —
+    works on any Hadoop-visible store, not just local paths)."""
+    out = []
+    for name in _ls(spark, index_dir):
+        if name.startswith("_batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b < before_batch:
+                out.append(b)
+    return sorted(out)
 
 
 def _read_index(spark, index_dir: str, before_batch: int) -> DataFrame | None:
-    """Committed index slices with _batch_id < before_batch, or None on
-    the FIRST batch only (missing directory).  Any other read failure
-    (corrupt slice, transient store error) raises — silently skipping
-    the index would admit duplicates without a trace."""
-    if "://" not in index_dir and not os.path.isdir(index_dir):
+    """Committed index slices with _batch_id < before_batch, or None
+    when no prior slice exists (first batch, or replay of it after a
+    crash mid-index-write).  The slice list comes from an FS listing,
+    so an unreadable EXISTING slice raises from the read itself —
+    silently skipping the index would admit duplicates without a
+    trace."""
+    slices = _index_slices(spark, index_dir, before_batch)
+    if not slices:
         return None
+    return spark.read.parquet(
+        *[f"{index_dir}/_batch_id={b}" for b in slices]
+    )
+
+
+def _check_index_params(spark, index_dir: str, params: dict) -> None:
+    """Pin the bucketing scheme to the index: the first writer records
+    (dim, n_planes, n_tables, seed); any later mismatch raises instead
+    of silently joining incompatible bucket spaces (old slices hashed
+    with different planes would just never match — duplicates admitted
+    with zero diagnostics)."""
+    fs, _ = _fs(spark, index_dir)
+    jvm = spark.sparkContext._jvm
+    ppath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{PARAMS_FILE}")
+    if fs.exists(ppath):
+        stream = fs.open(ppath)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        existing = json.loads(raw.decode("utf-8"))
+        if existing != params:
+            raise ValueError(
+                f"near-dup index at {index_dir} was built with "
+                f"{existing}; refusing to extend it with {params} — "
+                "rebuild the index or match the parameters"
+            )
+        return
+    out = fs.create(ppath, True)
     try:
-        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return None
-        raise
-    if "_batch_id" not in idx.columns:
-        return None
-    return idx.filter(F.col("_batch_id") < before_batch)
+        out.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def near_dup_filter_batch(
@@ -78,6 +128,11 @@ def near_dup_filter_batch(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_index_params(
+            spark, index_dir,
+            {"dim": dim, "n_planes": n_planes, "n_tables": n_tables,
+             "seed": seed},
+        )
         wb = Window.partitionBy("table", "bucket")
         # same skew cap as embedding_near_dup: an oversized bucket is
         # excluded per table (other tables still recover its true pairs)
@@ -171,10 +226,12 @@ def run_near_dup_stream_once(
     schema,
     dim: int,
     threshold: float = 0.95,
+    timeout_s: float | None = 600,
     **kwargs,
 ) -> None:
     """Drain all available source files through the filter once
-    (availableNow trigger), exactly-once under replay."""
+    (availableNow trigger), exactly-once under replay.  ``timeout_s``
+    bounds the drain (None = wait forever, e.g. large backfills)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = (
         stream.writeStream.outputMode("append")
@@ -187,9 +244,11 @@ def run_near_dup_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
         q.stop()
-        raise TimeoutError("near-dup stream did not drain within 600s")
+        raise TimeoutError(f"near-dup stream did not drain within {timeout_s}s")
 
 
 def read_kept(spark, out_dir: str) -> DataFrame:

@@ -160,6 +160,71 @@ def test_read_asof_time_travel(spark, tmp_path):
         read_asof(spark, out, 2)
 
 
+def test_lost_manifest_after_generation_commit(spark, tmp_path):
+    """The generation rename is the commit point: losing the manifest
+    mid-swap (delete+rename is not atomic) must neither hide compacted
+    rows nor let the next run GC the only copy."""
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=4)
+    compact_sink(spark, out)  # upto=2
+    before = _rows(read_sink(spark, out))
+    os.remove(os.path.join(out, MANIFEST))
+    assert _rows(read_sink(spark, out)) == before, (
+        "a committed generation must be readable without the manifest"
+    )
+    # the next (no-op) compaction heals: manifest rewritten, rows intact
+    stats = compact_sink(spark, out)
+    assert stats["skipped"] and stats["upto"] == 2
+    with open(os.path.join(out, MANIFEST)) as fh:
+        assert json.load(fh) == {"upto": 2}
+    assert _rows(read_sink(spark, out)) == before
+
+
+def test_skipped_compaction_heals_leftover_tail(spark, tmp_path):
+    """Crash between generation commit and GC: consumed tail dirs and
+    stale generations are swept by the next call even when it has
+    nothing new to compact."""
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=4)
+    compact_sink(spark, out)  # upto=2
+    before = _rows(read_sink(spark, out))
+    # resurrect a consumed dir + an orphan tmp generation
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    df = spark.range(5).select(
+        F.lit("ghost").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("RAW").alias("error"),
+    )
+    sink(df, 1)
+    os.makedirs(out + "/_compacted_upto=0.tmp")
+    stats = compact_sink(spark, out)
+    assert stats["skipped"]
+    assert not os.path.isdir(out + "/_batch_id=1")
+    assert not os.path.exists(out + "/_compacted_upto=0.tmp")
+    assert _rows(read_sink(spark, out)) == before
+
+
+def test_range_layout_makes_asof_a_stats_skip(spark, tmp_path):
+    """Generation files cover contiguous _batch_id ranges (range
+    repartition), so a watermark filter can skip whole files."""
+    pytest.importorskip("pyarrow.parquet")
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=6, rows_per=200)
+    compact_sink(spark, out, target_file_bytes=4096)  # force several files
+    gen = glob.glob(out + "/_compacted_upto=4/*.parquet")
+    assert len(gen) > 1
+    spans = []
+    for f in gen:
+        t = pq.read_table(f, columns=["_batch_id"])["_batch_id"].to_pylist()
+        spans.append((min(t), max(t)))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping batch ranges: {spans}"
+
+
 def test_manifest_contents_and_empty_table(spark, tmp_path):
     out = str(tmp_path / "t")
     _land(spark, out, n_batches=2)

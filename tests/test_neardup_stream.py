@@ -83,3 +83,37 @@ def test_replayed_batch_is_idempotent(spark, dirs):
         tuple(r) for r in read_kept(spark, dirs["out"]).select("vec_id").collect()
     )
     assert first == second, "replay must overwrite, not duplicate"
+
+
+def test_index_params_pinned(spark, dirs):
+    """Mismatched bucketing parameters must refuse to extend the index
+    instead of silently joining incompatible bucket spaces."""
+    base = _vecs(11, 4)
+    _write(spark, dirs["src"], _rows(range(4), base))
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    _write(spark, dirs["src"], _rows([100], _vecs(12, 1)))
+    with pytest.raises(Exception, match="refusing to extend"):
+        run_near_dup_stream_once(
+            spark, dirs["src"], dirs["out"], dirs["idx"],
+            dirs["ckpt"], SCHEMA, DIM, threshold=0.95, n_planes=8,
+        )
+
+
+def test_first_batch_with_precreated_empty_index_dir(spark, dirs, tmp_path):
+    """An existing-but-empty index dir (pre-created, or a crash during
+    batch 0's index write) must behave like no index, not wedge the
+    stream."""
+    import os
+
+    os.makedirs(dirs["idx"], exist_ok=True)
+    base = _vecs(13, 3)
+    _write(spark, dirs["src"], _rows(range(3), base))
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    kept = {r.vec_id for r in read_kept(spark, dirs["out"]).collect()}
+    assert kept == {0, 1, 2}
