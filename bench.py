@@ -86,6 +86,20 @@ def _session(cores: int):
     )
 
 
+def _parse_level_output(res, label: str) -> float:
+    """Last stdout line of a level subprocess as a float; a dead or
+    silent worker fails the bench with its stderr tail instead of an
+    opaque IndexError/ValueError."""
+    lines = res.stdout.strip().splitlines()
+    try:
+        return float(lines[-1])
+    except (IndexError, ValueError):
+        raise RuntimeError(
+            f"{label}-level subprocess failed (exit {res.returncode}); "
+            f"stderr tail: {res.stderr.strip()[-800:]}"
+        )
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -220,7 +234,7 @@ def scaling_run(pdf, cores: int, reps: int = 3) -> float:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    return float(res.stdout.strip().splitlines()[-1])
+    return _parse_level_output(res, "scaling")
 
 
 def _bench_input(n_rows: int):
@@ -269,8 +283,7 @@ def streaming_run(pdf, cores: int, pin: bool = False, n_rows: int | None = None)
         # true N-CPU machine (same rationale as scaling_run)
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    line = res.stdout.strip().splitlines()[-1]
-    return float(line)
+    return _parse_level_output(res, "streaming")
 
 
 def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
