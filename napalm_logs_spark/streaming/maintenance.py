@@ -134,6 +134,27 @@ def _batch_ids(spark: SparkSession, path: str) -> list[int]:
     return sorted(ids)
 
 
+def _read_tail(spark: SparkSession, path: str, tail_ids: list[int]) -> DataFrame:
+    """Tail dirs as one DataFrame with a long ``_batch_id`` column.
+
+    The envelope sink stores ``_batch_id`` as a data column (the dir
+    name is just the idempotence key); other writers of this layout
+    (the near-dup LSH index) don't — for those the id is derived from
+    the directory name instead."""
+    first = spark.read.parquet(f"{path}/_batch_id={tail_ids[0]}")
+    if "_batch_id" in first.columns:
+        tail = spark.read.parquet(*[f"{path}/_batch_id={b}" for b in tail_ids])
+        return tail.withColumn("_batch_id", F.col("_batch_id").cast("long"))
+    out = first.withColumn("_batch_id", F.lit(int(tail_ids[0])))
+    for b in tail_ids[1:]:
+        out = out.unionByName(
+            spark.read.parquet(f"{path}/_batch_id={b}").withColumn(
+                "_batch_id", F.lit(int(b))
+            )
+        )
+    return out
+
+
 def read_table(
     spark: SparkSession, path: str, upto_batch_id: int | None = None
 ) -> DataFrame:
@@ -153,10 +174,7 @@ def read_table(
     if upto is not None:
         parts.append(spark.read.parquet(f"{path}/_compacted_upto={upto}"))
     if tail_ids:
-        # no basePath/partition inference: the sink stores _batch_id as
-        # a data column already (the dir name is the idempotence key)
-        tail = spark.read.parquet(*[f"{path}/_batch_id={b}" for b in tail_ids])
-        parts.append(tail.withColumn("_batch_id", F.col("_batch_id").cast("long")))
+        parts.append(_read_tail(spark, path, tail_ids))
     if not parts:
         raise FileNotFoundError(f"no sink data under {path}")
     out = parts[0]
@@ -251,8 +269,7 @@ def compact_sink(
     if prev is not None:
         parts.append(spark.read.parquet(f"{path}/_compacted_upto={prev}"))
     if eligible:
-        tail = spark.read.parquet(*[f"{path}/_batch_id={b}" for b in eligible])
-        parts.append(tail.withColumn("_batch_id", F.col("_batch_id").cast("long")))
+        parts.append(_read_tail(spark, path, eligible))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

@@ -45,39 +45,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..operators.similarity import _bucket_table, _dot
-from .maintenance import _fs, _ls
+from .maintenance import _fs, read_asof
 
 PARAMS_FILE = "_PARAMS.json"
-
-
-def _index_slices(spark, index_dir: str, before_batch: int) -> list[int]:
-    """Committed slice ids strictly below ``before_batch`` (FS listing —
-    works on any Hadoop-visible store, not just local paths)."""
-    out = []
-    for name in _ls(spark, index_dir):
-        if name.startswith("_batch_id="):
-            try:
-                b = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if b < before_batch:
-                out.append(b)
-    return sorted(out)
 
 
 def _read_index(spark, index_dir: str, before_batch: int) -> DataFrame | None:
     """Committed index slices with _batch_id < before_batch, or None
     when no prior slice exists (first batch, or replay of it after a
-    crash mid-index-write).  The slice list comes from an FS listing,
-    so an unreadable EXISTING slice raises from the read itself —
-    silently skipping the index would admit duplicates without a
-    trace."""
-    slices = _index_slices(spark, index_dir, before_batch)
-    if not slices:
+    crash mid-index-write).  Reads through the maintenance layer, so a
+    :func:`.maintenance.compact_sink`-maintained index (small-file
+    rewrite between drains) is transparent — slice dirs are FS-listed
+    and an unreadable EXISTING slice raises from the read itself
+    (silently skipping the index would admit duplicates without a
+    trace)."""
+    if before_batch <= 0:
         return None
-    return spark.read.parquet(
-        *[f"{index_dir}/_batch_id={b}" for b in slices]
-    )
+    try:
+        return read_asof(spark, index_dir, before_batch - 1)
+    except FileNotFoundError:
+        return None
 
 
 def _check_index_params(spark, index_dir: str, params: dict) -> None:

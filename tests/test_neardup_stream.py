@@ -117,3 +117,41 @@ def test_first_batch_with_precreated_empty_index_dir(spark, dirs, tmp_path):
     )
     kept = {r.vec_id for r in read_kept(spark, dirs["out"]).collect()}
     assert kept == {0, 1, 2}
+
+
+def test_index_compaction_between_drains(spark, dirs):
+    """The LSH index is itself a maintainable lakehouse table: compact
+    its per-batch slices between drains and cross-batch dedup must keep
+    working against the compacted generation."""
+    import os
+
+    from napalm_logs_spark.streaming.maintenance import compact_sink
+
+    base = _vecs(21, 6)
+    # three drains -> three index slices
+    for i in range(3):
+        _write(spark, dirs["src"], _rows([10 * i, 10 * i + 1], base[2 * i: 2 * i + 2]))
+        run_near_dup_stream_once(
+            spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+            SCHEMA, DIM, threshold=0.95,
+        )
+    stats = compact_sink(spark, dirs["idx"])
+    assert not stats["skipped"] and stats["upto"] == 1
+    assert not os.path.isdir(dirs["idx"] + "/_batch_id=0")
+    assert os.path.isdir(dirs["idx"] + "/_compacted_upto=1")
+    # params file must survive compaction
+    assert os.path.exists(dirs["idx"] + "/_PARAMS.json")
+
+    # batch 3: near-copy of batch-0's id 0 (lives only in the compacted
+    # generation now) + a fresh row
+    b4 = _rows([100], [base[0] + 0.001 * _vecs(22, 1)[0]]) + _rows(
+        [101], _vecs(23, 1)
+    )
+    _write(spark, dirs["src"], b4)
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95,
+    )
+    kept = {r.vec_id for r in read_kept(spark, dirs["out"]).collect()}
+    assert 100 not in kept, "dup vs a compacted index slice must be dropped"
+    assert 101 in kept
