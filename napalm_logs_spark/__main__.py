@@ -7,13 +7,17 @@
         [--profiles DIR] [--master local[*]]
     python -m napalm_logs_spark compact --table DIR \
         [--upto N] [--target-file-mb 128]
+    python -m napalm_logs_spark neardup --source DIR --out DIR \
+        --index DIR --checkpoint DIR [--dim N] [--threshold 0.95]
 
 ``normalize`` is the batch path (read → normalize → write parquet);
 ``run`` is the streaming pipeline (readStream → normalize → TTL dedup →
 exactly-once sink), resumable from its checkpoint; ``compact`` is the
 table-maintenance job for long-running sinks (rewrite committed
 micro-batch dirs into size-targeted files — see
-:mod:`.streaming.maintenance`).
+:mod:`.streaming.maintenance`); ``neardup`` is the streaming
+cross-batch embedding near-dup filter (exactly-once LSH index — see
+:mod:`.streaming.neardup_stream`), resumable from its checkpoint.
 """
 
 from __future__ import annotations
@@ -99,6 +103,20 @@ def main(argv=None) -> int:
                             "one — the newest stays replayable)")
     p_cmp.add_argument("--target-file-mb", type=int, default=128)
 
+    p_nd = sub.add_parser(
+        "neardup", help="streaming cross-batch embedding near-dup "
+                        "filter (exactly-once LSH index)")
+    p_nd.add_argument("--source", required=True,
+                      help="parquet dir of (vec_id, embedding) rows")
+    p_nd.add_argument("--out", required=True, help="kept-rows dir")
+    p_nd.add_argument("--index", required=True, help="LSH index dir")
+    p_nd.add_argument("--checkpoint", required=True)
+    p_nd.add_argument("--dim", type=int, default=None,
+                      help="embedding dimension (default: from data)")
+    p_nd.add_argument("--threshold", type=float, default=0.95)
+    p_nd.add_argument("--id-col", default="vec_id")
+    p_nd.add_argument("--emb-col", default="embedding")
+
     args = parser.parse_args(argv)
 
     spark, owns_session = _session(args.master, args.shuffle_partitions)
@@ -111,6 +129,27 @@ def main(argv=None) -> int:
                 target_file_bytes=args.target_file_mb << 20,
             )
             print(f"compacted {args.table}: {stats}")
+            return 0
+
+        if args.command == "neardup":
+            from pyspark.sql import functions as F
+
+            from .streaming.neardup_stream import run_near_dup_stream_once
+
+            probe = spark.read.parquet(args.source)
+            dim = args.dim
+            if dim is None:
+                row = probe.select(F.size(args.emb_col)).first()
+                if row is None:
+                    raise SystemExit(f"no rows under {args.source}")
+                dim = row[0]
+            run_near_dup_stream_once(
+                spark, args.source, args.out, args.index, args.checkpoint,
+                probe.schema, dim, threshold=args.threshold,
+                timeout_s=None, id_col=args.id_col, emb_col=args.emb_col,
+            )
+            print(f"near-dup filtered -> {args.out} (index {args.index}, "
+                  f"resume via {args.checkpoint})")
             return 0
 
         from .profiles import load_registry

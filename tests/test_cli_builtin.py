@@ -118,3 +118,29 @@ def test_cli_orphan_alerts(spark, tmp_path):
     assert main(cli) == 0
     got = spark.read.parquet(orph).collect()
     assert [(r.conv_id, r.agent_turn) for r in got] == [("c2", 0)]
+
+
+def test_cli_neardup(spark, tmp_path):
+    import numpy as np
+
+    from napalm_logs_spark.__main__ import main
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(6, 8)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((50, [float(x) for x in base[3] + 1e-4 * rng.randn(8)]))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.parquet(src)
+    out, idx, ckpt = (str(tmp_path / d) for d in ("out", "idx", "ckpt"))
+    assert main([
+        "neardup", "--source", src, "--out", out, "--index", idx,
+        "--checkpoint", ckpt,
+    ]) == 0
+    from napalm_logs_spark.streaming.neardup_stream import read_kept
+
+    kept = {r.vec_id for r in read_kept(spark, out).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5}, kept  # 50 dropped (near-copy of 3)
+    # the index is a compactable lakehouse table
+    assert main(["compact", "--table", idx, "--upto", "0"]) == 0
