@@ -233,3 +233,62 @@ def test_manifest_contents_and_empty_table(spark, tmp_path):
         assert json.load(fh) == {"upto": 0}
     with pytest.raises(FileNotFoundError):
         read_table(spark, str(tmp_path / "missing"))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_land_compact_crash_invariant(spark, tmp_path, seed):
+    """Under any interleaving of lands, compactions, manifest loss,
+    resurrected consumed dirs, and orphan tmp generations, read_table
+    returns exactly the landed rows (exactly-once, compaction
+    invisible)."""
+    import random
+
+    rng = random.Random(seed)
+    out = str(tmp_path / "t")
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    truth = {}  # batch_id -> row count
+    next_b = 0
+
+    def land():
+        nonlocal next_b
+        n = rng.randint(1, 30)
+        df = spark.range(n).select(
+            F.lit(f"c{next_b}").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("RAW").alias("error"),
+        )
+        sink(df, next_b)
+        truth[next_b] = n
+        next_b += 1
+
+    land()  # never start empty
+    for _ in range(8):
+        op = rng.choice(["land", "land", "compact", "lose_manifest",
+                         "resurrect", "orphan_tmp"])
+        if op == "land":
+            land()
+        elif op == "compact":
+            compact_sink(spark, out, target_file_bytes=rng.choice([4096, 1 << 30]))
+        elif op == "lose_manifest":
+            m = os.path.join(out, MANIFEST)
+            if os.path.exists(m):
+                os.remove(m)
+        elif op == "resurrect":
+            done = [b for b in truth if not os.path.isdir(f"{out}/_batch_id={b}")]
+            if done:
+                b = rng.choice(done)  # stale replay into a compacted id
+                df = spark.range(truth[b]).select(
+                    F.lit(f"c{b}").alias("conv_id"),
+                    F.col("id").cast("int").alias("turn_idx"),
+                    F.lit("RAW").alias("error"),
+                )
+                sink(df, b)
+        elif op == "orphan_tmp":
+            os.makedirs(f"{out}/_compacted_upto={next_b + 3}.tmp", exist_ok=True)
+        # invariant after every step
+        got = (
+            read_table(spark, out)
+            .groupBy("_batch_id").count().collect()
+        )
+        assert {r._batch_id: r["count"] for r in got} == truth, f"after {op}"
