@@ -239,4 +239,8 @@ def run_near_dup_stream_once(
 
 
 def read_kept(spark, out_dir: str) -> DataFrame:
-    return spark.read.option("basePath", out_dir).parquet(out_dir)
+    """Kept rows with ``_batch_id`` lineage — compaction-aware (the
+    output dir is a maintainable lakehouse table like the index)."""
+    from .maintenance import read_table
+
+    return read_table(spark, out_dir)

@@ -155,3 +155,26 @@ def test_index_compaction_between_drains(spark, dirs):
     kept = {r.vec_id for r in read_kept(spark, dirs["out"]).collect()}
     assert 100 not in kept, "dup vs a compacted index slice must be dropped"
     assert 101 in kept
+
+
+def test_output_dir_compaction(spark, dirs):
+    """The kept-rows output is a maintainable table too: compact it and
+    read_kept keeps returning every kept row with its lineage."""
+    from napalm_logs_spark.streaming.maintenance import compact_sink
+
+    base = _vecs(31, 4)
+    for i in range(3):
+        _write(spark, dirs["src"], _rows([10 * i], base[i:i + 1]))
+        run_near_dup_stream_once(
+            spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+            SCHEMA, DIM, threshold=0.95,
+        )
+    before = sorted(
+        (r.vec_id, r._batch_id) for r in read_kept(spark, dirs["out"]).collect()
+    )
+    stats = compact_sink(spark, dirs["out"])
+    assert not stats["skipped"]
+    after = sorted(
+        (r.vec_id, r._batch_id) for r in read_kept(spark, dirs["out"]).collect()
+    )
+    assert after == before
