@@ -9,6 +9,8 @@
         [--upto N] [--target-file-mb 128]
     python -m napalm_logs_spark neardup --source DIR --out DIR \
         --index DIR --checkpoint DIR [--dim N] [--threshold 0.95]
+    python -m napalm_logs_spark docfilter --source DIR --output DIR \
+        [--gopher] [--pii-scrub] [--langid] [--text-col text]
 
 ``normalize`` is the batch path (read → normalize → write parquet);
 ``run`` is the streaming pipeline (readStream → normalize → TTL dedup →
@@ -17,7 +19,9 @@ table-maintenance job for long-running sinks (rewrite committed
 micro-batch dirs into size-targeted files — see
 :mod:`.streaming.maintenance`); ``neardup`` is the streaming
 cross-batch embedding near-dup filter (exactly-once LSH index — see
-:mod:`.streaming.neardup_stream`), resumable from its checkpoint.
+:mod:`.streaming.neardup_stream`), resumable from its checkpoint;
+``docfilter`` is the batch training-data quality pass (Gopher rules →
+PII scrub → language id, each optional — :mod:`.operators.text`).
 """
 
 from __future__ import annotations
@@ -117,6 +121,20 @@ def main(argv=None) -> int:
     p_nd.add_argument("--id-col", default="vec_id")
     p_nd.add_argument("--emb-col", default="embedding")
 
+    p_df = sub.add_parser(
+        "docfilter", help="batch training-data quality pass: Gopher "
+                          "rules -> PII scrub -> language id")
+    p_df.add_argument("--source", required=True, help="documents parquet dir")
+    p_df.add_argument("--output", required=True, help="kept-docs parquet dir")
+    p_df.add_argument("--text-col", default="text")
+    p_df.add_argument("--gopher", action="store_true",
+                      help="drop docs failing the Gopher quality gates")
+    p_df.add_argument("--pii-scrub", action="store_true",
+                      help="replace text with the PII-redacted form "
+                           "(keeps per-category counts)")
+    p_df.add_argument("--langid", action="store_true",
+                      help="attach the n-gram language-id column")
+
     args = parser.parse_args(argv)
 
     spark, owns_session = _session(args.master, args.shuffle_partitions)
@@ -129,6 +147,35 @@ def main(argv=None) -> int:
                 target_file_bytes=args.target_file_mb << 20,
             )
             print(f"compacted {args.table}: {stats}")
+            return 0
+
+        if args.command == "docfilter":
+            from pyspark.sql import functions as F
+
+            from .operators.text import gopher_rules, lang_id, pii_scrub
+
+            df = spark.read.parquet(args.source)
+            in_cols = df.columns
+            n_in = df.count()
+            if args.gopher:
+                # zero-shuffle: signals ride alongside the original
+                # columns, no join back to the source
+                df = (
+                    gopher_rules(df, text_col=args.text_col, keep_cols=True)
+                    .filter("keep")
+                    .select(*in_cols)
+                )
+            if args.pii_scrub:
+                df = (
+                    pii_scrub(df, text_col=args.text_col)
+                    .withColumn(args.text_col, F.col("redacted"))
+                    .drop("redacted")
+                )
+            if args.langid:
+                df = lang_id(df, text_col=args.text_col)
+            df.write.mode("overwrite").parquet(args.output)
+            n_out = spark.read.parquet(args.output).count()
+            print(f"docfilter: {n_in} -> {n_out} docs -> {args.output}")
             return 0
 
         if args.command == "neardup":

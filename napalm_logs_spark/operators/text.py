@@ -719,11 +719,15 @@ def gopher_rules(
     max_mean_len: float = 10.0,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition-free quality gates: word-count bounds,
     mean-word-length bounds, fraction-of-words-with-an-alphabetic-char,
     and distinct-stopword presence.  Emits one row per document with the
-    measured signals, each rule's verdict, and the conjunctive ``keep``.
+    measured signals, each rule's verdict, and the conjunctive ``keep``
+    (``keep_cols=True`` carries every input column through instead of
+    projecting to doc_id — lets a filter pipeline stay zero-shuffle
+    with no join back to the source).
 
     Scale shape: zero shuffles — every signal is an array higher-order
     function over the token array (JVM, whole-stage codegen), so the
@@ -745,7 +749,7 @@ def gopher_rules(
         )
     )
     out = df.select(
-        "doc_id",
+        "*" if keep_cols else "doc_id",
         n_words.alias("n_words"),
         # try_divide: an empty document yields NULL signals (not a job
         # abort under ANSI mode); r_word_count is false there, so `keep`

@@ -144,3 +144,30 @@ def test_cli_neardup(spark, tmp_path):
     assert kept == {0, 1, 2, 3, 4, 5}, kept  # 50 dropped (near-copy of 3)
     # the index is a compactable lakehouse table
     assert main(["compact", "--table", idx, "--upto", "0"]) == 0
+
+
+def test_cli_docfilter(spark, tmp_path):
+    from napalm_logs_spark.__main__ import main
+
+    good = (
+        "the cat and the dog have a long conversation about the weather "
+        "that goes on with many plain words in it " * 3
+    )
+    rows = [
+        (1, good + " mail me at a.b@example.com or 10.1.2.3"),
+        (2, "x y z"),  # fails gopher min_words
+        (3, good),
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+    assert main([
+        "docfilter", "--source", src, "--output", out,
+        "--gopher", "--pii-scrub", "--langid",
+    ]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 3}, "doc 2 must fail the Gopher gates"
+    assert "<EMAIL>" in got[1].text and "<IP>" in got[1].text
+    assert "example.com" not in got[1].text
+    assert got[1].n_email == 1 and got[1].n_ipv4 == 1
+    assert got[3].lang_pred == "en"
