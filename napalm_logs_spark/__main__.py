@@ -11,6 +11,8 @@
         --index DIR --checkpoint DIR [--dim N] [--threshold 0.95]
     python -m napalm_logs_spark docfilter --source DIR --output DIR \
         [--gopher] [--pii-scrub] [--langid] [--text-col text]
+    python -m napalm_logs_spark dedup --source DIR --output DIR \
+        [--method exact|minhash] [--threshold 0.8]
 
 ``normalize`` is the batch path (read → normalize → write parquet);
 ``run`` is the streaming pipeline (readStream → normalize → TTL dedup →
@@ -21,7 +23,9 @@ micro-batch dirs into size-targeted files — see
 cross-batch embedding near-dup filter (exactly-once LSH index — see
 :mod:`.streaming.neardup_stream`), resumable from its checkpoint;
 ``docfilter`` is the batch training-data quality pass (Gopher rules →
-PII scrub → language id, each optional — :mod:`.operators.text`).
+PII scrub → language id, each optional — :mod:`.operators.text`);
+``dedup`` is batch document dedup (exact hash or MinHash-LSH cluster
+collapse — :mod:`.operators.docdedup`).
 """
 
 from __future__ import annotations
@@ -135,6 +139,16 @@ def main(argv=None) -> int:
     p_df.add_argument("--langid", action="store_true",
                       help="attach the n-gram language-id column")
 
+    p_dd = sub.add_parser(
+        "dedup", help="batch document dedup: exact hash or MinHash-LSH "
+                      "near-dup cluster collapse (lowest doc_id wins)")
+    p_dd.add_argument("--source", required=True, help="documents parquet dir")
+    p_dd.add_argument("--output", required=True, help="kept-docs parquet dir")
+    p_dd.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    p_dd.add_argument("--threshold", type=float, default=0.8,
+                      help="minhash: exact-Jaccard verify threshold")
+    p_dd.add_argument("--text-col", default="text")
+
     args = parser.parse_args(argv)
 
     spark, owns_session = _session(args.master, args.shuffle_partitions)
@@ -147,6 +161,30 @@ def main(argv=None) -> int:
                 target_file_bytes=args.target_file_mb << 20,
             )
             print(f"compacted {args.table}: {stats}")
+            return 0
+
+        if args.command == "dedup":
+            from .operators.docdedup import (
+                dedup_keep_list,
+                exact_dedup,
+                minhash_lsh_pairs,
+            )
+
+            df = spark.read.parquet(args.source)
+            n_in = df.count()
+            if args.method == "exact":
+                kept = exact_dedup(df, text_col=args.text_col)
+            else:
+                pairs = minhash_lsh_pairs(
+                    df, threshold=args.threshold, text_col=args.text_col
+                )
+                kept = df.join(
+                    dedup_keep_list(df, pairs), "doc_id", "left_semi"
+                )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_out = spark.read.parquet(args.output).count()
+            print(f"dedup[{args.method}]: {n_in} -> {n_out} docs -> "
+                  f"{args.output}")
             return 0
 
         if args.command == "docfilter":

@@ -171,3 +171,28 @@ def test_cli_docfilter(spark, tmp_path):
     assert "example.com" not in got[1].text
     assert got[1].n_email == 1 and got[1].n_ipv4 == 1
     assert got[3].lang_pred == "en"
+
+
+def test_cli_dedup(spark, tmp_path):
+    from napalm_logs_spark.__main__ import main
+
+    body = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        (1, body * 4),
+        (2, body * 4),                     # exact dup of 1
+        (3, body * 4 + "with a tiny tail"),  # near-dup of 1 (high jaccard)
+        (4, "a completely different document about spark shuffles"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+
+    out1 = str(tmp_path / "exact")
+    assert main(["dedup", "--source", src, "--output", out1]) == 0
+    assert {r.doc_id for r in spark.read.parquet(out1).collect()} == {1, 3, 4}
+
+    out2 = str(tmp_path / "mh")
+    assert main([
+        "dedup", "--source", src, "--output", out2,
+        "--method", "minhash", "--threshold", "0.7",
+    ]) == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 4}
