@@ -164,6 +164,9 @@ def main(argv=None) -> int:
             return 0
 
         if args.command == "dedup":
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
             from .operators.docdedup import (
                 dedup_keep_list,
                 exact_dedup,
@@ -171,7 +174,6 @@ def main(argv=None) -> int:
             )
 
             df = spark.read.parquet(args.source)
-            n_in = df.count()
             if args.method == "exact":
                 kept = exact_dedup(df, text_col=args.text_col)
             else:
@@ -181,20 +183,23 @@ def main(argv=None) -> int:
                 kept = df.join(
                     dedup_keep_list(df, pairs), "doc_id", "left_semi"
                 )
+            # output count rides the write job (no extra scan of either
+            # the source or the written output)
+            obs = Observation()
+            kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
             kept.write.mode("overwrite").parquet(args.output)
-            n_out = spark.read.parquet(args.output).count()
-            print(f"dedup[{args.method}]: {n_in} -> {n_out} docs -> "
+            print(f"dedup[{args.method}]: kept {obs.get['n']} docs -> "
                   f"{args.output}")
             return 0
 
         if args.command == "docfilter":
+            from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
             from .operators.text import gopher_rules, lang_id, pii_scrub
 
             df = spark.read.parquet(args.source)
             in_cols = df.columns
-            n_in = df.count()
             if args.gopher:
                 # zero-shuffle: signals ride alongside the original
                 # columns, no join back to the source
@@ -211,9 +216,11 @@ def main(argv=None) -> int:
                 )
             if args.langid:
                 df = lang_id(df, text_col=args.text_col)
+            # kept count rides the write job — no extra scans
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             df.write.mode("overwrite").parquet(args.output)
-            n_out = spark.read.parquet(args.output).count()
-            print(f"docfilter: {n_in} -> {n_out} docs -> {args.output}")
+            print(f"docfilter: kept {obs.get['n']} docs -> {args.output}")
             return 0
 
         if args.command == "neardup":
@@ -224,9 +231,16 @@ def main(argv=None) -> int:
             probe = spark.read.parquet(args.source)
             dim = args.dim
             if dim is None:
-                row = probe.select(F.size(args.emb_col)).first()
-                if row is None:
-                    raise SystemExit(f"no rows under {args.source}")
+                # skip NULL embeddings: F.size(NULL) is -1/-NULL, and a
+                # bogus dim would be pinned into the index _PARAMS.json
+                row = (
+                    probe.filter(F.col(args.emb_col).isNotNull())
+                    .select(F.size(args.emb_col)).first()
+                )
+                if row is None or row[0] is None or row[0] <= 0:
+                    raise SystemExit(
+                        f"cannot infer --dim from {args.source} "
+                        "(no non-null embeddings)")
                 dim = row[0]
             run_near_dup_stream_once(
                 spark, args.source, args.out, args.index, args.checkpoint,

@@ -748,6 +748,15 @@ def gopher_rules(
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
         )
     )
+    if keep_cols:
+        clash = {"n_words", "mean_word_len", "alpha_frac", "n_stopwords",
+                 "r_word_count", "r_mean_len", "r_alpha", "r_stopwords",
+                 "keep"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"keep_cols=True would shadow input column(s) {sorted(clash)}; "
+                "rename them (e.g. from an earlier quality pass) first"
+            )
     out = df.select(
         "*" if keep_cols else "doc_id",
         n_words.alias("n_words"),

@@ -138,21 +138,20 @@ def _read_tail(spark: SparkSession, path: str, tail_ids: list[int]) -> DataFrame
     """Tail dirs as one DataFrame with a long ``_batch_id`` column.
 
     The envelope sink stores ``_batch_id`` as a data column (the dir
-    name is just the idempotence key); other writers of this layout
-    (the near-dup LSH index) don't — for those the id is derived from
-    the directory name instead."""
-    first = spark.read.parquet(f"{path}/_batch_id={tail_ids[0]}")
-    if "_batch_id" in first.columns:
-        tail = spark.read.parquet(*[f"{path}/_batch_id={b}" for b in tail_ids])
-        return tail.withColumn("_batch_id", F.col("_batch_id").cast("long"))
-    out = first.withColumn("_batch_id", F.lit(int(tail_ids[0])))
-    for b in tail_ids[1:]:
-        out = out.unionByName(
-            spark.read.parquet(f"{path}/_batch_id={b}").withColumn(
-                "_batch_id", F.lit(int(b))
-            )
-        )
-    return out
+    name is just the idempotence key) — read the dirs plainly (adding
+    partition inference would shadow-warn on the duplicate).  Other
+    writers of this layout (the near-dup LSH index) don't — for those
+    ONE basePath read restores the id from the directory names
+    (O(1) listings either way; a per-dir read + union chain would be
+    O(N) driver round-trips at exactly the many-small-dirs scale this
+    module exists to fix)."""
+    dirs = [f"{path}/_batch_id={b}" for b in tail_ids]
+    schema = spark.read.parquet(dirs[0]).schema
+    if "_batch_id" in schema.fieldNames():
+        tail = spark.read.parquet(*dirs)
+    else:
+        tail = spark.read.option("basePath", path).parquet(*dirs)
+    return tail.withColumn("_batch_id", F.col("_batch_id").cast("long"))
 
 
 def read_table(
@@ -231,8 +230,14 @@ def compact_sink(
     newest = max(ids) if ids else None
     if upto_batch_id is None:
         upto_batch_id = (newest - 1) if newest is not None else (prev if prev is not None else -1)
+    # the watermark may never pass batches that have not landed: above
+    # newest-1 with a tail (the newest stays replayable), above prev
+    # with no tail (advancing past unlanded ids would hide — and then
+    # GC — every batch the stream lands later: silent data loss)
     if newest is not None:
         upto_batch_id = min(upto_batch_id, newest - 1)
+    else:
+        upto_batch_id = min(upto_batch_id, prev if prev is not None else -1)
     def _gc(committed: int) -> None:
         """Remove everything a committed generation supersedes: consumed
         tail dirs, stale/orphan generations, a drifted manifest — pure

@@ -292,3 +292,31 @@ def test_randomized_land_compact_crash_invariant(spark, tmp_path, seed):
             .groupBy("_batch_id").count().collect()
         )
         assert {r._batch_id: r["count"] for r in got} == truth, f"after {op}"
+
+
+def test_explicit_upto_never_passes_landed_batches(spark, tmp_path):
+    """An operator typo (--upto far beyond what landed) must not advance
+    the watermark past unlanded ids — that would hide and then GC every
+    batch the stream lands later."""
+    out = str(tmp_path / "t")
+    _land(spark, out, n_batches=3)
+    compact_sink(spark, out)  # prev=1, tail={2}
+    before = _rows(read_sink(spark, out))
+    # fully compacted table (no tail): explicit huge upto must clamp
+    compact_sink(spark, out, upto_batch_id=2)  # consume batch 2 too...
+    # ...wait: upto clamps to newest-1=1 with tail present; force the
+    # no-tail case instead
+    stats = compact_sink(spark, out, upto_batch_id=100)
+    assert stats["upto"] <= 2
+    # new batches landed after the bogus call stay visible
+    sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
+                                               send_unknown=True)])
+    df = spark.range(7).select(
+        F.lit("late").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("RAW").alias("error"),
+    )
+    sink(df, 3)
+    rows = _rows(read_sink(spark, out))
+    assert len(rows) == len(before) + 7
+    assert {r[3] for r in rows} == {0, 1, 2, 3}

@@ -437,3 +437,13 @@ def test_dsir_importance_vs_python_reference(spark):
         dsir_importance(df)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_importance(df, target, target_filter=F.col("doc_id") == 1)
+
+
+def test_gopher_keep_cols_collision_raises(spark):
+    from napalm_logs_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "some text here", True)], ["doc_id", "text", "keep"]
+    )
+    with pytest.raises(ValueError, match="shadow input column"):
+        gopher_rules(df, keep_cols=True)
