@@ -124,6 +124,8 @@ def main(argv=None) -> int:
     p_nd.add_argument("--threshold", type=float, default=0.95)
     p_nd.add_argument("--id-col", default="vec_id")
     p_nd.add_argument("--emb-col", default="embedding")
+    p_nd.add_argument("--metrics", default=None,
+                      help="per-batch kept/dropped JSONL path")
 
     p_df = sub.add_parser(
         "docfilter", help="batch training-data quality pass: Gopher "
@@ -246,6 +248,7 @@ def main(argv=None) -> int:
                 spark, args.source, args.out, args.index, args.checkpoint,
                 probe.schema, dim, threshold=args.threshold,
                 timeout_s=None, id_col=args.id_col, emb_col=args.emb_col,
+                metrics_jsonl=args.metrics,
             )
             print(f"near-dup filtered -> {args.out} (index {args.index}, "
                   f"resume via {args.checkpoint})")

@@ -108,10 +108,16 @@ def near_dup_filter_batch(
     max_bucket: int = 2000,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    metrics_jsonl: str | None = None,
 ):
     """foreachBatch function: filter near-dups vs the committed index,
     write survivors to ``out_dir/_batch_id=<n>`` and their bucket rows
-    to ``index_dir/_batch_id=<n>`` (both overwrite — idempotent)."""
+    to ``index_dir/_batch_id=<n>`` (both overwrite — idempotent).
+
+    ``metrics_jsonl``: append one line per batch —
+    ``{"batch_id", "n_in", "n_kept", "n_dropped"}`` (counts ride the
+    existing jobs via Observation / the persisted dup set — no extra
+    scans; same JSONL convention as :mod:`.metrics`)."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -183,9 +189,25 @@ def near_dup_filter_batch(
                 kept = batch_df.join(
                     dups.withColumnRenamed("id", id_col), id_col, "left_anti"
                 )
+                obs = None
+                if metrics_jsonl:
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
                 kept.write.mode("overwrite").parquet(
                     f"{out_dir}/_batch_id={batch_id}"
                 )
+                if obs is not None:
+                    n_kept = int(obs.get["n"])
+                    n_dropped = dups.count()  # persisted and tiny
+                    with open(metrics_jsonl, "a") as fh:
+                        fh.write(json.dumps({
+                            "batch_id": int(batch_id),
+                            "n_in": n_kept + n_dropped,
+                            "n_kept": n_kept,
+                            "n_dropped": n_dropped,
+                        }) + "\n")
                 # index slice = the survivors' bucket rows (greedy
                 # online: a dropped row never becomes a future anchor)
                 kept_bt = bt.join(

@@ -178,3 +178,21 @@ def test_output_dir_compaction(spark, dirs):
         (r.vec_id, r._batch_id) for r in read_kept(spark, dirs["out"]).collect()
     )
     assert after == before
+
+
+def test_metrics_jsonl(spark, dirs, tmp_path):
+    import json
+
+    base = _vecs(41, 4)
+    rows = _rows(range(4), base) + _rows(
+        [50], [base[1] + 0.001 * _vecs(42, 1)[0]]
+    )
+    _write(spark, dirs["src"], rows)
+    metrics = str(tmp_path / "m.jsonl")
+    run_near_dup_stream_once(
+        spark, dirs["src"], dirs["out"], dirs["idx"], dirs["ckpt"],
+        SCHEMA, DIM, threshold=0.95, metrics_jsonl=metrics,
+    )
+    lines = [json.loads(x) for x in open(metrics)]
+    assert len(lines) == 1
+    assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4, "n_dropped": 1}
