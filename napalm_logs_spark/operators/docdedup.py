@@ -503,12 +503,22 @@ def duplicate_clusters(
     the MINIMUM doc_id reachable through the pair graph (the cluster
     representative to keep).
 
-    Iterative label propagation on DataFrames (the classic large-star /
-    small-star simplification): each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds, checked via a count of changed labels.  This is
-    the engine's loop-until-fixpoint surface — not expressible in one
-    SQL statement.
+    Iterative label propagation WITH POINTER DOUBLING on DataFrames:
+    each round every node adopts the smallest label among itself and
+    its neighbors, then shortcuts label := label(label) (Shiloach-
+    Vishkin style path halving) — chains collapse exponentially, so
+    convergence is O(log diameter) rounds, not O(diameter) (a 10^6-doc
+    near-dup CHAIN of templated documents converges in ~20 rounds
+    instead of 10^6; plain min-propagation would silently return
+    non-converged labels once it hits the iteration cap).  The
+    invariant that makes the shortcut safe: a node's label is always
+    the id of some node in its own component (neighbor labels and
+    labels-of-labels both are), monotonically decreasing toward the
+    component minimum.  Convergence is checked via a count of changed
+    labels; hitting ``max_iterations`` without converging raises
+    rather than returning a partially-merged clustering.  This is the
+    engine's loop-until-fixpoint surface — not expressible in one SQL
+    statement.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -531,7 +541,7 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -539,6 +549,20 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+        )
+        # pointer doubling: follow the label one hop through the
+        # PREVIOUS generation (synchronous jumping, new = old[old[i]]):
+        # every label IS a node (labels start as self and only move to
+        # component-mates) so the join is total, and hopping through
+        # the materialized previous table references `stepped` once —
+        # a self-join on `stepped` would double its un-materialized
+        # subplan every round (exponential plan growth, driver OOM)
+        hop = labels.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(hop, stepped["label"] == hop["_ln"])
+            .select("node", F.least("label", "_ll").alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -560,6 +584,13 @@ def duplicate_clusters(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "rounds — raise max_iterations (a partially-merged "
+            "clustering must never be returned silently)"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -348,3 +348,20 @@ def test_duplicate_spans_within_doc_repeat_not_marked(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(df, k=5).count() == 0
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 300-link chain (templated near-dups) must converge within the
+    default iteration cap — pointer doubling makes rounds O(log
+    diameter); plain propagation would need 300 rounds and previously
+    returned partially-merged labels SILENTLY."""
+    from napalm_logs_spark.operators.docdedup import duplicate_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = duplicate_clusters(pairs)
+    assert got.filter("cluster_id != 0").count() == 0
+    assert got.count() == n + 1
