@@ -233,16 +233,16 @@ def main(argv=None) -> int:
             probe = spark.read.parquet(args.source)
             dim = args.dim
             if dim is None:
-                # skip NULL embeddings: F.size(NULL) is -1/-NULL, and a
+                # skip NULL/empty embeddings: F.size(NULL) is -1, and a
                 # bogus dim would be pinned into the index _PARAMS.json
                 row = (
-                    probe.filter(F.col(args.emb_col).isNotNull())
+                    probe.filter(F.size(F.col(args.emb_col)) > 0)
                     .select(F.size(args.emb_col)).first()
                 )
-                if row is None or row[0] is None or row[0] <= 0:
+                if row is None:
                     raise SystemExit(
                         f"cannot infer --dim from {args.source} "
-                        "(no non-null embeddings)")
+                        "(no non-empty embeddings)")
                 dim = row[0]
             run_near_dup_stream_once(
                 spark, args.source, args.out, args.index, args.checkpoint,

@@ -564,16 +564,12 @@ def duplicate_clusters(
             stepped.join(hop, stepped["label"] == hop["_ln"])
             .select("node", F.least("label", "_ll").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # periodic localCheckpoint truncates the per-round join lineage
-        # (20 rounds of uncut lineage make the final plan exponential to
-        # analyze); cache the others so each round reads one materialized
-        # table — and ALWAYS unpersist the superseded generation (the
+        # materialize the new generation FIRST, then derive the changed
+        # count from the materialized table — counting the raw plan
+        # would evaluate the round's whole join tree twice.  Periodic
+        # localCheckpoint truncates the per-round join lineage (20
+        # rounds of uncut lineage make the final plan exponential to
+        # analyze); ALWAYS unpersist the superseded generation (the
         # executor cache must stay O(1) generations at 100 TB)
         old = labels
         if (it + 1) % 5 == 0:
@@ -581,11 +577,18 @@ def duplicate_clusters(
         else:
             labels = new_labels.cache()
             labels.count()
+        changed = (
+            labels.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         old.unpersist()
         if changed == 0:
             break
     else:
         edges.unpersist()
+        labels.unpersist()  # don't strand the last generation on raise
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} "
             "rounds — raise max_iterations (a partially-merged "

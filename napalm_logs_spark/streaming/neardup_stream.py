@@ -97,6 +97,28 @@ def _check_index_params(spark, index_dir: str, params: dict) -> None:
         out.close()
 
 
+def _write_metrics_line(path: str, record: dict) -> None:
+    """Replace-by-batch_id JSONL write (tmp + rename): a replayed batch
+    overwrites its own line — metrics stay exactly-once like the data.
+    The file is one small line per micro-batch; the rewrite is
+    driver-side and O(batches)."""
+    import os
+
+    lines = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            lines = [
+                ln for ln in fh.read().splitlines()
+                if ln.strip()
+                and json.loads(ln).get("batch_id") != record["batch_id"]
+            ]
+    lines.append(json.dumps(record))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+
+
 def near_dup_filter_batch(
     out_dir: str,
     index_dir: str,
@@ -114,10 +136,12 @@ def near_dup_filter_batch(
     write survivors to ``out_dir/_batch_id=<n>`` and their bucket rows
     to ``index_dir/_batch_id=<n>`` (both overwrite — idempotent).
 
-    ``metrics_jsonl``: append one line per batch —
-    ``{"batch_id", "n_in", "n_kept", "n_dropped"}`` (counts ride the
-    existing jobs via Observation / the persisted dup set — no extra
-    scans; same JSONL convention as :mod:`.metrics`)."""
+    ``metrics_jsonl``: one line per batch —
+    ``{"batch_id", "n_in", "n_kept", "n_dropped"}`` (row counts ride
+    the kept-write job via two Observations — no extra scans; same
+    JSONL convention as :mod:`.metrics`).  Replay-idempotent like the
+    sibling writes: a replayed batch REPLACES its own line instead of
+    appending a duplicate."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -186,28 +210,35 @@ def near_dup_filter_batch(
                 else dup_in_batch.unionByName(dup_vs_prev)
             ).distinct().persist()
             try:
-                kept = batch_df.join(
-                    dups.withColumnRenamed("id", id_col), id_col, "left_anti"
-                )
-                obs = None
+                src = batch_df
+                obs_in = obs_kept = None
                 if metrics_jsonl:
                     from pyspark.sql import Observation
 
-                    obs = Observation()
-                    kept = kept.observe(obs, F.count(F.lit(1)).alias("n"))
+                    # n_in observed on the batch side of the SAME write
+                    # job (true row count even with duplicate ids);
+                    # n_kept on the post-anti-join rows
+                    obs_in, obs_kept = Observation(), Observation()
+                    src = batch_df.observe(
+                        obs_in, F.count(F.lit(1)).alias("n")
+                    )
+                kept = src.join(
+                    dups.withColumnRenamed("id", id_col), id_col, "left_anti"
+                )
+                if obs_kept is not None:
+                    kept = kept.observe(obs_kept, F.count(F.lit(1)).alias("n"))
                 kept.write.mode("overwrite").parquet(
                     f"{out_dir}/_batch_id={batch_id}"
                 )
-                if obs is not None:
-                    n_kept = int(obs.get["n"])
-                    n_dropped = dups.count()  # persisted and tiny
-                    with open(metrics_jsonl, "a") as fh:
-                        fh.write(json.dumps({
-                            "batch_id": int(batch_id),
-                            "n_in": n_kept + n_dropped,
-                            "n_kept": n_kept,
-                            "n_dropped": n_dropped,
-                        }) + "\n")
+                if obs_in is not None:
+                    n_in = int(obs_in.get["n"])
+                    n_kept = int(obs_kept.get["n"])
+                    _write_metrics_line(metrics_jsonl, {
+                        "batch_id": int(batch_id),
+                        "n_in": n_in,
+                        "n_kept": n_kept,
+                        "n_dropped": n_in - n_kept,
+                    })
                 # index slice = the survivors' bucket rows (greedy
                 # online: a dropped row never becomes a future anchor)
                 kept_bt = bt.join(

@@ -297,26 +297,35 @@ def test_randomized_land_compact_crash_invariant(spark, tmp_path, seed):
 def test_explicit_upto_never_passes_landed_batches(spark, tmp_path):
     """An operator typo (--upto far beyond what landed) must not advance
     the watermark past unlanded ids — that would hide and then GC every
-    batch the stream lands later."""
+    batch the stream lands later.  Exercises BOTH clamp branches: with
+    a tail (clamped to newest-1) and with no tail at all (clamped to
+    the committed watermark)."""
+    import shutil
+
     out = str(tmp_path / "t")
     _land(spark, out, n_batches=3)
-    compact_sink(spark, out)  # prev=1, tail={2}
     before = _rows(read_sink(spark, out))
-    # fully compacted table (no tail): explicit huge upto must clamp
-    compact_sink(spark, out, upto_batch_id=2)  # consume batch 2 too...
-    # ...wait: upto clamps to newest-1=1 with tail present; force the
-    # no-tail case instead
+    # with a tail: huge upto clamps to newest-1
     stats = compact_sink(spark, out, upto_batch_id=100)
-    assert stats["upto"] <= 2
-    # new batches landed after the bogus call stay visible
+    assert stats["upto"] == 1
+    # no-tail table (e.g. restored from a generation alone): remove the
+    # remaining tail dir, then a huge upto must clamp to the committed
+    # watermark, not advance into unlanded ids
+    shutil.rmtree(out + "/_batch_id=2")
+    stats = compact_sink(spark, out, upto_batch_id=100)
+    assert stats["skipped"] and stats["upto"] == 1
+    # batches landing after the bogus call stay visible
     sink = exactly_once_parquet_sink([SinkSpec(path=out, send_raw=True,
                                                send_unknown=True)])
-    df = spark.range(7).select(
-        F.lit("late").alias("conv_id"),
-        F.col("id").cast("int").alias("turn_idx"),
-        F.lit("RAW").alias("error"),
-    )
-    sink(df, 3)
+    for b in (2, 3):
+        df = spark.range(7).select(
+            F.lit(f"late{b}").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("RAW").alias("error"),
+        )
+        sink(df, b)
     rows = _rows(read_sink(spark, out))
-    assert len(rows) == len(before) + 7
+    # generation holds batches 0-1 (80 rows); removed batch 2 was
+    # re-landed with 7 rows; batch 3 adds 7
+    assert len(rows) == len(before) - 40 + 14
     assert {r[3] for r in rows} == {0, 1, 2, 3}

@@ -196,3 +196,31 @@ def test_metrics_jsonl(spark, dirs, tmp_path):
     lines = [json.loads(x) for x in open(metrics)]
     assert len(lines) == 1
     assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4, "n_dropped": 1}
+
+
+def test_metrics_replay_idempotent(spark, dirs, tmp_path):
+    """A replayed batch REPLACES its metrics line (exactly-once, like
+    the data writes) — and n_in counts rows, not distinct ids."""
+    import json
+
+    from napalm_logs_spark.streaming.neardup_stream import near_dup_filter_batch
+
+    base = _vecs(51, 3)
+    # id 7 appears TWICE (same doc replayed into one batch: rows, not
+    # ids, must be what n_in counts — and same-id rows never self-pair)
+    # and id 9 is a distinct-id near-copy of id 0 (a real drop)
+    rows = (
+        _rows([0, 1, 7], base)
+        + _rows([7], base[2:3])
+        + _rows([9], [base[0] + 0.001 * _vecs(52, 1)[0]])
+    )
+    bdf = spark.createDataFrame(rows, SCHEMA)
+    metrics = str(tmp_path / "m.jsonl")
+    fn = near_dup_filter_batch(dirs["out"], dirs["idx"], DIM,
+                               metrics_jsonl=metrics)
+    fn(bdf, 0)
+    fn(bdf, 0)  # replay
+    lines = [json.loads(x) for x in open(metrics)]
+    assert len(lines) == 1
+    assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4,
+                        "n_dropped": 1}
