@@ -1691,7 +1691,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c2_alarm_gauge"] = c2_alarm_gauge  # oracled: fixture-derived gauge golden
 
-    return q
+    return _priority_order(q)
+
+
+# The correctness driver gates the FIRST 50 registered queries. Round 2 left the
+# d_/t_/s_/mm_ LLM families and golden_normalize outside that window, so round 3
+# front-loads them (VERDICT r2, "Next round" item 1). Previously driver-green
+# entries (full CORRECTNESS_r02 rows) rotate behind; all 90+ remain gated by the
+# pytest oracle mirror (tests/test_entry_contract.py) regardless of position.
+_PRIORITY_50 = [
+    # the core normalize engine (M2-M9) — reference tests/test_config.py:85-209
+    "golden_normalize",
+    # one-per-family + everything driver-unchecked in r02
+    "d_exact_dup_groups", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash",
+    "d_dup_clusters", "d_dedup_keep", "d_decontaminate", "d_leakage_splits",
+    "d_dup_spans",
+    "t_tokens", "t_quality", "t_langid", "t_fingerprint", "t_winnow",
+    "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
+    "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
+    "t_mix_temperature", "t_repetition", "t_sample_mix",
+    "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
+    "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
+    "mm_features", "mm_real_features", "mm_frame_plan",
+    "c2_alarm_gauge",           # VERDICT r2 item 8
+    "e_props_json",             # r02's one red row — oracle cast fixed
+    "k6_msgpack",               # new this round (K6 serializer matrix)
+    "m4_timestamps",            # new this round (M4 locale/tz breadth)
+    # representative core rows kept green (rest rotate; all r02-green already)
+    "p1_nonempty_filter", "p5_whitelist", "a1_dedup_gap", "a1_dedup_ttl_exact",
+    "c1_transitions", "c3_tumbling_counts", "c6_interval_join",
+    "c12_hysteresis",           # semantics updated this round (ADVICE densify)
+    "q1_pricing_summary", "q_sketch_quantiles",
+]
+
+
+def _priority_order(d: dict) -> dict:
+    out = {k: d[k] for k in _PRIORITY_50 if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1780,12 +1817,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["c12_hysteresis"] = """
-        WITH counts AS (
+        WITH sparse AS (
           SELECT user_id,
                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
                  count(*) AS n
           FROM events WHERE event_type = 'error'
           GROUP BY 1, 2
+        ), spine AS (
+          SELECT user_id, CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS win_start
+          FROM (SELECT user_id, min(win_start) AS mn, max(win_start) AS mx
+                FROM sparse GROUP BY 1)
+        ), counts AS (
+          SELECT sp.user_id, sp.win_start, coalesce(s.n, 0) AS n
+          FROM spine sp LEFT JOIN sparse s USING (user_id, win_start)
         ), marked AS (
           SELECT user_id, win_start, n,
                  CASE WHEN n >= 3 THEN 1 WHEN n < 2 THEN 0 END AS mark
@@ -2160,7 +2204,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["e_props_json"] = """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
     """
@@ -2730,7 +2775,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), bg AS (
           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
-          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS gi(i)
+          FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS gi(i)
+          WHERE len(t) >= 2
         ), cnt AS (
           SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
         ), bga AS (
@@ -2743,9 +2789,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT ta.doc_id,
                round(1 - n_distinct / CAST(greatest(n_tok, 1) AS DOUBLE), 6) AS dup_token_frac,
-               round(top_c / CAST(greatest(total_bg, 1) AS DOUBLE), 6) AS top_2gram_frac,
-               round(dup_c / CAST(greatest(total_bg, 1) AS DOUBLE), 6) AS dup_2gram_frac
-        FROM ta JOIN bga USING (doc_id)
+               round(coalesce(top_c, 0) / CAST(greatest(coalesce(total_bg, 0), 1) AS DOUBLE), 6) AS top_2gram_frac,
+               round(coalesce(dup_c, 0) / CAST(greatest(coalesce(total_bg, 0), 1) AS DOUBLE), 6) AS dup_2gram_frac
+        FROM ta LEFT JOIN bga USING (doc_id)
     """
 
     o["d_dedup_keep"] = r"""
@@ -2945,20 +2991,26 @@ def oracle_sql() -> dict[str, str]:
                    'sid', '9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS pii_text
           FROM documents
         )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-               CAST(len(regexp_extract_all(pii_text, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b')) AS BIGINT) AS n_phone,
-               CAST(len(regexp_extract_all(pii_text, '\b\d{9,}\b')) AS BIGINT) AS n_id,
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(pii_text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                   '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b', '<PHONE>', 'g'),
-                 '\b\d{9,}\b', '<ID>', 'g') AS redacted
-        FROM p
+        , r1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                 regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+          FROM p
+        ), r2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                 regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+          FROM r1
+        ), r3 AS (
+          SELECT doc_id, n_email, n_ipv4,
+                 CAST(len(regexp_extract_all(s, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b')) AS BIGINT) AS n_phone,
+                 regexp_replace(s, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b', '<PHONE>', 'g') AS s
+          FROM r2
+        )
+        SELECT doc_id, n_email, n_ipv4, n_phone,
+               CAST(len(regexp_extract_all(s, '\b\d{9,}\b')) AS BIGINT) AS n_id,
+               regexp_replace(s, '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        FROM r3
     """
 
     o["t_clean"] = r"""
@@ -3157,4 +3209,4 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    return o
+    return _priority_order(o)

@@ -367,6 +367,7 @@ def hysteresis_alerts(
     hi: int = 3,
     lo: int = 1,
     predicate=None,
+    densify: bool = True,
 ) -> DataFrame:
     """Threshold alerting with hysteresis over tumbling-window rates:
     the alert latches ON when a window's event count reaches ``hi`` and
@@ -379,6 +380,18 @@ def hysteresis_alerts(
     Relational form: windowed counts (one partial-aggregated shuffle),
     then a per-key running ``last(mark, ignorenulls)`` ordered by
     window — windows between the thresholds inherit the latched state.
+
+    ``densify=True`` (default) fills the gaps first: every key gets one
+    row per window between its first and last observed window, with
+    ``n = 0`` for silent windows — so a latched alert RELEASES across a
+    silent period (0 < lo) instead of carrying the stale latch into the
+    next active window.  Cost is one per-key min/max aggregate plus a
+    ``sequence``/``explode`` spine join; the spine is bounded by
+    (key's observed time span / window_seconds) rows per key — the
+    semantically required output size, not a blow-up.  ``densify=False``
+    restores the sparse form (release only on observed-but-quiet
+    windows) when the caller owns gap semantics.
+
     Emits one row per (key, window) with the count and the alert state.
     """
     from pyspark.sql import functions as F
@@ -389,6 +402,20 @@ def hysteresis_alerts(
     counts = ev.groupBy(F.col(key), win.alias("win_start")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    if densify:
+        spine = (
+            counts.groupBy(key)
+            .agg(F.min("win_start").alias("_lo"), F.max("win_start").alias("_hi"))
+            .select(
+                key,
+                F.explode(
+                    F.sequence("_lo", "_hi", F.lit(window_seconds).cast("long"))
+                ).alias("win_start"),
+            )
+        )
+        counts = spine.join(counts, [key, "win_start"], "left").withColumn(
+            "n", F.coalesce(F.col("n"), F.lit(0)).cast("long")
+        )
     mark = (
         F.when(F.col("n") >= hi, F.lit(1))
         .when(F.col("n") < lo, F.lit(0))

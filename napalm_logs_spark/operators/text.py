@@ -7,7 +7,7 @@ whole-stage codegen) — no Python in the per-row path.  Operates on the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import widen_if_narrow_scan
@@ -372,10 +372,16 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     based = df.select(
         "doc_id", F.explode(F.array(F.struct(toks.alias("v")))).alias("_t")
     ).select("doc_id", F.col("_t.v").alias("toks"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("toks") - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
-    )
+    # 0/1-token docs have no bigrams: emit an empty array (not a pseudo-bigram
+    # of the lone token, which would score top_2gram_frac = 1.0 — spuriously
+    # maximal repetition for trivially short docs)
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     based = based.select(
         "doc_id",
         "toks",
@@ -403,7 +409,9 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.lit(1.0) - F.size(F.array_distinct("toks")) / n_tok, 6
         ).alias("dup_token_frac"),
-        F.round(F.array_max("bgc") / total_bg, 6).alias("top_2gram_frac"),
+        F.coalesce(
+            F.round(F.array_max("bgc") / total_bg, 6), F.lit(0.0)
+        ).alias("top_2gram_frac"),
         F.round(dup_occ / total_bg, 6).alias("dup_2gram_frac"),
     )
 
@@ -485,21 +493,30 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     long numeric identifiers with typed placeholder tokens.
 
     Per-category counts (``n_email``, ``n_ipv4``, ``n_phone``,
-    ``n_id``) are measured on the raw text; ``redacted`` applies the
-    replacements in :data:`PII_PATTERNS` order.  Entirely JVM-side
-    regex — narrow, zero-shuffle, codegen-friendly; at 100 TB this is
-    scan-bandwidth-bound like every other row-local scrub.
+    ``n_id``) are measured *sequentially* on the progressively-redacted
+    string — pattern *i* is counted after replacements 1..i-1 have been
+    applied — so a nested match (``123456789@example.com``) counts once
+    as e-mail, not also as a long numeric id, and the counts equal the
+    number of placeholder tokens actually inserted into ``redacted``.
+    Entirely JVM-side regex — narrow, zero-shuffle, codegen-friendly;
+    at 100 TB this is scan-bandwidth-bound like every other row-local
+    scrub.
     """
     out = df
-    for name, pat, _tok in PII_PATTERNS:
+    cur = text_col
+    tmp_cols = []
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS):
         out = out.withColumn(
             f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long"),
+            F.size(
+                F.regexp_extract_all(F.col(cur), F.lit(pat), F.lit(0))
+            ).cast("long"),
         )
-    red = F.col(text_col)
-    for _name, pat, tok in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, tok)
-    return out.withColumn("redacted", red)
+        nxt = f"_pii_red_{i}"
+        out = out.withColumn(nxt, F.regexp_replace(F.col(cur), pat, tok))
+        tmp_cols.append(nxt)
+        cur = nxt
+    return out.withColumn("redacted", F.col(cur)).drop(*tmp_cols)
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
@@ -522,9 +539,16 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     (the tf-idf lesson from round 1).
 
     ``buckets=True`` adds the CCNet head/middle/tail label from exact
-    tertile cut-points: a 2-value ``percentile`` aggregate broadcast
-    back and compared — NOT a global ``ntile`` sort, which would funnel
-    every row through one partition at corpus scale.
+    tertile cut-points — NOT a global ``ntile`` sort (one-partition
+    funnel), and NOT a single ``percentile`` aggregate either (its
+    buffer collects the whole score multiset into one reducer).
+    Instead the score *distribution* is aggregated first —
+    ``groupBy(bits_per_token).count()`` is map-side combined and its
+    size is bounded by the distinct 6-dp score domain, not by corpus
+    row count — then the two interpolated (percentile_cont) cut-points
+    are computed from cumulative counts over that small table and
+    broadcast back.  Bit-identical to ``percentile``/``quantile_cont``
+    semantics with a structurally bounded memory footprint.
     """
     toks = F.split(
         F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), TOKEN_SPLIT
@@ -555,10 +579,45 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
     if not buckets:
         return scored
-    cuts = scored.agg(
-        F.expr("percentile(bits_per_token, 0.33333333)").alias("c1"),
-        F.expr("percentile(bits_per_token, 0.66666667)").alias("c2"),
+    # exact interpolated percentiles from the (distinct-score, count)
+    # distribution: domain-bounded, mergeable, no whole-corpus buffer.
+    # The running-sum window sorts only the small distribution table.
+    wv = Window.orderBy("bits_per_token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    dist = (
+        scored.groupBy("bits_per_token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_cum", F.sum("_c").over(wv))
+    )
+    ntot = dist.agg(F.sum("_c").cast("double").alias("_n"))
+    d2 = dist.crossJoin(F.broadcast(ntot))
+
+    def _cut_parts(qf: float, tag: str):
+        # percentile_cont rank r = q*(N-1), 0-based; value at index i is
+        # the smallest score whose cumulative count reaches i+1
+        r = (F.col("_n") - 1) * F.lit(qf)
+        return [
+            F.min(
+                F.when(F.col("_cum") >= F.floor(r) + 1, F.col("bits_per_token"))
+            ).alias(f"_vlo{tag}"),
+            F.min(
+                F.when(F.col("_cum") >= F.floor(r) + 2, F.col("bits_per_token"))
+            ).alias(f"_vhi{tag}"),
+        ]
+
+    q1, q2 = 0.33333333, 0.66666667
+    parts = d2.agg(
+        F.first("_n").alias("_n"), *_cut_parts(q1, "1"), *_cut_parts(q2, "2")
+    )
+
+    def _interp(qf: float, tag: str):
+        r = (F.col("_n") - 1) * F.lit(qf)
+        frac = r - F.floor(r)
+        vlo, vhi = F.col(f"_vlo{tag}"), F.col(f"_vhi{tag}")
+        return vlo + frac * (F.coalesce(vhi, vlo) - vlo)
+
+    cuts = parts.select(_interp(q1, "1").alias("c1"), _interp(q2, "2").alias("c2"))
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "n_tokens",

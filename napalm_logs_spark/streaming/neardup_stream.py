@@ -128,6 +128,7 @@ def near_dup_filter_batch(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket: int = 2000,
+    max_index_bucket: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     metrics_jsonl: str | None = None,
@@ -136,12 +137,32 @@ def near_dup_filter_batch(
     write survivors to ``out_dir/_batch_id=<n>`` and their bucket rows
     to ``index_dir/_batch_id=<n>`` (both overwrite — idempotent).
 
+    ``max_index_bucket`` (default: ``max_bucket``) bounds the
+    *accumulated-index* side of the anchor join too: a hot
+    (table, bucket) key otherwise grows without bound across the
+    stream, and each new row in it would compare against every prior
+    survivor.  Oversized index buckets are deterministically
+    down-sampled per batch — rows ranked by ``md5(id)`` (a uniform,
+    replay-stable pseudo-shuffle), anchors beyond the cap ignored for
+    this batch's comparisons.  Trade-off: a true near-dup whose only
+    anchors were sampled out is kept (recall loss on pathological
+    hot buckets, never precision loss); other hash tables still
+    recover the pair.  The rank window keys on (table, bucket) — the
+    same key the join shuffles on — so it adds a sort, not an extra
+    exchange.
+
     ``metrics_jsonl``: one line per batch —
-    ``{"batch_id", "n_in", "n_kept", "n_dropped"}`` (row counts ride
-    the kept-write job via two Observations — no extra scans; same
-    JSONL convention as :mod:`.metrics`).  Replay-idempotent like the
-    sibling writes: a replayed batch REPLACES its own line instead of
-    appending a duplicate."""
+    ``{"batch_id", "n_in", "n_kept", "n_dropped",
+    "index_oversize_buckets", "index_anchors_sampled_out"}``.  Row
+    counts ride the kept-write job via Observations — no extra scans;
+    the two index gauges cost one column-pruned (table, bucket)
+    aggregate scan of the index per batch, only when metrics are
+    enabled (same JSONL convention as :mod:`.metrics`).  They make
+    hot-bucket pressure visible long before it degrades recall.
+    Replay-idempotent like the sibling writes: a replayed batch
+    REPLACES its own line instead of appending a duplicate."""
+    if max_index_bucket is None:
+        max_index_bucket = max_bucket
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -175,14 +196,58 @@ def near_dup_filter_batch(
             )
 
             dup_vs_prev = None
+            idx_over = idx_out = 0
             idx = _read_index(spark, index_dir, batch_id)
             if idx is not None:
-                prev = idx.select(
-                    "table",
-                    "bucket",
-                    F.col("id").alias("_p_id"),
-                    F.col("emb").alias("_p_emb"),
-                    F.col("nrm").alias("_p_nrm"),
+                if metrics_jsonl:
+                    # hot-bucket gauges: one column-pruned (table,
+                    # bucket) aggregate scan of the index — embeddings
+                    # are never read, and the per-bucket count is
+                    # map-side combined.  (An Observation riding the
+                    # join would be free, but its node sits under the
+                    # dups persist() boundary, where the cache-build
+                    # sub-execution completes it with a schemaless row
+                    # — a measured Spark 4.1 footgun.)
+                    g = (
+                        idx.groupBy("table", "bucket")
+                        .agg(F.count(F.lit(1)).alias("_c"))
+                        .agg(
+                            F.coalesce(
+                                F.sum(
+                                    (F.col("_c") > max_index_bucket).cast("long")
+                                ),
+                                F.lit(0),
+                            ).alias("ob"),
+                            F.coalesce(
+                                F.sum(
+                                    F.when(
+                                        F.col("_c") > max_index_bucket,
+                                        F.col("_c") - max_index_bucket,
+                                    )
+                                ),
+                                F.lit(0),
+                            ).alias("so"),
+                        )
+                        .first()
+                    )
+                    idx_over, idx_out = int(g["ob"]), int(g["so"])
+                # index-side skew cap: deterministic md5-ranked
+                # down-sample of oversized accumulated buckets (see
+                # docstring for the recall trade-off); the rank window
+                # keys on the join's own shuffle key
+                wib = Window.partitionBy("table", "bucket").orderBy(
+                    F.md5(F.col("id").cast("string")), "id"
+                )
+                prev = (
+                    idx.withColumn("_rn", F.row_number().over(wib))
+                    .filter(F.col("_rn") <= max_index_bucket)
+                    .select(
+                        "table",
+                        "bucket",
+                        F.col("id").alias("_p_id"),
+                        F.col("emb").alias("_p_emb"),
+                        F.col("nrm").alias("_p_nrm"),
+                    )
                 )
                 dup_vs_prev = (
                     bt.join(prev, ["table", "bucket"])
@@ -238,6 +303,8 @@ def near_dup_filter_batch(
                         "n_in": n_in,
                         "n_kept": n_kept,
                         "n_dropped": n_in - n_kept,
+                        "index_oversize_buckets": idx_over,
+                        "index_anchors_sampled_out": idx_out,
                     })
                 # index slice = the survivors' bucket rows (greedy
                 # online: a dropped row never becomes a future anchor)

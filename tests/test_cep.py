@@ -404,3 +404,36 @@ def test_hysteresis_latches_and_releases(spark):
     ns = [n for _, n, _ in out]
     assert ns == [4, 2, 1, 3]
     assert alerts == [1, 1, 0, 1]
+
+
+def test_hysteresis_releases_across_silent_gap(spark):
+    """A latched alert must RELEASE over a silent period (round-3
+    ADVICE): densify=True fills empty windows with n=0, so the next
+    active window does not inherit a stale latch."""
+    import datetime as dt
+
+    from napalm_logs_spark.operators.cep import hysteresis_alerts
+
+    base = dt.datetime(2017, 7, 20, 0, 0, 0)
+    rows = []
+    # w0: 4 events -> latch ON; w1..w2: SILENT (0 < lo -> release);
+    # w3: 2 events (between lo and hi) -> must stay OFF, not re-latch
+    for w, k in [(0, 4), (3, 2)]:
+        for j in range(k):
+            rows.append((7, "error", base + dt.timedelta(hours=w, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = sorted(
+        (r.win_start, r.n, r.alert)
+        for r in hysteresis_alerts(df, hi=3, lo=2).collect()
+    )
+    assert [n for _, n, _ in out] == [4, 0, 0, 2]
+    assert [a for _, _, a in out] == [1, 0, 0, 0]
+
+    # densify=False restores the sparse legacy semantics: the gap is
+    # invisible and the latch carries into w3
+    sparse = sorted(
+        (r.win_start, r.n, r.alert)
+        for r in hysteresis_alerts(df, hi=3, lo=2, densify=False).collect()
+    )
+    assert [n for _, n, _ in sparse] == [4, 2]
+    assert [a for _, _, a in sparse] == [1, 1]

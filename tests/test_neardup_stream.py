@@ -195,7 +195,9 @@ def test_metrics_jsonl(spark, dirs, tmp_path):
     )
     lines = [json.loads(x) for x in open(metrics)]
     assert len(lines) == 1
-    assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4, "n_dropped": 1}
+    assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4, "n_dropped": 1,
+                        "index_oversize_buckets": 0,
+                        "index_anchors_sampled_out": 0}
 
 
 def test_metrics_replay_idempotent(spark, dirs, tmp_path):
@@ -223,4 +225,48 @@ def test_metrics_replay_idempotent(spark, dirs, tmp_path):
     lines = [json.loads(x) for x in open(metrics)]
     assert len(lines) == 1
     assert lines[0] == {"batch_id": 0, "n_in": 5, "n_kept": 4,
-                        "n_dropped": 1}
+                        "n_dropped": 1,
+                        "index_oversize_buckets": 0,
+                        "index_anchors_sampled_out": 0}
+
+
+def test_index_side_bucket_cap_and_gauges(spark, dirs, tmp_path):
+    """The accumulated-index side of the anchor join is skew-capped too
+    (round-3 ADVICE): oversized index buckets are md5-down-sampled per
+    batch and the pressure is visible in the metrics gauges."""
+    import json
+
+    from napalm_logs_spark.streaming.neardup_stream import near_dup_filter_batch
+
+    base = _vecs(61, 1)
+    noise = _vecs(62, 8)
+    # 5 near-copies of one vector: same LSH bucket in (essentially)
+    # every table; threshold > 1 keeps them ALL, building a hot bucket
+    rows0 = _rows(range(5), [base[0] + 0.001 * noise[i] for i in range(5)])
+    metrics = str(tmp_path / "m.jsonl")
+    fn_keep_all = near_dup_filter_batch(
+        dirs["out"], dirs["idx"], DIM, threshold=1.01,
+        max_index_bucket=3, metrics_jsonl=metrics,
+    )
+    fn_keep_all(spark.createDataFrame(rows0, SCHEMA), 0)
+    rows1 = _rows([100], [base[0] + 0.001 * noise[5]])
+    fn_keep_all(spark.createDataFrame(rows1, SCHEMA), 1)
+    lines = {ln["batch_id"]: ln for ln in map(json.loads, open(metrics))}
+    assert lines[0]["index_oversize_buckets"] == 0  # no index yet
+    assert lines[1]["n_kept"] == 1
+    # each hash table's hot bucket holds 5 anchors > cap 3
+    assert lines[1]["index_oversize_buckets"] >= 1
+    assert lines[1]["index_anchors_sampled_out"] >= 2
+
+    # recall trade-off is real and bounded: with the cap at 0 every
+    # anchor is sampled out, so a true near-dup is KEPT (documented
+    # recall loss, never precision loss)
+    fn_cap0 = near_dup_filter_batch(
+        dirs["out"], dirs["idx"], DIM, threshold=0.95,
+        max_index_bucket=0, metrics_jsonl=metrics,
+    )
+    rows2 = _rows([200], [base[0] + 0.001 * noise[6]])
+    fn_cap0(spark.createDataFrame(rows2, SCHEMA), 2)
+    lines = {ln["batch_id"]: ln for ln in map(json.loads, open(metrics))}
+    assert lines[2]["n_kept"] == 1  # anchors unreachable -> kept
+    assert lines[2]["index_anchors_sampled_out"] >= 6

@@ -221,9 +221,11 @@ def test_repetition_scores(spark):
     assert out[1].dup_token_frac == round(4 / 6, 6)
     assert out[1].top_2gram_frac == round(3 / 5, 6)
     assert out[1].dup_2gram_frac == 1.0
-    # single token: one degenerate unigram "bigram", no duplicates
+    # single token: NO bigrams at all — fractions are 0, not the old
+    # pseudo-bigram artifact that scored lone tokens as maximally
+    # repetitive (round-3 ADVICE fix)
     assert out[2].dup_token_frac == 0.0
-    assert out[2].top_2gram_frac == 1.0
+    assert out[2].top_2gram_frac == 0.0
     assert out[2].dup_2gram_frac == 0.0
 
 
@@ -251,10 +253,11 @@ def test_repetition_scores_vs_python_reference(spark):
 
     def ref(text):
         toks = text.split()
+        # sub-bigram docs have no bigrams: fractions are 0 (ADVICE fix)
         bigrams = (
             [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
             if len(toks) >= 2
-            else [toks[0]]
+            else []
         )
         from collections import Counter
 
@@ -263,7 +266,7 @@ def test_repetition_scores_vs_python_reference(spark):
         dup = sum(v for v in c.values() if v > 1)
         return (
             round(1 - len(set(toks)) / max(len(toks), 1), 6),
-            round(max(c.values()) / total, 6),
+            round(max(c.values()) / total, 6) if c else 0.0,
             round(dup / total, 6),
         )
 
