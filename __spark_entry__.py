@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1691,6 +1693,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c2_alarm_gauge"] = c2_alarm_gauge  # oracled: fixture-derived gauge golden
 
+    def k6_msgpack(spark, sf):
+        """K6 serializer matrix: the reference's default wire format is
+        msgpack (serializer/__init__.py:24-45).  The oracle derives the
+        exact wire length of each packed envelope from the MessagePack
+        spec's encoding rules (fixmap/fixstr/uint tiers/float64) — a
+        cross-engine check of the packer's byte layout — and the
+        roundtrip flag proves unpack(pack(x)) == x per row."""
+        from pyspark.sql.functions import pandas_udf
+
+        from napalm_logs_spark.operators.serialize import packb, unpackb
+
+        @pandas_udf("long")
+        def _wire_bytes(e: pd.Series, i: pd.Series, v: pd.Series) -> pd.Series:
+            nb = []
+            for ev, ei, val in zip(e, i, v):
+                obj = {"e": ev, "i": int(ei), "v": float(val)}
+                b = packb(obj, sort_keys=True)
+                # a failed roundtrip poisons the value (and the hash)
+                nb.append(len(b) if unpackb(b) == obj else -len(b))
+            return pd.Series(nb)
+
+        ev = _t(spark, sf, "events").filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        return ev.select(
+            "event_id",
+            _wire_bytes(
+                F.col("event_type"), F.col("event_id"), F.col("value")
+            ).alias("wire_bytes"),
+        )
+    q["k6_msgpack"] = k6_msgpack
+
+    def m4_timestamps(spark, sf):
+        """M4 breadth: render each event's ts into a rotating set of
+        locale-month / tz-abbreviation / ISO shapes (the dateparser
+        territory of reference device.py:217-224) and resolve them back
+        through the engine's real fallback parser; the oracle is simply
+        epoch(ts) — any wrong-month table entry, tz offset, or parse
+        regression breaks the hash."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        de = ["Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+              "August", "September", "Oktober", "November", "Dezember"]
+        fr = ["janvier", "février", "mars", "avril", "mai", "juin",
+              "juillet", "août", "septembre", "octobre", "novembre",
+              "décembre"]
+        mon_de = F.element_at(F.array(*[F.lit(x) for x in de]), F.month("ts"))
+        mon_fr = F.element_at(F.array(*[F.lit(x) for x in fr]), F.month("ts"))
+        hms = F.date_format("ts", "HH:mm:ss")
+        shapes = F.array(
+            F.concat_ws(" ", F.date_format("ts", "dd."), mon_de,
+                        F.date_format("ts", "yyyy"), hms),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.date_format("ts", "MMM dd yyyy HH:mm:ss"),
+            F.concat_ws(" ", F.date_format("ts", "dd"), mon_fr,
+                        F.date_format("ts", "yyyy"), hms),
+            F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                     F.lit(" UTC")),
+        )
+        rendered = F.element_at(
+            shapes, (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")
+        )
+
+        @pandas_udf("long")
+        def _resolve(s: pd.Series) -> pd.Series:
+            from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+            return s.map(lambda x: _resolve_epoch(x, "", None, 2017))
+
+        return (
+            _t(spark, sf, "events")
+            .select("event_id", _resolve(rendered).alias("epoch_utc"))
+        )
+    q["m4_timestamps"] = m4_timestamps
+
     return _priority_order(q)
 
 
@@ -1721,7 +1799,7 @@ _PRIORITY_50 = [
     "p1_nonempty_filter", "p5_whitelist", "a1_dedup_gap", "a1_dedup_ttl_exact",
     "c1_transitions", "c3_tumbling_counts", "c6_interval_join",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
-    "q1_pricing_summary", "q_sketch_quantiles",
+    "q1_pricing_summary",
 ]
 
 
@@ -3207,6 +3285,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings
         )
+    """
+
+    # wire length from the MessagePack spec itself: fixmap header (1) +
+    # three 1-char fixstr keys (2 each) + fixstr/str8 event_type +
+    # uint-tier event_id + float64 value (9)
+    o["k6_msgpack"] = """
+        SELECT event_id,
+               CAST(1 + 6
+                 + CASE WHEN strlen(event_type) <= 31 THEN 1 + strlen(event_type)
+                        ELSE 2 + strlen(event_type) END
+                 + CASE WHEN event_id <= 127 THEN 1
+                        WHEN event_id <= 255 THEN 2
+                        WHEN event_id <= 65535 THEN 3
+                        WHEN event_id <= 4294967295 THEN 5
+                        ELSE 9 END
+                 + 9 AS BIGINT) AS wire_bytes
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    """
+
+    o["m4_timestamps"] = """
+        SELECT event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_utc
+        FROM events
     """
 
     return _priority_order(o)

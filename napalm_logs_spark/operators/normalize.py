@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import calendar
 import json
+import re
 from datetime import datetime
 from functools import lru_cache
 from typing import Iterable, Iterator
@@ -133,7 +134,145 @@ _FALLBACK_FORMATS = (
     "%Y-%m-%d %H:%M:%S%z",
     "%Y-%m-%d %H:%M:%S.%f%z",
     "%m/%d/%Y %H:%M:%S",
+    # syslog shapes with a trailing numeric offset — reached via the
+    # tz-abbreviation rewrite below (e.g. "Mar 31 08:41:59 CEST")
+    "%b %d %H:%M:%S %z",
+    "%b %d %H:%M:%S.%f %z",
+    "%b %d %Y %H:%M:%S %z",
+    "%Y %b %d %H:%M:%S %z",
+    "%d %b %Y %H:%M:%S %z",
 )
+
+#: locale month names/abbreviations → month number, the deterministic
+#: slice of the reference's dateparser reach (device.py:217-224):
+#: en/de/fr/es/pt/it/nl full names and common abbreviations.  Lookup is
+#: diacritic-insensitive (NFD-stripped), so "MÄRZ", "märz" and "marz"
+#: all resolve.  A collision across locales would be a silent
+#: wrong-month bug — the table is asserted conflict-free at import.
+_MONTH_NAMES: dict[str, int] = {}
+
+
+def _strip_accents(s: str) -> str:
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+def _register_months(names: tuple, lang: str) -> None:
+    for m, raw in enumerate(names, start=1):
+        for tok in ([raw] if isinstance(raw, str) else raw):
+            key = _strip_accents(tok.lower())
+            prev = _MONTH_NAMES.get(key)
+            assert prev is None or prev == m, (
+                f"month-token collision: {key!r} = {prev} vs {m} ({lang})"
+            )
+            _MONTH_NAMES[key] = m
+
+
+_register_months((
+    ("january", "jan"), ("february", "feb"), ("march", "mar"),
+    ("april", "apr"), "may", ("june", "jun"), ("july", "jul"),
+    ("august", "aug"), ("september", "sep", "sept"),
+    ("october", "oct"), ("november", "nov"), ("december", "dec"),
+), "en")
+_register_months((
+    ("januar",), ("februar",), ("märz", "mär", "mrz"), (),
+    (), ("juni",), ("juli",), (), (), ("oktober", "okt"),
+    (), ("dezember", "dez"),
+), "de")
+_register_months((
+    ("janvier", "janv"), ("février", "févr", "fevr"), ("mars",),
+    ("avril", "avr"), ("mai",), ("juin",), ("juillet", "juil"),
+    ("août", "aout"), ("septembre",), ("octobre",),
+    ("novembre",), ("décembre", "déc"),
+), "fr")
+_register_months((
+    ("enero", "ene"), ("febrero",), ("marzo",), ("abril", "abr"),
+    ("mayo",), ("junio",), ("julio",), ("agosto", "ago"),
+    ("septiembre", "setiembre"), ("octubre",), ("noviembre",),
+    ("diciembre", "dic"),
+), "es")
+_register_months((
+    ("janeiro",), ("fevereiro", "fev"), ("março",), (), ("maio",),
+    ("junho",), ("julho",), (), ("setembro", "set"),
+    ("outubro", "out"), ("novembro",), ("dezembro",),
+), "pt")
+_register_months((
+    ("gennaio", "gen"), ("febbraio",), (), ("aprile",),
+    ("maggio", "mag"), ("giugno", "giu"), ("luglio", "lug"),
+    (), ("settembre",), ("ottobre", "ott"), (), ("dicembre",),
+), "it")
+_register_months((
+    ("januari",), ("februari",), ("maart", "mrt"), (), ("mei",),
+    (), (), ("augustus",), (), (), (), (),
+), "nl")
+
+_EN_ABBR = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+#: fixed-offset tz abbreviations (the unambiguous-enough common set;
+#: where the world disagrees — CST, IST — the table follows
+#: dateparser's defaults: US Central, India — and says so here rather
+#: than guessing per-message).
+_TZ_OFFSETS = {
+    "UTC": "+0000", "GMT": "+0000", "UT": "+0000", "Z": "+0000",
+    "EST": "-0500", "EDT": "-0400", "CST": "-0600", "CDT": "-0500",
+    "MST": "-0700", "MDT": "-0600", "PST": "-0800", "PDT": "-0700",
+    "AKST": "-0900", "AKDT": "-0800", "HST": "-1000",
+    "WET": "+0000", "WEST": "+0100", "BST": "+0100",
+    "CET": "+0100", "CEST": "+0200", "EET": "+0200", "EEST": "+0300",
+    "MSK": "+0300", "IST": "+0530", "SGT": "+0800", "HKT": "+0800",
+    "JST": "+0900", "KST": "+0900",
+    "AEST": "+1000", "AEDT": "+1100", "AWST": "+0800",
+    "NZST": "+1200", "NZDT": "+1300",
+}
+
+_TZ_TAIL_RE = re.compile(r"^(.*\S)\s+([A-Z]{1,4})$")
+_DAY_DOT_RE = re.compile(r"\b(\d{1,2})\.(?=\s)")
+
+
+def _rewrite_candidates(s: str):
+    """Deterministic rewrites widening the fallback table's reach:
+    Z suffix → +0000, trailing tz abbreviation → numeric offset,
+    locale month token → English %b abbreviation, day-dot ("15." de
+    style) → "15".  Yields at most a handful of strings; every rewrite
+    is a pure string substitution — same input, same candidates, on
+    every executor (the reproducibility bar dateparser can't meet)."""
+    seen = set()
+
+    def _emit(x):
+        if x not in seen:
+            seen.add(x)
+            yield x
+
+    def _tz(x):
+        yield from _emit(x)
+        if x.endswith("Z"):
+            yield from _emit(x[:-1] + "+0000")
+        m = _TZ_TAIL_RE.match(x)
+        if m and m.group(2) in _TZ_OFFSETS:
+            off = _TZ_OFFSETS[m.group(2)]
+            yield from _emit(m.group(1) + " " + off)   # "... %z" shapes
+            yield from _emit(m.group(1) + off)         # "...%z" shapes
+
+    def _months(x):
+        yield from _tz(x)
+        toks = x.split(" ")
+        for i, t in enumerate(toks):
+            key = _strip_accents(t.rstrip(".,").lower())
+            mnum = _MONTH_NAMES.get(key)
+            if mnum and not t.isdigit():
+                rew = " ".join(toks[:i] + [_EN_ABBR[mnum - 1]] + toks[i + 1:])
+                yield from _tz(rew)
+                break
+
+    yield from _months(s)
+    dd = _DAY_DOT_RE.sub(r"\1", s)
+    if dd != s:
+        yield from _months(dd)
 
 
 def _try_parse(s: str, fmt: str, default_year: int):
@@ -160,8 +299,7 @@ def _resolve_epoch(date: str, time: str, fmt: str | None, default_year: int):
         epoch = _try_parse(s, fmt, default_year)
         if epoch is not None:
             return epoch
-    candidates = (s, s[:-1] + "+0000") if s.endswith("Z") else (s,)
-    for cand in candidates:
+    for cand in _rewrite_candidates(s):
         for fb in _FALLBACK_FORMATS:
             epoch = _try_parse(cand, fb, default_year)
             if epoch is not None:

@@ -37,22 +37,45 @@ _PAYLOAD_COLS = (
 )
 
 
-def envelope_to_kafka_records(env: DataFrame, topic: str = DEFAULT_TOPIC) -> DataFrame:
+def envelope_to_kafka_records(
+    env: DataFrame, topic: str = DEFAULT_TOPIC, serializer: str = "json"
+) -> DataFrame:
     """Envelope rows → Kafka record shape ``(key, value, topic)``.
 
-    ``value`` is the canonical-JSON serialized envelope (K6); ``key`` is
-    ``conv_id`` so one conversation always lands in one Kafka partition
-    (per-key ordering).  Pure column expressions — usable on batch and
+    ``value`` is the serialized envelope — ``json`` (default here;
+    pure-JVM ``to_json``) or any name from the K6 serializer matrix
+    (``msgpack`` is the reference's wire default,
+    serializer/__init__.py:24-45 — binary value, Arrow-batched python
+    pack).  ``key`` is ``conv_id`` so one conversation always lands in
+    one Kafka partition (per-key ordering).  Usable on batch and
     streaming frames alike, and unit-testable without a broker.
     """
     payload = F.struct(*[F.col(c) for c in _PAYLOAD_COLS if c in env.columns])
+    # explicit nulls: the reference envelope always carries every
+    # key (device.py:336-351) — consumers schema-validate on the
+    # fixed shape, so dropped-null variable-shape records would
+    # break them
+    as_json = F.to_json(payload, {"ignoreNullFields": "false"})
+    if serializer == "json":
+        value = as_json
+    else:
+        import json as _json
+
+        from pyspark.sql.functions import pandas_udf
+
+        from ..operators.serialize import get_serializer
+
+        fn = get_serializer(serializer)
+        rtype = "binary" if serializer in ("msgpack", "*") else "string"
+
+        @pandas_udf(rtype)
+        def _ser(s):
+            return s.map(lambda j: fn(_json.loads(j)))
+
+        value = _ser(as_json)
     return env.select(
         F.col("conv_id").cast("string").alias("key"),
-        # explicit nulls: the reference envelope always carries every
-        # key (device.py:336-351) — consumers schema-validate on the
-        # fixed shape, so dropped-null variable-shape records would
-        # break them
-        F.to_json(payload, {"ignoreNullFields": "false"}).alias("value"),
+        value.alias("value"),
         F.lit(topic).alias("topic"),
     )
 

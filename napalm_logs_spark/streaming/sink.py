@@ -60,6 +60,7 @@ class SinkSpec:
     console_rows: int = 20
     kafka_bootstrap: str = ""
     kafka_topic: str = "napalm-logs"
+    serializer: str = "json"    # K6 matrix; "msgpack" = reference default
     http_url: str = ""          # K4: POST envelopes from the executors
     http_batch: int = 200
 
@@ -76,6 +77,9 @@ class SinkSpec:
                 "SinkSpec requires a path unless console=True, "
                 "kafka_bootstrap or http_url is set"
             )
+        from ..operators.serialize import get_serializer
+
+        get_serializer(self.serializer)  # fail fast on unknown names
 
 
 def _apply_sink_filters(df: DataFrame, sink: SinkSpec) -> DataFrame:
@@ -130,7 +134,9 @@ def exactly_once_parquet_sink(sinks, order_cols=("conv_id", "turn_idx")):
                             "org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>"
                         )
                     (
-                        envelope_to_kafka_records(out, sink.kafka_topic)
+                        envelope_to_kafka_records(
+                            out, sink.kafka_topic, serializer=sink.serializer
+                        )
                         .write.format("kafka")
                         .option("kafka.bootstrap.servers", sink.kafka_bootstrap)
                         .save()

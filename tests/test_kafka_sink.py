@@ -115,3 +115,35 @@ def test_sinkspec_requires_path_unless_console_or_kafka():
         SinkSpec(send_raw=True)
     SinkSpec(console=True)
     SinkSpec(kafka_bootstrap="h:9092")
+
+
+def test_msgpack_wire_format_roundtrip(spark):
+    """serializer='msgpack' (the reference's wire default) produces
+    binary values a reference client unpacks to the same envelope the
+    JSON path carries."""
+    import json
+
+    from napalm_logs_spark.operators.serialize import unpackb
+
+    env = _env_df(spark)
+    mp = envelope_to_kafka_records(env, serializer="msgpack")
+    assert dict(mp.dtypes)["value"] == "binary"
+    jrows = envelope_to_kafka_records(env).collect()
+    want = sorted(
+        json.dumps(json.loads(r.value), sort_keys=True) for r in jrows
+    )
+    got = sorted(
+        json.dumps(unpackb(bytes(r.value)), sort_keys=True)
+        for r in mp.collect()
+    )
+    assert got == want
+
+
+def test_sinkspec_rejects_unknown_serializer(tmp_path):
+    import pytest as _pytest
+
+    from napalm_logs_spark.operators.serialize import InvalidSerializerException
+
+    with _pytest.raises(InvalidSerializerException):
+        SinkSpec(path=str(tmp_path), serializer="protobuf")
+    SinkSpec(path=str(tmp_path), serializer="msgpack")  # valid

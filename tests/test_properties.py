@@ -179,3 +179,79 @@ def test_stratified_threshold_membership_model(rate, doc_id):
     lexical = ("0" + h4) < threshold
     numeric = int(h4, 16) < int(round(rate * 0x10000))
     assert lexical == numeric
+
+
+# ---------------------------------------------------------------------------
+# M4 breadth (round 3): locale month names + tz abbreviations — the
+# deterministic slice of the reference's dateparser reach
+# (/root/reference/napalm_logs/device.py:217-224)
+
+_LOCALE_MONTHS = {
+    "de": ["Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+           "August", "September", "Oktober", "November", "Dezember"],
+    "fr": ["janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+           "août", "septembre", "octobre", "novembre", "décembre"],
+    "es": ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+           "agosto", "septiembre", "octubre", "noviembre", "diciembre"],
+    "pt": ["janeiro", "fevereiro", "março", "abril", "maio", "junho",
+           "julho", "agosto", "setembro", "outubro", "novembro", "dezembro"],
+    "it": ["gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno",
+           "luglio", "agosto", "settembre", "ottobre", "novembre",
+           "dicembre"],
+    "nl": ["januari", "februari", "maart", "april", "mei", "juni", "juli",
+           "augustus", "september", "oktober", "november", "december"],
+    "en": ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"],
+}
+
+
+@given(DT, st.sampled_from(sorted(_LOCALE_MONTHS)), st.booleans(),
+       st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_fallback_parses_locale_month_names(dt, lang, day_dot, upper):
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    name = _LOCALE_MONTHS[lang][dt.month - 1]
+    if upper:
+        name = name.upper()
+    day = f"{dt.day:02d}." if day_dot else f"{dt.day:02d}"
+    rendered = f"{day} {name} {dt.year} " + dt.strftime("%H:%M:%S")
+    got = _resolve_epoch(rendered, "", None, 2017)
+    assert got == calendar.timegm(dt.timetuple()), rendered
+
+
+@given(DT, st.sampled_from([
+    ("UTC", 0), ("GMT", 0), ("EST", -5 * 3600), ("EDT", -4 * 3600),
+    ("CST", -6 * 3600), ("PST", -8 * 3600), ("PDT", -7 * 3600),
+    ("CET", 3600), ("CEST", 2 * 3600), ("BST", 3600),
+    ("IST", 5 * 3600 + 1800), ("JST", 9 * 3600), ("MSK", 3 * 3600),
+    ("AEST", 10 * 3600), ("NZDT", 13 * 3600),
+]))
+@settings(max_examples=200, deadline=None)
+def test_fallback_parses_tz_abbreviations(dt, tz):
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    abbr, off = tz
+    expect = calendar.timegm(dt.timetuple()) - off
+    for rendered in (
+        dt.strftime("%Y-%m-%d %H:%M:%S") + f" {abbr}",
+        dt.strftime("%b %d %Y %H:%M:%S") + f" {abbr}",
+    ):
+        got = _resolve_epoch(rendered, "", None, 2017)
+        assert got == expect, rendered
+
+
+def test_month_token_table_is_collision_free():
+    # the import-time assertion is the real gate; this pins it visibly
+    from napalm_logs_spark.operators.normalize import _MONTH_NAMES
+
+    assert _MONTH_NAMES["marz"] == 3 and _MONTH_NAMES["mrt"] == 3
+    assert _MONTH_NAMES["dic"] == 12 and _MONTH_NAMES["dez"] == 12
+    assert len(_MONTH_NAMES) > 80
+
+
+def test_unparseable_still_none():
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    assert _resolve_epoch("31 Smarch 2024", "10:00:00", None, 2017) is None
+    assert _resolve_epoch("2024-01-01 10:00:00 XQZT", "", None, 2017) is None
