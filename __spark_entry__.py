@@ -1591,8 +1591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth_real_media_pandas,
         )
 
+        # png_images=True: every second image row is PNG (stdlib zlib
+        # codec) instead of BMP — same pixels, so the pre-encoding
+        # golden still gates; the decode dispatch is now exercised for
+        # both built-in containers
         media = spark.createDataFrame(
-            synth_real_media_pandas(n=24), schema=MEDIA_SCHEMA
+            synth_real_media_pandas(n=24, png_images=True), schema=MEDIA_SCHEMA
         )
         out = extract_features(media, decoder=real_media_decoder)
         return out.select(

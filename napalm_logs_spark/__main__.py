@@ -61,6 +61,13 @@ def main(argv=None) -> int:
     parser.add_argument("--master", default="local[*]")
     parser.add_argument("--profiles", default=None, help="profile corpus dir")
     parser.add_argument("--shuffle-partitions", type=int, default=32)
+    parser.add_argument("--config-file", default=None,
+                        help="YAML config merged UNDER explicit flags "
+                             "(reference scripts/cli.py:272-282 "
+                             "precedence: flag > file > default); may "
+                             "define the run command's sinks: list — "
+                             "per-sink filters/serializers the flags "
+                             "cannot express; ${ENV} values interpolate")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_norm = sub.add_parser("normalize", help="batch normalize transcripts")
@@ -68,8 +75,11 @@ def main(argv=None) -> int:
     p_norm.add_argument("--output", required=True, help="envelope parquet dir")
 
     p_run = sub.add_parser("run", help="streaming pipeline")
-    p_run.add_argument("--source", required=True)
-    p_run.add_argument("--sink", action="append", required=True,
+    # required-ness validated after the config merge: a config file may
+    # supply source/sink/checkpoint (a ported napalm-logs deployment
+    # config names its transports there, not on the command line)
+    p_run.add_argument("--source", required=False, default=None)
+    p_run.add_argument("--sink", action="append", required=False, default=None,
                        help="sink dir (repeatable for fan-out); "
                             "'console' prints each batch (reference "
                             "transport/cli.py debug sink); "
@@ -78,7 +88,7 @@ def main(argv=None) -> int:
                             "transport/kafka.py); 'http(s)://...' "
                             "POSTs envelopes from the executors "
                             "(reference transport/http.py)")
-    p_run.add_argument("--checkpoint", required=True)
+    p_run.add_argument("--checkpoint", required=False, default=None)
     p_run.add_argument("--metrics", default=None, help="metrics JSONL path")
     p_run.add_argument("--no-dedup", action="store_true")
     p_run.add_argument("--dedup-ttl", type=float, default=5.0)
@@ -152,6 +162,28 @@ def main(argv=None) -> int:
     p_dd.add_argument("--text-col", default="text")
 
     args = parser.parse_args(argv)
+
+    config_sinks = None
+    if args.config_file:
+        from .config import build_sinks, load_config, merge_config
+
+        cfg = load_config(args.config_file)
+        merge_config(args, cfg, list(argv if argv is not None else sys.argv[1:]))
+        if "sinks" in cfg:
+            config_sinks = build_sinks(cfg["sinks"])
+    if args.command == "run":
+        # validate post-merge (flags OR config must provide these)
+        missing = [
+            n for n in ("source", "checkpoint")
+            if getattr(args, n) is None
+        ]
+        if args.sink is None and not config_sinks:
+            missing.append("sink")
+        if missing:
+            parser.error(
+                "run requires --" + ", --".join(missing)
+                + " (on the command line or in --config-file)"
+            )
 
     spark, owns_session = _session(args.master, args.shuffle_partitions)
     try:
@@ -284,11 +316,16 @@ def main(argv=None) -> int:
                     return SinkSpec(http_url=p, send_raw=True, send_unknown=True)
                 return SinkSpec(path=p, send_raw=True, send_unknown=True)
 
-            sinks = [_spec(p) for p in args.sink]
+            # fan-out = config-file sinks + flag sinks (flags add to,
+            # not replace, the deployment config's publisher list)
+            sinks = list(config_sinks or []) + [
+                _spec(p) for p in (args.sink or [])
+            ]
+            sink_paths = [s.path for s in sinks if s.path]
             run_stream_once(
                 spark,
                 args.source,
-                args.sink,
+                sink_paths or args.sink,
                 args.checkpoint,
                 sinks=sinks,
                 registry=registry,
@@ -301,7 +338,12 @@ def main(argv=None) -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
                 source_format=args.source_format,
             )
-            print(f"stream drained -> {args.sink} (resume via {args.checkpoint})")
+            drained = [
+                s.path or ("console" if s.console
+                           else s.kafka_bootstrap or s.http_url)
+                for s in sinks
+            ]
+            print(f"stream drained -> {drained} (resume via {args.checkpoint})")
             if args.orphan_sink:
                 from .streaming.pipeline import run_orphan_alerts_once
 

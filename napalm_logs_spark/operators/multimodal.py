@@ -287,16 +287,147 @@ def decode_nlv(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, offset=16).reshape(n, h, w, 3)
 
 
-def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
-    """REAL feature extraction for the uncompressed formats above.
+# --- PNG: full stdlib codec (zlib + struct; the public PNG spec) ----------
 
-    image → [mean R/G/B, pixel std, w, h, 0, 0] ; audio → [RMS,
-    zero-crossing rate, seconds, rate/1e3, 0…] ; video → [n_frames,
-    h, w, mean luma, 0…].  Deterministic, no external codecs.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG bytes (filter 0 rows,
+    stdlib zlib — no image library needed)."""
+    h, w = pixels.shape[:2]
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor(+alpha) non-interlaced PNG → (h, w, 3) uint8 RGB.
+    Implements the spec's five scanline filters (None/Sub/Up/Average/
+    Paeth); alpha is dropped.  Raises on other PNG flavors."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in (2, 6) or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={ctype} "
+                    f"interlace={inter}); only 8-bit RGB/RGBA supported"
+                )
+            ch = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:                       # Up
+            out[y] = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):               # Sub / Average / Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    return px[:, :, :3]
+
+
+def _pil_image():  # optional JPEG decoder, probed like the Kafka jar
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: BMP and PNG are decoded by the
+    self-contained codecs above; JPEG degrades gracefully — it needs an
+    optional pillow install (absent in this sandbox), and the error
+    says exactly that instead of a cryptic header failure."""
+    head = bytes(payload[:8])
+    if head[:2] == b"BM":
+        return decode_bmp(payload)
+    if head == PNG_MAGIC:
+        return decode_png(payload)
+    if head[:3] == JPEG_MAGIC:
+        Image = _pil_image()
+        if Image is None:
+            raise RuntimeError(
+                "JPEG payload but no JPEG decoder available; install "
+                "pillow to enable it (BMP/PNG decode is built in)"
+            )
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
+
+
+def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
+    """REAL feature extraction for the self-contained formats above.
+
+    image (BMP/PNG built-in, JPEG via optional pillow) → [mean R/G/B,
+    pixel std, w, h, 0, 0] ; audio → [RMS, zero-crossing rate, seconds,
+    rate/1e3, 0…] ; video → [n_frames, h, w, mean luma, 0…].
+    Deterministic; dispatch is by payload magic, not metadata.
     """
     v = np.zeros(n_features, dtype="float64")
     if kind == "image":
-        px = decode_bmp(payload).astype("float64")
+        px = decode_image(payload).astype("float64")
         v[:3] = px.reshape(-1, 3).mean(axis=0)
         v[3] = px.std()
         v[4], v[5] = px.shape[1], px.shape[0]
@@ -318,25 +449,42 @@ def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
 
 
 def real_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
-    """REAL nearest-neighbor BMP resize (numpy index sampling) —
-    re-encodes to BMP so the output is a valid image payload."""
-    px = decode_bmp(payload)
+    """REAL nearest-neighbor image resize (numpy index sampling) —
+    decodes by magic (BMP/PNG/JPEG-via-pillow) and re-encodes in the
+    input's own container (JPEG re-encodes as PNG: lossless, built-in)
+    so the output is always a valid, decodable image payload."""
+    px = decode_image(payload)
     ys = (np.arange(out_h) * (px.shape[0] / out_h)).astype(int)
     xs = (np.arange(out_w) * (px.shape[1] / out_w)).astype(int)
-    return encode_bmp(px[ys][:, xs])
+    resized = px[ys][:, xs]
+    if bytes(payload[:8]) == PNG_MAGIC or bytes(payload[:3]) == JPEG_MAGIC:
+        return encode_png(resized)
+    return encode_bmp(resized)
 
 
-def synth_real_media_pandas(n: int = 24, seed: int = 42) -> pd.DataFrame:
+def synth_real_media_pandas(
+    n: int = 24, seed: int = 42, png_images: bool = False
+) -> pd.DataFrame:
     """Deterministic REAL media table: decodable BMP / WAV / NLV
-    payloads (same schema as :func:`synth_media_pandas`)."""
+    payloads (same schema as :func:`synth_media_pandas`).
+
+    ``png_images=True`` encodes every second image as PNG instead of
+    BMP — same RNG stream, same pixels, different container — so a
+    stored golden computed from the pre-encoding arrays stays valid
+    while the query exercises both built-in image codecs."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
-            payload = encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
-            meta = dict(width=w, height=h, duration_ms=None, mime="image/bmp")
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if png_images and (i // 3) % 2 == 1:
+                payload = encode_png(px)
+                meta = dict(width=w, height=h, duration_ms=None, mime="image/png")
+            else:
+                payload = encode_bmp(px)
+                meta = dict(width=w, height=h, duration_ms=None, mime="image/bmp")
         elif kind == "audio":
             rate, secs = 8000, 0.05 + (i % 4) * 0.05
             t = np.arange(int(rate * secs))

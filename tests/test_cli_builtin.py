@@ -196,3 +196,77 @@ def test_cli_dedup(spark, tmp_path):
         "--method", "minhash", "--threshold", "0.7",
     ]) == 0
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {1, 4}
+
+
+def test_cli_config_file_multi_sink_fanout(spark, tmp_path, monkeypatch):
+    """A deployment-style YAML config (reference scripts/cli.py:272-282)
+    drives the whole run: source/checkpoint from the file, a multi-sink
+    fan-out with per-sink filters the flags can't express, ${ENV}
+    interpolation, and CLI-flag precedence over file values."""
+    from napalm_logs_spark.__main__ import main
+    from napalm_logs_spark.sources.transcripts import (
+        golden_transcripts_pandas,
+        transcripts_df,
+    )
+    from napalm_logs_spark.streaming.sink import read_sink
+
+    src = str(tmp_path / "src")
+    all_sink = str(tmp_path / "all")
+    filt_sink = str(tmp_path / "filtered")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts_df(spark, golden_transcripts_pandas().iloc[:30]).coalesce(
+        1
+    ).write.parquet(src)
+
+    monkeypatch.setenv("NLS_TEST_SRC", src)
+    cfg = tmp_path / "deploy.yaml"
+    cfg.write_text(f"""
+source: ${{NLS_TEST_SRC}}
+checkpoint: {ckpt}
+no_dedup: true
+watermark: 10 seconds
+sinks:
+  - path: {all_sink}
+    send_raw: true
+    send_unknown: true
+  - path: {filt_sink}
+    whitelist: [INTERFACE_DOWN]
+""")
+    assert main(["--config-file", str(cfg), "run"]) == 0
+    n_all = read_sink(spark, all_sink).count()
+    filtered = read_sink(spark, filt_sink)
+    n_filt = filtered.count()
+    assert n_all > n_filt > 0
+    errs = {r.error for r in filtered.select("error").distinct().collect()}
+    assert errs == {"INTERFACE_DOWN"}
+
+    # flag precedence: an explicit --sink ADDS to the config fan-out,
+    # an explicit --checkpoint OVERRIDES the file's value
+    extra = str(tmp_path / "extra")
+    ckpt2 = str(tmp_path / "ckpt2")
+    assert main([
+        "--config-file", str(cfg), "run",
+        "--sink", extra, "--checkpoint", ckpt2,
+    ]) == 0
+    assert read_sink(spark, extra).count() == n_all
+
+
+def test_cli_config_file_errors(tmp_path):
+    from napalm_logs_spark.config import build_sinks, load_config
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("source: ${NLS_UNSET_VAR_XYZ}\n")
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="NLS_UNSET_VAR_XYZ"):
+        load_config(str(bad))
+    with _pytest.raises(ValueError, match="bad sink entry"):
+        build_sinks([{"path": "/x", "whitelst": ["typo"]}])
+
+
+def test_cli_run_requires_source_from_somewhere(capsys):
+    from napalm_logs_spark.__main__ import main
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["run", "--sink", "/tmp/x"])
