@@ -63,7 +63,7 @@ HEADLINE = [
 ]
 
 
-def _session(cores: int):
+def _session(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     return (
@@ -72,7 +72,7 @@ def _session(cores: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         # state store: the default in-memory (HDFS-backed) provider.
@@ -270,10 +270,13 @@ def _scaling_level_main(cores: int, n_rows: int, reps: int) -> None:
 
 def _streaming_level_main(cores: int, n_rows: int) -> None:
     _, path = _bench_input(n_rows)
-    print(_streaming_run_local(path, n_rows, cores))
+    rate, decomp = _streaming_run_local(path, n_rows, cores)
+    print(json.dumps(decomp))
+    print(rate)
 
 
-def streaming_run(pdf, cores: int, pin: bool = False, n_rows: int | None = None) -> float:
+def streaming_run(pdf, cores: int, pin: bool = False, n_rows: int | None = None):
+    """Returns (rows/sec, per-stage decomposition dict)."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--streaming-level",
@@ -283,14 +286,33 @@ def streaming_run(pdf, cores: int, pin: bool = False, n_rows: int | None = None)
         # true N-CPU machine (same rationale as scaling_run)
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    return _parse_level_output(res, "streaming")
+    rate = _parse_level_output(res, "streaming")
+    decomp = {}
+    lines = res.stdout.strip().splitlines()
+    if len(lines) >= 2:
+        try:
+            decomp = json.loads(lines[-2])
+        except ValueError:
+            pass
+    return rate, decomp
 
 
-def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
+def _streaming_run_local(path: str, n_rows: int, cores: int):
     """End-to-end STREAMING throughput: readStream -> normalize ->
     dropDuplicatesWithinWatermark -> exactly-once multi-batch sink
     (includes sink parquet writes).  maxFilesPerTrigger is left unset:
     availableNow plans its own batches.
+
+    Returns (rows/sec, decomposition) where the decomposition splits
+    the wall time into data addBatch, the zero-row watermark-flush
+    batch, and startup/commit serial residue — the per-stage evidence
+    for WHERE the N→4N pair loses efficiency on one box.
+
+    Shuffle/state partitions = cores (not the suite's 2×cores): each
+    state partition pays a per-batch commit + an eviction scan in the
+    flush batch, and the A/B (1.28M rows, local[32]) measured 64
+    partitions at 11.8 s vs 32 at 10.0 s, with the flush batch alone
+    1.3 s → 2.0 s → 3.3 s at 32/64/128 partitions.
 
     Sink + checkpoint land on tmpfs (/dev/shm) when present: on a real
     cluster every executor brings its own disks, so the single shared
@@ -305,7 +327,7 @@ def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
     from napalm_logs_spark.profiles import load_registry
     from napalm_logs_spark.streaming.sink import SinkSpec, exactly_once_parquet_sink
 
-    spark = _session(cores)
+    spark = _session(cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
     workdir_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="nls_bench_stream_", dir=workdir_root)
@@ -330,7 +352,23 @@ def _streaming_run_local(path: str, n_rows: int, cores: int) -> float:
             .start()
         )
         q.awaitTermination()
-        return n_rows / (time.time() - t0)
+        wall = time.time() - t0
+        prog = [json.loads(p.json) for p in q.recentProgress]
+        add_ms = sum(p.get("durationMs", {}).get("addBatch", 0)
+                     for p in prog if p.get("numInputRows"))
+        flush_ms = sum(p.get("durationMs", {}).get("triggerExecution", 0)
+                       for p in prog if not p.get("numInputRows"))
+        decomp = {
+            "wall_s": round(wall, 2),
+            "data_addbatch_s": round(add_ms / 1000, 2),
+            "watermark_flush_batch_s": round(flush_ms / 1000, 2),
+            "startup_commit_residue_s": round(wall - add_ms / 1000
+                                              - flush_ms / 1000, 2),
+            "n_batches": len(prog),
+            "marginal_rows_per_sec": round(n_rows / (add_ms / 1000))
+            if add_ms else None,
+        }
+        return n_rows / wall, decomp
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
@@ -403,28 +441,45 @@ def main() -> None:
     ceiling = _cpu_scaling_ceiling(n_lo, CPUS, pdf)
     pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
-    stream_thr = streaming_run(pdf, CPUS)
-    # full-streaming-path N→4N pair (pinned, 4× rows so per-run fixed
-    # costs amortize).  taskset partitions CPUs but NOT the box's
-    # single disk, so sink parquet + state-store checkpoints go to
-    # tmpfs (see _streaming_run_local) — with them on the one shared
-    # NVMe this pair measured disk contention, not the engine (8 cores
-    # outran 32).  The CPU-bound normalize pair above remains the
-    # primary cluster-scaling proxy; this pair adds the full-path
-    # (state store + exactly-once sink) rate at both widths.
-    big_rows = max(len(pdf), 4 * n_rows)
+    stream_thr, _ = streaming_run(pdf, CPUS)
+    # full-streaming-path N→4N pair (pinned, 8× rows so per-run fixed
+    # costs — JVM startup, the zero-row watermark-flush batch, offset
+    # commits — drop under ~6% of the 4N side's wall).  taskset
+    # partitions CPUs but NOT the box's single disk, so sink parquet +
+    # state-store checkpoints go to tmpfs (see _streaming_run_local) —
+    # with them on the one shared NVMe this pair measured disk
+    # contention, not the engine (8 cores outran 32).  The CPU-bound
+    # normalize pair above remains the primary cluster-scaling proxy;
+    # this pair adds the full-path (state store + exactly-once sink)
+    # rate at both widths, plus a per-stage decomposition separating
+    # marginal compute scaling from the serial residue.
+    big_rows = max(len(pdf), 8 * n_rows)
     # same interleaved best-pair estimator as the normalize pair: one
     # throttle wave otherwise corrupts the single observation (each
     # (lo,hi) pair runs back-to-back under the same VM weather)
     s_lo_runs, s_hi_runs = [], []
+    s_lo_dec, s_hi_dec = [], []
     for _ in range(2):
-        s_lo_runs.append(streaming_run(pdf, n_lo, pin=True, n_rows=big_rows))
-        s_hi_runs.append(streaming_run(pdf, CPUS, pin=True, n_rows=big_rows))
+        r, d = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
+        s_lo_runs.append(r)
+        s_lo_dec.append(d)
+        r, d = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
+        s_hi_runs.append(r)
+        s_hi_dec.append(d)
     s_pair_effs = [hi / (4 * lo) for lo, hi in zip(s_lo_runs, s_hi_runs)]
     s_best = max(range(len(s_pair_effs)), key=lambda i: s_pair_effs[i])
     stream_lo, stream_hi = s_lo_runs[s_best], s_hi_runs[s_best]
     stream_eff = s_pair_effs[s_best]
     stream_eff_median = statistics.median(s_pair_effs)
+    # marginal efficiency: the data-batch compute alone (fixed serial
+    # costs excluded) — what a real 4N-executor cluster, where each
+    # machine keeps its own clock/memory bandwidth, would see
+    s_marginal_eff = None
+    dlo, dhi = s_lo_dec[s_best], s_hi_dec[s_best]
+    if dlo.get("marginal_rows_per_sec") and dhi.get("marginal_rows_per_sec"):
+        s_marginal_eff = dhi["marginal_rows_per_sec"] / (
+            4 * dlo["marginal_rows_per_sec"]
+        )
 
     out = {
         "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
@@ -463,6 +518,20 @@ def main() -> None:
                 f"local{CPUS}": [round(x) for x in s_hi_runs],
             },
             "streaming_e2e_pair_rows": big_rows,
+            "streaming_e2e_decomposition": {
+                f"local{n_lo}": dlo,
+                f"local{CPUS}": dhi,
+                "marginal_eff_NtoQuadN": round(s_marginal_eff, 3)
+                if s_marginal_eff else None,
+                "marginal_eff_vs_hardware_ceiling": round(
+                    s_marginal_eff / ceiling, 3) if s_marginal_eff else None,
+                "note": "marginal = data-batch compute only; the serial "
+                        "residue (JVM startup, zero-row watermark-flush "
+                        "batch, offset commits) is the fixed cost a "
+                        "long-running stream pays once, not per batch — "
+                        "the 20M-turn endurance probe shows the "
+                        "asymptotic drain rate",
+            },
             "streaming_e2e_pair_note": "sink+checkpoint on tmpfs "
                 "(/dev/shm): one shared NVMe at both pin widths measures "
                 "disk contention, not the engine — on a real cluster "
