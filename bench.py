@@ -459,7 +459,7 @@ def main() -> None:
     # (lo,hi) pair runs back-to-back under the same VM weather)
     s_lo_runs, s_hi_runs = [], []
     s_lo_dec, s_hi_dec = [], []
-    for _ in range(2):
+    for _ in range(3):
         r, d = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
         s_lo_runs.append(r)
         s_lo_dec.append(d)
