@@ -103,5 +103,10 @@ def merge_config(args, cfg: dict, argv: list) -> None:
         dest = key.replace("-", "_")
         if dest == "sinks":
             continue
+        if dest == "sink" and isinstance(value, str):
+            # argparse collects --sink with action=append; a scalar from
+            # the file must become a one-element list, not be iterated
+            # character-by-character downstream
+            value = [value]
         if hasattr(args, dest) and not _flag_given(argv, dest):
             setattr(args, dest, value)

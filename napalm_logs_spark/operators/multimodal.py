@@ -364,15 +364,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = line
         elif ft == 2:                       # Up
             out[y] = (line + prior) & 0xFF
-        elif ft in (1, 3, 4):               # Sub / Average / Paeth
+        elif ft == 1:                       # Sub: per-lane prefix sum
+            for lane in range(ch):
+                out[y, lane::ch] = np.cumsum(line[lane::ch]) & 0xFF
+        elif ft in (3, 4):                  # Average / Paeth
             cur = out[y]
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
                 b = prior[x]
                 c = prior[x - ch] if x >= ch else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     p = a + b - c

@@ -270,3 +270,17 @@ def test_cli_run_requires_source_from_somewhere(capsys):
 
     with _pytest.raises(SystemExit):
         main(["run", "--sink", "/tmp/x"])
+
+
+def test_config_scalar_sink_becomes_list():
+    import argparse
+
+    from napalm_logs_spark.config import merge_config
+
+    args = argparse.Namespace(sink=None, source=None)
+    merge_config(args, {"sink": "/data/out", "source": "/data/in"}, [])
+    assert args.sink == ["/data/out"]  # not iterated char-by-char later
+    # explicit flag wins over the file
+    args2 = argparse.Namespace(sink=["/flag"], source=None)
+    merge_config(args2, {"sink": "/file"}, ["--sink", "/flag"])
+    assert args2.sink == ["/flag"]
