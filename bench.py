@@ -328,6 +328,11 @@ def _streaming_run_local(path: str, n_rows: int, cores: int):
     from napalm_logs_spark.streaming.sink import SinkSpec, exactly_once_parquet_sink
 
     spark = _session(cores, shuffle_partitions=cores)
+    # the decomposition sums durations over q.recentProgress, which
+    # Spark caps (default 100 entries) — a drain that plans more
+    # micro-batches would silently undercount addBatch and overstate
+    # the marginal rate; raise the cap far above any plan here
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     spark.sparkContext.setLogLevel("ERROR")
     workdir_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="nls_bench_stream_", dir=workdir_root)

@@ -80,7 +80,18 @@ def build_sinks(entries: list):
         ent = dict(ent)
         for key in ("whitelist", "blacklist"):
             if key in ent:
-                ent[key] = tuple(ent[key])
+                v = ent[key]
+                # a natural single-value YAML scalar must become a
+                # one-element tuple, not be iterated char-by-char into
+                # a filter that can never match
+                if isinstance(v, str):
+                    v = (v,)
+                if v is None or not all(isinstance(x, str) for x in v):
+                    raise ValueError(
+                        f"bad sink entry: {key} must be a string or a "
+                        f"list of strings, got {v!r}"
+                    )
+                ent[key] = tuple(v)
         try:
             specs.append(SinkSpec(**ent))
         except TypeError as e:
@@ -89,8 +100,17 @@ def build_sinks(entries: list):
 
 
 def _flag_given(argv: list, dest: str) -> bool:
-    opt = "--" + dest.replace("_", "-")
-    return any(a == opt or a.startswith(opt + "=") for a in argv)
+    """True when the user passed a flag for ``dest`` — including
+    argparse's prefix abbreviations (``--check`` for ``--checkpoint``),
+    which must count as explicit or the config file would silently
+    override a flag the user typed (inverting flag > file)."""
+    for a in argv:
+        if not a.startswith("--") or len(a) <= 2:
+            continue
+        name = a[2:].split("=", 1)[0].replace("-", "_")
+        if name and dest.startswith(name):
+            return True
+    return False
 
 
 def merge_config(args, cfg: dict, argv: list) -> None:

@@ -399,11 +399,25 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Magic-dispatched image decode: BMP and PNG are decoded by the
     self-contained codecs above; JPEG degrades gracefully — it needs an
     optional pillow install (absent in this sandbox), and the error
-    says exactly that instead of a cryptic header failure."""
+    says exactly that instead of a cryptic header failure.
+
+    PNG throughput note: the stdlib codec unfilters Average/Paeth rows
+    (filter types 3/4, common in externally-produced PNGs) in a python
+    loop — correct but slow for large images.  When pillow IS
+    installed its C decoder is preferred for PNG automatically; the
+    stdlib path keeps the engine fully functional without it (our own
+    encoder emits only the vectorized filter-0/Sub/Up shapes)."""
     head = bytes(payload[:8])
     if head[:2] == b"BM":
         return decode_bmp(payload)
     if head == PNG_MAGIC:
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            return np.asarray(
+                Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+            )
         return decode_png(payload)
     if head[:3] == JPEG_MAGIC:
         Image = _pil_image()

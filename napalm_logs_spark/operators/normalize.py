@@ -166,9 +166,12 @@ def _register_months(names: tuple, lang: str) -> None:
         for tok in ([raw] if isinstance(raw, str) else raw):
             key = _strip_accents(tok.lower())
             prev = _MONTH_NAMES.get(key)
-            assert prev is None or prev == m, (
-                f"month-token collision: {key!r} = {prev} vs {m} ({lang})"
-            )
+            if prev is not None and prev != m:
+                # a collision would silently resolve dates to the wrong
+                # month — explicit raise (assert would vanish under -O)
+                raise ValueError(
+                    f"month-token collision: {key!r} = {prev} vs {m} ({lang})"
+                )
             _MONTH_NAMES[key] = m
 
 

@@ -268,15 +268,12 @@ def serialize_envelopes(
 
     from pyspark.sql.functions import pandas_udf
 
-    if serializer == "msgpack":
+    # "*" is the registry's reference-default alias for msgpack —
+    # bytes out, so it needs the binary UDF too
+    rtype = "binary" if serializer in ("msgpack", "*") else "string"
 
-        @pandas_udf("binary")
-        def _ser(s):
-            return s.map(lambda j: fn(json.loads(j)))
-    else:
-
-        @pandas_udf("string")
-        def _ser(s):
-            return s.map(lambda j: fn(json.loads(j)))
+    @pandas_udf(rtype)
+    def _ser(s):
+        return s.map(lambda j: fn(json.loads(j)))
 
     return env.withColumn(out_col, _ser(as_json))

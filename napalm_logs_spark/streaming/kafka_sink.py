@@ -50,32 +50,18 @@ def envelope_to_kafka_records(
     one Kafka partition (per-key ordering).  Usable on batch and
     streaming frames alike, and unit-testable without a broker.
     """
-    payload = F.struct(*[F.col(c) for c in _PAYLOAD_COLS if c in env.columns])
-    # explicit nulls: the reference envelope always carries every
-    # key (device.py:336-351) — consumers schema-validate on the
-    # fixed shape, so dropped-null variable-shape records would
-    # break them
-    as_json = F.to_json(payload, {"ignoreNullFields": "false"})
-    if serializer == "json":
-        value = as_json
-    else:
-        import json as _json
+    from ..operators.serialize import serialize_envelopes
 
-        from pyspark.sql.functions import pandas_udf
-
-        from ..operators.serialize import get_serializer
-
-        fn = get_serializer(serializer)
-        rtype = "binary" if serializer in ("msgpack", "*") else "string"
-
-        @pandas_udf(rtype)
-        def _ser(s):
-            return s.map(lambda j: fn(_json.loads(j)))
-
-        value = _ser(as_json)
-    return env.select(
+    # explicit nulls for the json path: the reference envelope always
+    # carries every key (device.py:336-351) — consumers schema-validate
+    # on the fixed shape, so dropped-null variable-shape records would
+    # break them.  serialize_envelopes owns the shared
+    # to_json → pandas-UDF bridge (one place for the type mapping).
+    cols = tuple(c for c in _PAYLOAD_COLS if c in env.columns)
+    out = serialize_envelopes(env, serializer, payload_cols=cols, out_col="value")
+    return out.select(
         F.col("conv_id").cast("string").alias("key"),
-        value.alias("value"),
+        "value",
         F.lit(topic).alias("topic"),
     )
 

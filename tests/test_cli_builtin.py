@@ -284,3 +284,22 @@ def test_config_scalar_sink_becomes_list():
     args2 = argparse.Namespace(sink=["/flag"], source=None)
     merge_config(args2, {"sink": "/file"}, ["--sink", "/flag"])
     assert args2.sink == ["/flag"]
+
+
+def test_config_scalar_whitelist_and_abbreviated_flags():
+    import argparse
+
+    import pytest as _pytest
+
+    from napalm_logs_spark.config import _flag_given, build_sinks
+
+    # a natural single-value YAML scalar becomes a one-element tuple
+    [spec] = build_sinks([{"path": "/x", "whitelist": "INTERFACE_DOWN"}])
+    assert spec.whitelist == ("INTERFACE_DOWN",)
+    with _pytest.raises(ValueError, match="string or a"):
+        build_sinks([{"path": "/x", "blacklist": None}])
+    # argparse prefix abbreviations count as explicitly given — the
+    # file must NOT override `--check /my/ckpt`
+    assert _flag_given(["--check", "/my/ckpt"], "checkpoint")
+    assert _flag_given(["--checkpoint=/c"], "checkpoint")
+    assert not _flag_given(["--source", "/s"], "checkpoint")

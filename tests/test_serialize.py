@@ -156,3 +156,22 @@ def test_serialize_envelopes_spark_paths(spark):
     # text serializers produce strings
     y = serialize_envelopes(env.limit(2), "yaml").select("payload").first()
     assert isinstance(y.payload, str) and "error:" in y.payload
+
+
+def test_star_alias_is_binary_msgpack(spark):
+    """'*' is the reference's default serializer alias (msgpack) — it
+    must take the binary UDF path, not crash Arrow with bytes-in-string."""
+    from napalm_logs_spark.operators.normalize import normalize
+    from napalm_logs_spark.sources.transcripts import (
+        synth_transcripts_pandas,
+        transcripts_df,
+    )
+
+    env = normalize(
+        transcripts_df(spark, synth_transcripts_pandas(n_convs=2, turns_per_conv=4, seed=42))
+    ).limit(3)
+    rows = serialize_envelopes(env, "*").select("error", "payload").collect()
+    assert rows
+    for r in rows:
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert unpackb(bytes(r.payload))["error"] == r.error
