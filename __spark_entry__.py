@@ -1773,6 +1773,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["m4_timestamps"] = m4_timestamps
 
+    def k5_prom_expo(spark, sf):
+        """K5 Prometheus exposition (reference transport/prometheus.py):
+        the REAL render path (escaping, label layout, integral-value
+        canonicalization) over a counters analog the oracle can rebuild
+        with plain SQL string concatenation."""
+        from napalm_logs_spark.streaming.prometheus import render_lines
+
+        ev = _t(spark, sf, "events").filter(F.col("event_type").isNotNull())
+        metrics = ev.groupBy(
+            F.concat(F.lit("napalm_logs_"), F.lower("event_type")).alias("metric"),
+            F.concat(F.lit("host-"), F.pmod(F.col("user_id"), F.lit(50)).cast("string")).alias("host"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        metrics = metrics.withColumn("entity", F.lit(None).cast("string"))
+        return render_lines(metrics, "counter").select("metric", "kind", "line")
+    q["k5_prom_expo"] = k5_prom_expo
+
     return _priority_order(q)
 
 
@@ -1799,8 +1815,9 @@ _PRIORITY_50 = [
     "e_props_json",             # r02's one red row — oracle cast fixed
     "k6_msgpack",               # new this round (K6 serializer matrix)
     "m4_timestamps",            # new this round (M4 locale/tz breadth)
+    "k5_prom_expo",             # new this round (K5 exposition render)
     # representative core rows kept green (rest rotate; all r02-green already)
-    "p1_nonempty_filter", "p5_whitelist", "a1_dedup_gap", "a1_dedup_ttl_exact",
+    "p1_nonempty_filter", "a1_dedup_gap", "a1_dedup_ttl_exact",
     "c1_transitions", "c3_tumbling_counts", "c6_interval_join",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
     "q1_pricing_summary",
@@ -3313,6 +3330,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_utc
         FROM events
+    """
+
+    # exposition-format lines rebuilt from first principles (metric
+    # naming, label layout, integral canonical values)
+    o["k5_prom_expo"] = """
+        SELECT metric, 'counter' AS kind,
+               metric || '{host="' || host || '"} '
+                      || CAST(CAST(n AS BIGINT) AS VARCHAR) AS line
+        FROM (
+          SELECT 'napalm_logs_' || lower(event_type) AS metric,
+                 'host-' || CAST(user_id % 50 AS VARCHAR) AS host,
+                 count(*) AS n
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1, 2
+        )
     """
 
     return _priority_order(o)
