@@ -1789,6 +1789,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return render_lines(metrics, "counter").select("metric", "kind", "line")
     q["k5_prom_expo"] = k5_prom_expo
 
+    def c14_session_window(spark, sf):
+        """The genuine Spark session-window operator (F.session_window,
+        gap-merged state — the streaming form the north rule names),
+        vs c7_sessions' lag-based relational form.  New session when
+        the event-time gap >= 600 s."""
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.session_window("ts", "600 seconds").alias("sw"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                _epoch(F.col("sw.start")).cast("long").alias("session_start"),
+                "n_events",
+            )
+        )
+    q["c14_session_window"] = c14_session_window
+
     return _priority_order(q)
 
 
@@ -1818,7 +1837,7 @@ _PRIORITY_50 = [
     "k5_prom_expo",             # new this round (K5 exposition render)
     # representative core rows kept green (rest rotate; all r02-green already)
     "p1_nonempty_filter", "a1_dedup_gap", "a1_dedup_ttl_exact",
-    "c1_transitions", "c3_tumbling_counts", "c6_interval_join",
+    "c1_transitions", "c14_session_window", "c6_interval_join",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
     "q1_pricing_summary",
 ]
@@ -3345,6 +3364,28 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE event_type IS NOT NULL
           GROUP BY 1, 2
         )
+    """
+
+    # gap-merge semantics: a new session starts when the event-time
+    # gap is >= the 600 s threshold (Spark merges on strict overlap)
+    o["c14_session_window"] = """
+        WITH marks AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 600
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marks
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
     """
 
     return _priority_order(o)
