@@ -1609,6 +1609,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_real_features"] = mm_real_features  # oracled: pre-encoding-array golden
 
+    def mm_jpeg_fidelity(spark, sf):
+        # the LOSSY-container gate: cycle BMP → PNG → baseline-JPEG
+        # (the self-contained T.81 codec, jpegcodec.py), decode the
+        # actual payload bytes on executors, and verify every decoded
+        # feature lands within the golden's per-row tolerance of the
+        # PRE-encoding truth (lossless rows: 1e-6; JPEG q=95: 1.5,
+        # measured worst deviation 0.44).  A broken codec flips `ok`
+        # and the driver hash catches it; the golden itself is computed
+        # with no codec involved (tools/make_goldens.py).
+        from napalm_logs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            real_media_decoder,
+            synth_real_media_pandas,
+        )
+
+        media = spark.createDataFrame(
+            synth_real_media_pandas(n=36, jpeg_images=True), schema=MEDIA_SCHEMA
+        )
+        feats = extract_features(media, decoder=real_media_decoder).select(
+            "media_id",
+            *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(4)],
+        ).join(F.broadcast(media.select("media_id", "mime")), "media_id")
+        gd = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "testdata_goldens"
+        )
+        golden = spark.read.parquet(f"{gd}/mm_jpeg_fidelity_golden.parquet")
+        ok = (
+            F.greatest(*[
+                F.abs(F.col(f"f{i}") - F.col(f"g{i}")) for i in range(4)
+            ]) <= F.col("tol")
+        ) & (F.col("mime") == F.col("golden_mime"))
+        return (
+            feats.join(
+                F.broadcast(
+                    golden.select(
+                        "media_id", "kind", "g0", "g1", "g2", "g3", "tol",
+                        F.col("mime").alias("golden_mime"),
+                    )
+                ),
+                "media_id",
+            )
+            .select("media_id", "kind", "mime", ok.alias("ok"))
+        )
+    q["mm_jpeg_fidelity"] = mm_jpeg_fidelity  # oracled: tolerance golden
+
     def mm_frame_plan(spark, sf):
         # video frame-sampling explode (the JVM-side half of the decode
         # pipeline): one row per sampled frame offset
@@ -1829,7 +1875,9 @@ _PRIORITY_50 = [
     "t_mix_temperature", "t_repetition", "t_sample_mix",
     "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
-    "mm_features", "mm_real_features", "mm_frame_plan",
+    # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
+    # mm_frame_plan's slot — the frame-plan explode stays mirror-gated
+    "mm_features", "mm_real_features", "mm_jpeg_fidelity",
     "c2_alarm_gauge",           # VERDICT r2 item 8
     "e_props_json",             # r02's one red row — oracle cast fixed
     "k6_msgpack",               # new this round (K6 serializer matrix)
@@ -3248,6 +3296,14 @@ def oracle_sql() -> dict[str, str]:
     o["mm_real_features"] = f"""
         SELECT media_id, kind, f0, f1, f2, f3
         FROM read_parquet('{gd}/mm_real_features_golden.parquet')
+    """
+
+    # fidelity verdict is TRUE for every row by construction; the Spark
+    # side computes it from the DECODED payload bytes, so any codec
+    # regression (wrong pixels, wrong container dispatch) flips a row
+    o["mm_jpeg_fidelity"] = f"""
+        SELECT media_id, kind, mime, TRUE AS ok
+        FROM read_parquet('{gd}/mm_jpeg_fidelity_golden.parquet')
     """
 
     # derived from the synthetic-media SPEC (kinds cycle image/audio/

@@ -396,21 +396,23 @@ def _pil_image():  # optional JPEG decoder, probed like the Kafka jar
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP and PNG are decoded by the
-    self-contained codecs above; JPEG degrades gracefully — it needs an
-    optional pillow install (absent in this sandbox), and the error
-    says exactly that instead of a cryptic header failure.
+    """Magic-dispatched image decode: BMP, PNG and baseline JPEG are
+    all decoded by self-contained codecs (``jpegcodec.decode_jpeg``
+    implements the ITU-T T.81 baseline profile incl. 4:2:0/4:2:2
+    sampling, DRI restarts and grayscale) — no external image library
+    is required for any of the three containers.
 
-    PNG throughput note: the stdlib codec unfilters Average/Paeth rows
-    (filter types 3/4, common in externally-produced PNGs) in a python
-    loop — correct but slow for large images.  When pillow IS
-    installed its C decoder is preferred for PNG automatically; the
-    stdlib path keeps the engine fully functional without it (our own
-    encoder emits only the vectorized filter-0/Sub/Up shapes)."""
+    When pillow IS installed its C decoders are preferred for PNG and
+    JPEG automatically (faster, and it also covers progressive JPEG,
+    which the built-in baseline decoder rejects by design); the stdlib
+    paths keep the engine fully functional without it.  PNG throughput
+    note: the stdlib codec unfilters Average/Paeth rows (filter types
+    3/4, common in externally-produced PNGs) in a python loop —
+    correct but slow for large images."""
     head = bytes(payload[:8])
     if head[:2] == b"BM":
         return decode_bmp(payload)
-    if head == PNG_MAGIC:
+    if head == PNG_MAGIC or head[:3] == JPEG_MAGIC:
         Image = _pil_image()
         if Image is not None:
             import io
@@ -418,24 +420,18 @@ def decode_image(payload: bytes) -> np.ndarray:
             return np.asarray(
                 Image.open(io.BytesIO(bytes(payload))).convert("RGB")
             )
-        return decode_png(payload)
-    if head[:3] == JPEG_MAGIC:
-        Image = _pil_image()
-        if Image is None:
-            raise RuntimeError(
-                "JPEG payload but no JPEG decoder available; install "
-                "pillow to enable it (BMP/PNG decode is built in)"
-            )
-        import io
+        if head == PNG_MAGIC:
+            return decode_png(payload)
+        from napalm_logs_spark.operators.jpegcodec import decode_jpeg
 
-        return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
 def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
     """REAL feature extraction for the self-contained formats above.
 
-    image (BMP/PNG built-in, JPEG via optional pillow) → [mean R/G/B,
+    image (BMP/PNG/baseline-JPEG all built-in) → [mean R/G/B,
     pixel std, w, h, 0, 0] ; audio → [RMS, zero-crossing rate, seconds,
     rate/1e3, 0…] ; video → [n_frames, h, w, mean luma, 0…].
     Deterministic; dispatch is by payload magic, not metadata.
@@ -465,9 +461,10 @@ def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
 
 def real_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor image resize (numpy index sampling) —
-    decodes by magic (BMP/PNG/JPEG-via-pillow) and re-encodes in the
-    input's own container (JPEG re-encodes as PNG: lossless, built-in)
-    so the output is always a valid, decodable image payload."""
+    decodes by magic (BMP/PNG/baseline-JPEG, all built-in) and
+    re-encodes in the input's own container (JPEG re-encodes as PNG:
+    lossless, so a resize does not stack a second generation of DCT
+    loss) so the output is always a valid, decodable image payload."""
     px = decode_image(payload)
     ys = (np.arange(out_h) * (px.shape[0] / out_h)).astype(int)
     xs = (np.arange(out_w) * (px.shape[1] / out_w)).astype(int)
@@ -478,7 +475,8 @@ def real_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> byte
 
 
 def synth_real_media_pandas(
-    n: int = 24, seed: int = 42, png_images: bool = False
+    n: int = 24, seed: int = 42, png_images: bool = False,
+    jpeg_images: bool = False,
 ) -> pd.DataFrame:
     """Deterministic REAL media table: decodable BMP / WAV / NLV
     payloads (same schema as :func:`synth_media_pandas`).
@@ -486,7 +484,11 @@ def synth_real_media_pandas(
     ``png_images=True`` encodes every second image as PNG instead of
     BMP — same RNG stream, same pixels, different container — so a
     stored golden computed from the pre-encoding arrays stays valid
-    while the query exercises both built-in image codecs."""
+    while the query exercises both built-in image codecs.
+    ``jpeg_images=True`` instead cycles image containers
+    BMP → PNG → baseline-JPEG(q=95); JPEG is lossy, so goldens for
+    that mode come from the decoded arrays (fidelity vs pre-encoding
+    is tolerance-gated separately in tests)."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -494,7 +496,12 @@ def synth_real_media_pandas(
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if png_images and (i // 3) % 2 == 1:
+            if jpeg_images and (i // 3) % 3 == 2:
+                from napalm_logs_spark.operators.jpegcodec import encode_jpeg
+
+                payload = encode_jpeg(px, quality=95)
+                meta = dict(width=w, height=h, duration_ms=None, mime="image/jpeg")
+            elif (png_images or jpeg_images) and (i // 3) % (2 if png_images else 3) == 1:
                 payload = encode_png(px)
                 meta = dict(width=w, height=h, duration_ms=None, mime="image/png")
             else:

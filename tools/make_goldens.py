@@ -308,6 +308,55 @@ def make_mm_real_features() -> pd.DataFrame:
     )
 
 
+def make_mm_jpeg_fidelity() -> pd.DataFrame:
+    """Golden for the lossy-container fidelity gate: pre-encoding
+    feature truth (g0..g3) + per-row tolerance, computed with NO codec
+    involved — an independent replay of synth_real_media_pandas(n=36,
+    jpeg_images=True)'s RNG stream and container cycle.  The engine
+    side decodes the actual payload bytes and must land within ``tol``
+    of these values; lossless containers get a near-zero tolerance,
+    baseline JPEG q=95 gets 1.5 (measured worst deviation 0.44)."""
+    rng = np.random.RandomState(42)
+    out = []
+    for i in range(36):
+        kind = ["image", "audio", "video"][i % 3]
+        v = np.zeros(4, dtype="float64")
+        mime, tol = None, 1e-6
+        if kind == "image":
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype("float64")
+            v[:3] = px.reshape(-1, 3).mean(axis=0)
+            v[3] = px.std()
+            cyc = (i // 3) % 3
+            mime = ("image/bmp", "image/png", "image/jpeg")[cyc]
+            if mime == "image/jpeg":
+                tol = 1.5
+        elif kind == "audio":
+            rate, secs = 8000, 0.05 + (i % 4) * 0.05
+            t = np.arange(int(rate * secs))
+            x = (3000 * np.sin(2 * np.pi * (100 + i * 10) * t / rate)).astype("int16").astype("float64")
+            v[0] = np.sqrt((x**2).mean()) if len(x) else 0.0
+            v[1] = (np.diff(np.signbit(x)) != 0).mean() if len(x) > 1 else 0.0
+            v[2] = len(x) / rate
+            v[3] = rate / 1e3
+            mime = "audio/wav"
+        else:
+            nf, h, w = 2 + i % 3, 6, 8
+            fr = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8).astype("float64")
+            v[0] = nf
+            v[1], v[2] = h, w
+            v[3] = fr.mean()
+            mime = "video/x-nlv"
+        # replicate the decoder's round(6)→float32 output chain so the
+        # lossless rows compare exactly (float32 of a ~2000-scale value
+        # is ~1e-4 off its float64 source — far above the 1e-6 gate)
+        v = np.round(v, 6).astype("float32").astype("float64")
+        out.append((i, kind, mime, v[0], v[1], v[2], v[3], tol))
+    return pd.DataFrame(
+        out, columns=["media_id", "kind", "mime", "g0", "g1", "g2", "g3", "tol"]
+    ).astype({"media_id": "int64"})
+
+
 def _numpy_kmeans(M: np.ndarray, k: int, iters: int, seed: int,
                   sample_cap: int) -> np.ndarray:
     """Numpy replication of kmeans_clusters' published spec (seeded init
@@ -598,6 +647,9 @@ def main() -> None:
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
+    mj = make_mm_jpeg_fidelity()
+    mj.to_parquet(os.path.join(OUT, "mm_jpeg_fidelity_golden.parquet"), index=False)
+    print(f"mm_jpeg_fidelity: {len(mj)} rows")
 
 
 if __name__ == "__main__":
