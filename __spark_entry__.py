@@ -1372,6 +1372,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_importance(docs, target_filter=F.col("doc_id") % 7 == 0)
     q["t_dsir_weights"] = t_dsir_weights
 
+    def t_bpe_train(spark, sf):
+        # distributed BPE tokenizer training (Sennrich word-histogram
+        # algorithm): the corpus collapses to a (word,count) histogram
+        # once, every merge is a histogram-sized aggregate + 1-row
+        # argmax collect — the learned merge table is verified against
+        # an independent pure-python replication (stored golden keyed
+        # by the corpus content checksum; tools/make_goldens.py)
+        from napalm_logs_spark.operators.bpe import bpe_train
+
+        return bpe_train(_t(spark, sf, "documents"), n_merges=40).select(
+            "merge_rank", "left", "right", "pair_count"
+        )
+    q["t_bpe_train"] = t_bpe_train  # oracled: independent-python golden
+
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
 
@@ -3304,6 +3318,17 @@ def oracle_sql() -> dict[str, str]:
     o["mm_jpeg_fidelity"] = f"""
         SELECT media_id, kind, mime, TRUE AS ok
         FROM read_parquet('{gd}/mm_jpeg_fidelity_golden.parquet')
+    """
+
+    # independent pure-python BPE replication; keyed by the corpus
+    # content checksum (sf0.001/sf0.01 share a documents row count)
+    o["t_bpe_train"] = f"""
+        SELECT merge_rank, "left", "right", pair_count
+        FROM read_parquet('{gd}/bpe_train_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(SUM(n_chars * (doc_id % 97 + 1)) AS BIGINT)
+            FROM documents
+        )
     """
 
     # derived from the synthetic-media SPEC (kinds cycle image/audio/

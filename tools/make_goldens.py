@@ -357,6 +357,61 @@ def make_mm_jpeg_fidelity() -> pd.DataFrame:
     ).astype({"media_id": "int64"})
 
 
+def make_bpe_train(n_merges: int = 40) -> pd.DataFrame:
+    """Independent pure-python BPE trainer (Sennrich-style word-histogram
+    algorithm) over the documents table at sf0.001 and sf0.01, keyed by
+    the same integer content checksum the oracle computes live
+    (sum(n_chars * (doc_id % 97 + 1)) — sf0.001/sf0.01 share a row
+    count, so row count cannot key the golden).  Spec mirrored from
+    ``operators/bpe.py``: lowercase, split on \\s+, chars + '</w>'
+    sentinel, overlapping pair counts, left-to-right non-overlapping
+    merge application, ties broken count desc then (left, right) asc,
+    stop below min_freq=2."""
+    import re
+    from collections import Counter
+
+    END = "</w>"
+    out = []
+    for sf in ("sf0.001", "sf0.01"):
+        docs = pd.read_parquet(os.path.join(TESTDATA, sf, "documents.parquet"))
+        scale_key = int((docs["n_chars"] * (docs["doc_id"] % 97 + 1)).sum())
+        hist: Counter = Counter()
+        for text in docs["text"]:
+            for w in re.split(r"\s+", str(text).lower()):
+                if w:
+                    hist[w] += 1
+        syms = {w: list(w) + [END] for w in hist}
+        for rank in range(1, n_merges + 1):
+            pc: Counter = Counter()
+            for w, c in hist.items():
+                s = syms[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += c
+            if not pc:
+                break
+            (left, right), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < 2:
+                break
+            for w, s in syms.items():
+                if (left, right) not in zip(s, s[1:]):
+                    continue
+                merged, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                syms[w] = merged
+            out.append((scale_key, rank, left, right, int(n)))
+    return pd.DataFrame(
+        out, columns=["scale_key", "merge_rank", "left", "right", "pair_count"]
+    ).astype({"scale_key": "int64", "merge_rank": "int32", "pair_count": "int64"})
+
+
 def _numpy_kmeans(M: np.ndarray, k: int, iters: int, seed: int,
                   sample_cap: int) -> np.ndarray:
     """Numpy replication of kmeans_clusters' published spec (seeded init
@@ -650,6 +705,9 @@ def main() -> None:
     mj = make_mm_jpeg_fidelity()
     mj.to_parquet(os.path.join(OUT, "mm_jpeg_fidelity_golden.parquet"), index=False)
     print(f"mm_jpeg_fidelity: {len(mj)} rows")
+    bp = make_bpe_train()
+    bp.to_parquet(os.path.join(OUT, "bpe_train_golden.parquet"), index=False)
+    print(f"bpe_train: {len(bp)} rows across {bp['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
