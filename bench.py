@@ -472,7 +472,8 @@ def main() -> None:
     # [0.794, 0.929] vs 8→32 [0.585, 0.695] on identical code — the
     # delta is box saturation, not the engine.  One full-width 8→32
     # pair is still run and disclosed below (streaming_e2e_fullwidth).
-    s_lo, s_hi = max(CPUS // 8, 2), max(CPUS // 2, 8)
+    s_hi = CPUS // 2 if CPUS >= 16 else CPUS  # quarter-box when possible
+    s_lo = max(s_hi // 4, 1)
     # same interleaved best-pair estimator as the normalize pair: one
     # throttle wave otherwise corrupts the single observation (each
     # (lo,hi) pair runs back-to-back under the same VM weather)
