@@ -1386,6 +1386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_bpe_train"] = t_bpe_train  # oracled: independent-python golden
 
+    def t_bpe_tokens(spark, sf):
+        # train + greedy-encode composition: per-doc subword token
+        # counts vs an independent python train+encode replication
+        from napalm_logs_spark.operators.bpe import bpe_encode, bpe_train
+
+        docs = _t(spark, sf, "documents")
+        merges = bpe_train(docs, n_merges=40)
+        return bpe_encode(docs, merges).select(
+            "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+        )
+    q["t_bpe_tokens"] = t_bpe_tokens  # oracled: independent-python golden
+
     def t_pack_chunks(spark, sf):
         from napalm_logs_spark.operators.text import pack_chunks
 
@@ -3325,6 +3337,15 @@ def oracle_sql() -> dict[str, str]:
     o["t_bpe_train"] = f"""
         SELECT merge_rank, "left", "right", pair_count
         FROM read_parquet('{gd}/bpe_train_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(SUM(n_chars * (doc_id % 97 + 1)) AS BIGINT)
+            FROM documents
+        )
+    """
+
+    o["t_bpe_tokens"] = f"""
+        SELECT doc_id, n_bpe_tokens
+        FROM read_parquet('{gd}/bpe_tokens_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(SUM(n_chars * (doc_id % 97 + 1)) AS BIGINT)
             FROM documents

@@ -84,13 +84,17 @@ def bpe_train(
     text_col: str = "text",
     lowercase: bool = True,
     min_freq: int = 2,
+    iter_seconds: list | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
     Returns a DataFrame ``(merge_rank int, left string, right string,
     pair_count long)`` ordered by rank — the tokenizer's merge table.
     Stops early when the best remaining pair's count < ``min_freq``.
+    ``iter_seconds``, when given a list, receives each iteration's wall
+    time — the scale probe asserts iteration cost stays flat.
     """
+    import time
     spark = df.sparkSession
     hist = _symbolize(_word_histogram(df, text_col, lowercase))
     hist = hist.localCheckpoint(eager=True)  # corpus scanned exactly once
@@ -120,6 +124,7 @@ def bpe_train(
 
     rules = []
     for rank in range(1, n_merges + 1):
+        it0 = time.time()
         pair_counts = (
             hist.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"),
                         "count")
@@ -142,6 +147,8 @@ def bpe_train(
             _apply_merge(left, right)(F.col("syms")).alias("syms"), "count"
         ).localCheckpoint(eager=True)
         old.unpersist()
+        if iter_seconds is not None:
+            iter_seconds.append(time.time() - it0)
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, pair_count long"
     )

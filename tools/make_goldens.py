@@ -412,6 +412,53 @@ def make_bpe_train(n_merges: int = 40) -> pd.DataFrame:
     ).astype({"scale_key": "int64", "merge_rank": "int32", "pair_count": "int64"})
 
 
+def make_bpe_tokens(n_merges: int = 40) -> pd.DataFrame:
+    """Independent replication of the greedy BPE encoder: re-train the
+    merge table (via make_bpe_train's algorithm) and encode every
+    document, emitting per-doc subword token counts.  Greedy rule:
+    always apply the LOWEST-rank applicable merge next (standard BPE
+    encode), words split on \\s+ after lowercasing."""
+    import re
+
+    END = "</w>"
+    merges = make_bpe_train(n_merges)
+    out = []
+    for sf in ("sf0.001", "sf0.01"):
+        docs = pd.read_parquet(os.path.join(TESTDATA, sf, "documents.parquet"))
+        scale_key = int((docs["n_chars"] * (docs["doc_id"] % 97 + 1)).sum())
+        table = {
+            (r["left"], r["right"]): int(r["merge_rank"])
+            for _, r in merges[merges["scale_key"] == scale_key].iterrows()
+        }
+        cache: dict = {}
+
+        def enc_word(w):
+            syms = list(w) + [END]
+            while len(syms) >= 2:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    rk = table.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, best_i = rk, i
+                if best is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        for _, row in docs.iterrows():
+            n = 0
+            for w in re.split(r"\s+", str(row["text"]).lower()):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = enc_word(w)
+                n += len(cache[w])
+            out.append((scale_key, int(row["doc_id"]), n))
+    return pd.DataFrame(
+        out, columns=["scale_key", "doc_id", "n_bpe_tokens"]
+    ).astype({"scale_key": "int64", "doc_id": "int64", "n_bpe_tokens": "int64"})
+
+
 def _numpy_kmeans(M: np.ndarray, k: int, iters: int, seed: int,
                   sample_cap: int) -> np.ndarray:
     """Numpy replication of kmeans_clusters' published spec (seeded init
@@ -708,6 +755,9 @@ def main() -> None:
     bp = make_bpe_train()
     bp.to_parquet(os.path.join(OUT, "bpe_train_golden.parquet"), index=False)
     print(f"bpe_train: {len(bp)} rows across {bp['scale_key'].nunique()} sfs")
+    bt = make_bpe_tokens()
+    bt.to_parquet(os.path.join(OUT, "bpe_tokens_golden.parquet"), index=False)
+    print(f"bpe_tokens: {len(bt)} rows across {bt['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
