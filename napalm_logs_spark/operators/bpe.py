@@ -15,9 +15,16 @@ training-data-pipeline addendum (token counting's big sibling —
 module learns the subword vocabulary itself).
 
 Determinism: ties on pair count break by (left, right) ascending
-unicode order; word splitting is a fixed regex.  The trainer is
-bit-reproducible under any partitioning because every argmax is a
-global aggregate.
+unicode order; word splitting is the explicit ASCII-whitespace class
+``[ \\t\\n\\r\\f\\x0B]+`` in EVERY implementation (trainer's JVM split,
+encoder's python re, and both golden replications) — Java ``\\s`` and
+Python ``re`` ``\\s`` disagree on Unicode whitespace such as U+00A0,
+so the shared class is spelled out rather than relying on ``\\s``.
+Lowercasing uses each runtime's default ``lower``; for the rare
+Unicode code points where Java and Python lowercase differ (e.g.
+dotted-capital-I), train and encode on pre-normalized text.  The
+trainer is bit-reproducible under any partitioning because every
+argmax is a global aggregate.
 
 Scale notes:
 - per iteration: one histogram-sized explode+groupBy (pair counts) and
@@ -25,13 +32,16 @@ Scale notes:
   corpus re-scans.
 - the merge-application step is ONE Arrow pandas-UDF pass over the
   histogram per merge (rows not containing the winning pair
-  short-circuit inside the UDF), and each generation is
-  ``localCheckpoint``-ed with the superseded generation unpersisted —
-  the plan stays O(1) deep no matter how many merges run, the same
-  discipline as ``docdedup.duplicate_clusters``.  (A conditional
-  ``when(cond(syms), udf(syms)).otherwise(syms)`` layer references the
-  symbol column three times, so an un-checkpointed chain grows the
-  Catalyst tree 3^k — measured as a JVM heap OOM at ~8 merges.)
+  short-circuit inside the UDF); generations are ``cache()``-ed with
+  the superseded generation ``unpersist()``-ed (real block eviction —
+  ``DataFrame.unpersist`` cannot free ``localCheckpoint`` blocks) and
+  every 10th generation ``localCheckpoint``s to truncate lineage, so
+  the plan stays <= 10 single-reference UDF layers deep no matter how
+  many merges run — the ``docdedup.duplicate_clusters`` discipline.
+  (A conditional ``when(cond(syms), udf(syms)).otherwise(syms)`` layer
+  references the symbol column three times, so an un-checkpointed
+  chain grows the Catalyst tree 3^k — measured as a JVM heap OOM at
+  ~8 merges.)
 """
 from __future__ import annotations
 
@@ -40,12 +50,16 @@ from pyspark.sql.types import ArrayType, StringType
 
 END = "</w>"  # end-of-word sentinel (Sennrich): merges never cross words
 
+#: the one word-splitting pattern, valid and identical in Java regex
+#: (Spark split) and python re — see the determinism note above
+WS = r"[ \t\n\r\f\x0B]+"
+
 
 def _word_histogram(df: DataFrame, text_col: str, lowercase: bool) -> DataFrame:
     """(word, count) histogram — the one corpus-sized shuffle."""
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     return (
-        df.select(F.explode(F.split(txt, r"\s+")).alias("word"))
+        df.select(F.explode(F.split(txt, WS)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -64,18 +78,26 @@ def _symbolize(hist: DataFrame) -> DataFrame:
 
 
 def _adjacent_pairs(col):
-    """Column expr: symbol array → array of 'left\\x00right' pair keys."""
+    """Column expr: symbol array → array of (l, r) pair structs.
+
+    Structs, not joined strings: symbols may contain ANY character
+    (a NUL in the corpus becomes a legitimate symbol), so no separator
+    is safe; struct grouping and struct ordering (field-by-field, i.e.
+    (left, right) lexicographic — exactly the tie-break the golden
+    replication uses) need none."""
     n = F.size(col)
     idx = F.sequence(F.lit(0), n - 2)
+    pair_t = "array<struct<l:string,r:string>>"
     return F.when(
         n >= 2,
         F.transform(
             idx,
-            lambda i: F.concat(
-                F.element_at(col, i + 1), F.lit("\x00"), F.element_at(col, i + 2)
+            lambda i: F.struct(
+                F.element_at(col, i + 1).alias("l"),
+                F.element_at(col, i + 2).alias("r"),
             ),
         ),
-    ).otherwise(F.array().cast(ArrayType(StringType())))
+    ).otherwise(F.lit(None).cast(pair_t)).alias("pairs")
 
 
 def bpe_train(
@@ -131,21 +153,30 @@ def bpe_train(
             .groupBy("pair")
             .agg(F.sum("count").alias("n"))
         )
-        # deterministic argmax: count desc, then pair key asc (the key
-        # embeds left\x00right, so the tie-break is (left, right) asc)
+        # deterministic argmax: count desc, then struct asc — struct
+        # ordering is field-by-field, i.e. (left, right) ascending
         top = pair_counts.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
         if not top or top[0]["n"] < min_freq:
             break
-        left, right = top[0]["pair"].split("\x00")
+        left, right = top[0]["pair"]["l"], top[0]["pair"]["r"]
         n = int(top[0]["n"])
         rules.append((rank, left, right, n))
         old = hist
-        # single-reference projection + eager checkpoint: the plan is
-        # one UDF deep for EVERY generation; superseded generations are
-        # unpersisted so the executor cache stays O(1) generations
+        # single-reference projection → the inter-checkpoint lineage is
+        # a LINEAR chain of UDF layers (a conditional 3-reference layer
+        # grows the tree 3^k — measured JVM OOM at ~8 merges).  Each
+        # generation is cache()d so unpersist() actually frees its
+        # blocks (DataFrame.unpersist is a no-op for localCheckpoint
+        # blocks); every 10th generation localCheckpoints to truncate
+        # the lineage chain, so the plan depth stays <= 10 UDF layers.
         hist = old.select(
             _apply_merge(left, right)(F.col("syms")).alias("syms"), "count"
-        ).localCheckpoint(eager=True)
+        )
+        if rank % 10 == 0:
+            hist = hist.localCheckpoint(eager=True)
+        else:
+            hist = hist.cache()
+            hist.count()
         old.unpersist()
         if iter_seconds is not None:
             iter_seconds.append(time.time() - it0)
@@ -195,7 +226,7 @@ def bpe_encode(
 
         def enc(text):
             out = []
-            for w in re.split(r"\s+", text.lower() if lowercase else text):
+            for w in re.split(WS, text.lower() if lowercase else text):
                 if not w:
                     continue
                 if w not in cache:

@@ -401,12 +401,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if d[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(d):
+            raise ValueError("truncated JPEG (dangling 0xFF at end of header)")
         marker = d[pos + 1]
+        if marker == 0xFF:          # spec-legal fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:
             break
+        if pos + 4 > len(d):
+            raise ValueError("truncated JPEG (marker without length field)")
         (ln,) = struct.unpack_from(">H", d, pos + 2)
         body = d[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:              # DQT (possibly several tables)

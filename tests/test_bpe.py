@@ -76,6 +76,17 @@ def test_bpe_encode_lossless_segmentation(corpus_df, spark):
     assert rebuilt == "widest newest lowlow unseen-word"
 
 
+def test_bpe_train_nul_and_odd_symbols(spark):
+    # symbols may contain ANY character (struct pair keys, no joined-
+    # string separator): a NUL-bearing corpus must train, not crash
+    df = spark.createDataFrame(
+        [(0, "a\x00b a\x00b a\x00b x\ty")], "doc_id long, text string"
+    )
+    rows = bpe_train(df, n_merges=3).collect()
+    assert rows, "NUL corpus learned no merges"
+    assert any("\x00" in r["left"] + r["right"] for r in rows)
+
+
 def test_bpe_empty_and_whitespace_only(spark):
     df = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
     assert bpe_train(df, n_merges=3).count() == 0

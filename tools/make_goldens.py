@@ -377,7 +377,10 @@ def make_bpe_train(n_merges: int = 40) -> pd.DataFrame:
         scale_key = int((docs["n_chars"] * (docs["doc_id"] % 97 + 1)).sum())
         hist: Counter = Counter()
         for text in docs["text"]:
-            for w in re.split(r"\s+", str(text).lower()):
+            # the engine's explicit ASCII-whitespace class (operators/
+            # bpe.py WS) — python \s+ additionally splits Unicode
+            # whitespace the JVM's \s does not
+            for w in re.split(r"[ \t\n\r\f\x0B]+", str(text).lower()):
                 if w:
                     hist[w] += 1
         syms = {w: list(w) + [END] for w in hist}
@@ -447,7 +450,7 @@ def make_bpe_tokens(n_merges: int = 40) -> pd.DataFrame:
 
         for _, row in docs.iterrows():
             n = 0
-            for w in re.split(r"\s+", str(row["text"]).lower()):
+            for w in re.split(r"[ \t\n\r\f\x0B]+", str(row["text"]).lower()):
                 if not w:
                     continue
                 if w not in cache:

@@ -52,6 +52,16 @@ def main() -> None:
     t0 = time.time()
     merges = bpe_train(docs, n_merges=N_MERGES, iter_seconds=iters).collect()
     wall = time.time() - t0
+    if len(iters) < 31:
+        # early min-freq stop on a sparse corpus: report, don't crash
+        print(json.dumps({
+            "probe": "bpe_train_iteration_flatness", "sf_dir": SF_DIR,
+            "n_merges_learned": len(merges), "wall_s": round(wall, 1),
+            "flat": None,
+            "note": "fewer than 31 iterations — flatness not measurable",
+        }))
+        spark.stop()
+        return
     early = statistics.mean(iters[10:30])
     late = statistics.mean(iters[-20:])
     out = {
