@@ -92,3 +92,65 @@ def test_bpe_empty_and_whitespace_only(spark):
     assert bpe_train(df, n_merges=3).count() == 0
     out = bpe_encode(df, []).select("bpe_tokens").first()[0]
     assert out == []
+
+
+def _python_bpe(texts, n_merges, min_freq=2):
+    """Independent in-test replication of the published algorithm
+    (distinct code from operators/bpe.py AND tools/make_goldens.py)."""
+    import re
+    from collections import Counter
+
+    hist = Counter(
+        w for t in texts for w in re.split(r"[ \t\n\r\f\x0B]+", t.lower()) if w
+    )
+    syms = {w: [*w, END] for w in hist}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in hist.items():
+            for pair in zip(syms[w], syms[w][1:]):
+                pc[pair] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        rules.append((rank, l, r, n))
+        for w in hist:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return rules
+
+
+def test_bpe_randomized_differential(spark):
+    """Random corpora through the Spark trainer must match the
+    independent python replication merge-for-merge — catches
+    tokenization, tie-break, and merge-application divergence the
+    fixed fixtures cannot."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcde"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 30))
+            )
+            for _ in range(rng.randint(2, 8))
+        ]
+        expected = _python_bpe(texts, n_merges=8)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in bpe_train(df, n_merges=8)
+               .orderBy("merge_rank").collect()]
+        assert got == expected, f"trial {trial}: {got} != {expected}"
