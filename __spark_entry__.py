@@ -1508,6 +1508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_dup_spans"] = d_dup_spans
 
+    def d_segment_dedup(spark, sf):
+        from napalm_logs_spark.operators.docdedup import segment_dedup
+
+        return segment_dedup(_t(spark, sf, "documents"), k=5, max_df=2)
+    q["d_segment_dedup"] = d_segment_dedup  # oracled: duckdb segment DF join
+
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
 
@@ -3065,6 +3071,31 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_grams,
                CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
         FROM grp GROUP BY doc_id, g
+    """
+
+    # corpus-level repeated-segment ("line") removal: non-overlapping
+    # 5-token chunks, drop any chunk seen in > 2 distinct docs
+    o["d_segment_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord
+          FROM (SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+                FROM documents)
+        ), segs AS (
+          SELECT doc_id, (ord - 1) // 5 AS pos,
+                 string_agg(tok, ' ' ORDER BY ord) AS seg
+          FROM toks GROUP BY doc_id, (ord - 1) // 5
+        ), freq AS (
+          SELECT seg FROM segs GROUP BY seg
+          HAVING count(DISTINCT doc_id) > 2
+        )
+        SELECT s.doc_id,
+               COALESCE(string_agg(s.seg, ' ' ORDER BY s.pos)
+                          FILTER (WHERE f.seg IS NULL), '') AS clean_text,
+               count(*) AS n_segments,
+               count(f.seg) AS n_removed
+        FROM segs s LEFT JOIN freq f USING (seg)
+        GROUP BY s.doc_id
     """
 
     # CCNet-style corpus-unigram surprisal + exact-tertile bucket

@@ -744,3 +744,70 @@ def duplicate_spans(
         )
         .drop("g")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    k: int = 5,
+    max_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level repeated-segment removal — the "duplicated line
+    filter" of CCNet / RefinedWeb (drop any line that recurs across the
+    corpus, the classic boilerplate killer), adapted to a newline-free
+    corpus by segmenting each document into non-overlapping ``k``-token
+    chunks.  A segment whose exact content appears in more than
+    ``max_df`` distinct documents is removed from EVERY document; the
+    survivors are reassembled in original order.
+
+    Scale shape (target: 100 TB, billions of documents):
+
+    * tokenise + segment is one narrow pass (``transform`` over the
+      token array — no shuffle, no Python);
+    * the document-frequency pass is a single groupBy on the 128-bit
+      segment digest with map-side partial aggregation — keys are
+      uniform by construction, and grouping on the digest (not the
+      segment text) keeps shuffle rows narrow no matter how long the
+      boilerplate is;
+    * the mark join is digest-keyed many-to-one (the frequent side has
+      exactly one row per digest), so hot boilerplate never fans out;
+    * reassembly is one groupBy per ``doc_id`` — state bounded by
+      tokens-per-document, not corpus size.
+
+    Output: ``(doc_id, clean_text, n_segments, n_removed)`` with
+    ``clean_text = ''`` when every segment was boilerplate.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = widen_if_narrow_scan(df).select("doc_id", toks.alias("_t"))
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_t") > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size("_t") / F.lit(k)).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(F.col("_t"), i * k + 1, k), " "),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "seg"),
+    ).withColumn("dg", F.md5("seg"))
+    frequent = (
+        segs.select("dg", "doc_id")
+        .distinct()
+        .groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("dg", F.lit(1).alias("_hot"))
+    )
+    marked = segs.join(frequent, "dg", "left")
+    kept = F.expr(
+        "transform(array_sort(collect_list(CASE WHEN _hot IS NULL "
+        "THEN struct(pos, seg) END)), s -> s.seg)"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(kept, " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count("_hot").alias("n_removed"),
+    )

@@ -365,3 +365,44 @@ def test_duplicate_clusters_long_chain_converges(spark):
     got = duplicate_clusters(pairs)
     assert got.filter("cluster_id != 0").count() == 0
     assert got.count() == n + 1
+
+
+def test_segment_dedup_removes_corpus_boilerplate(spark):
+    from napalm_logs_spark.operators.docdedup import segment_dedup
+
+    boiler = "all rights reserved copyright two"       # one 5-token segment
+    rows = [
+        (0, boiler + " unique alpha beta gamma delta"),
+        (1, boiler + " other words here now then"),
+        (2, boiler + " third body text goes here"),
+        (3, "entirely original document with no shared chunk"),
+        (4, boiler),                                   # becomes empty
+    ]
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5, max_df=2
+        ).collect()
+    }
+    assert len(got) == 5
+    # the boilerplate segment appears in 4 > max_df docs -> removed everywhere
+    assert got[0].clean_text == "unique alpha beta gamma delta"
+    assert got[0].n_segments == 2 and got[0].n_removed == 1
+    assert got[3].clean_text.startswith("entirely original")
+    assert got[3].n_removed == 0
+    assert got[4].clean_text == "" and got[4].n_removed == 1
+
+
+def test_segment_dedup_preserves_order_and_tail_segment(spark):
+    from napalm_logs_spark.operators.docdedup import segment_dedup
+
+    # 7 tokens -> segments of 5 + 2 (ragged tail kept as its own segment)
+    rows = [(0, "a b c d e f g"), (1, "h i j k l m n")]
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5, max_df=2
+        ).collect()
+    }
+    assert got[0].clean_text == "a b c d e f g"
+    assert got[0].n_segments == 2 and got[0].n_removed == 0
