@@ -1564,6 +1564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_ivf"] = s_ann_ivf  # oracled: stored numpy golden (seeded IVF)
 
+    def s_ann_pq(spark, sf):
+        from napalm_logs_spark.operators.similarity import pq_topk, pq_train
+
+        emb = _t(spark, sf, "embeddings")
+        books = pq_train(emb, m=8, k_sub=16)
+        return pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), books, k=5
+        ).withColumn("rank", F.col("rank").cast("long"))
+    q["s_ann_pq"] = s_ann_pq  # oracled: stored numpy golden (PQ/ADC spec)
+
     def s_embedding_near_dup(spark, sf):
         from napalm_logs_spark.operators.similarity import embedding_near_dup
 
@@ -3445,6 +3455,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_ann_ivf"] = f"""
         SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         FROM read_parquet('{gd}/ann_ivf_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_ann_pq"] = f"""
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+        FROM read_parquet('{gd}/ann_pq_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

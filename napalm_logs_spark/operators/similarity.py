@@ -655,3 +655,194 @@ def ivf_join_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the 100 TB embedding-search memory story:
+# a dim-d float32 vector (4·d bytes) compresses to m uint8 codes, and
+# the ADC scan reads ONLY the narrow code column (m bytes/vector, e.g.
+# 256 B → 8 B at dim=64, m=8).  The corpus never shuffles; queries ride
+# as a broadcast distance look-up table.
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Spark ROUND(x, 6) (HALF_UP) for non-negative doubles — np.round
+    is banker's rounding and would disagree with any F.round-computed
+    oracle on exact .5 boundaries."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_cap: int = 1024,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Train an ``(m, k_sub, dim/m)`` product-quantization codebook on a
+    bounded driver-side sample (the standard PQ recipe — training data
+    never exceeds ``sample_cap`` regardless of corpus size, exactly the
+    IVF ``_train_centroids`` justification).
+
+    Deterministic spec (replicated by the stored-golden oracle):
+    sample = the ``sample_cap`` smallest ids in id order, float64;
+    per subspace ``j``: seeded init ``RandomState(seed + j)`` choice of
+    ``k_sub`` distinct sample rows in sorted index order, then plain-L2
+    Lloyd with squared distances computed as ``x²+c²−2x·c`` (the exact
+    formula matters: argmin near-ties must break identically in any
+    replication), argmin ties to the lowest centroid id, empty clusters
+    re-seeded from ``rng.randint``.
+    """
+    sample_rows = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(sample_cap).collect()
+    )
+    sample = np.array([r[1] for r in sample_rows], dtype="float64")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k_sub, dsub), dtype="float64")
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        idx = rng.choice(len(sub), size=min(k_sub, len(sub)), replace=False)
+        cent = sub[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                + (cent * cent).sum(axis=1)
+                - 2.0 * (sub @ cent.T)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+                else:
+                    cent[c] = sub[rng.randint(len(sub))]
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Attach the ``m`` nearest-sub-centroid codes per row.
+
+    The codebook rides as a Spark broadcast variable into an
+    Arrow-batched pandas UDF (one ``x²+c²−2x·c`` matmul per subspace
+    per batch) — narrow, no shuffle, plan size O(1) in m·k_sub.
+    """
+    books = np.asarray(codebooks, dtype="float64")
+    m, _, dsub = books.shape
+    bbooks = df.sparkSession.sparkContext.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def _enc(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        X = _embs_matrix(embs.to_numpy())
+        cb = bbooks.value
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            cent = cb[j]
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                + (cent * cent).sum(axis=1)
+                - 2.0 * (sub @ cent.T)
+            )
+            codes[:, j] = d2.argmin(axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(emb_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    corpus rows are scanned as PQ codes only; per query a distance
+    look-up table ``LUT[j, c] = ||q_sub_j − codebook[j, c]||²`` is
+    broadcast, and each candidate's distance is ``Σ_j LUT[j, code_j]``
+    — one table take per subspace, no float recomputation per pair.
+
+    Queries are the bounded side by contract (same role as the
+    ``F.broadcast(q)`` side of :func:`cosine_topk`): collected once on
+    the driver to build the LUT tensor, Q·m·k_sub doubles.  The corpus
+    side is a narrow mapInPandas emitting at most Q·k rows per
+    partition — the per-partition top-k uses the SAME total order as
+    the final window (rounded distance, then neighbor id), so the merge
+    is exact under any partitioning.
+
+    Output: ``(query_id, neighbor_id, adc_dist, rank)``; self-matches
+    excluded; ``adc_dist`` rounded HALF_UP to 6 decimals.
+    """
+    books = np.asarray(codebooks, dtype="float64")
+    m, k_sub, dsub = books.shape
+    qrows = queries.select(id_col, emb_col).orderBy(id_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([np.asarray(r[1], dtype="float64") for r in qrows])
+    lut = np.empty((len(q_ids), m, k_sub), dtype="float64")
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        cent = books[j]
+        lut[:, j, :] = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            + (cent * cent).sum(axis=1)
+            - 2.0 * (qs @ cent.T)
+        )
+    sess = corpus.sparkSession
+    blut = sess.sparkContext.broadcast((q_ids, lut))
+
+    encoded = pq_encode(
+        widen_if_narrow_scan(corpus), books, emb_col=emb_col, out_col="codes"
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+
+    def _scan(batches):
+        ids_b, lut_b = blut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            # (Q, n): accumulate subspace look-ups in fixed j order
+            d = np.zeros((len(ids_b), len(nid)), dtype="float64")
+            for j in range(lut_b.shape[1]):
+                d += lut_b[:, j, :][:, codes[:, j]]
+            d = _round6_half_up(np.maximum(d, 0.0))
+            out = []
+            for qi, qid in enumerate(ids_b):
+                keep = nid != qid
+                cand_n, cand_d = nid[keep], d[qi][keep]
+                order = np.lexsort((cand_n, cand_d))[:k]
+                for o in order:
+                    out.append((int(qid), int(cand_n[o]), float(cand_d[o])))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["query_id", "neighbor_id", "adc_dist"]
+                )
+
+    part = encoded.mapInPandas(
+        _scan, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

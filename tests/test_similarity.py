@@ -317,3 +317,49 @@ def test_semdedup_pair_join_shuffles_on_cluster_not_cartesian(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     plan = semdedup(df, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_against_bruteforce_l2(emb, queries):
+    from napalm_logs_spark.operators.similarity import pq_topk, pq_train
+
+    books = pq_train(emb, m=8, k_sub=16)
+    got = pq_topk(emb, queries, books, k=10).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    hits = total = 0
+    for qid in range(5):
+        q = vecs[qid]
+        d2 = {vid: float(((q - v) ** 2).sum()) for vid, v in vecs.items() if vid != qid}
+        exact = set(sorted(d2, key=lambda v: (d2[v], v))[:10])
+        mine = {r.neighbor_id for r in got if r.query_id == qid}
+        assert len(mine) == 10
+        hits += len(mine & exact)
+        total += 10
+    # i.i.d. Gaussian embeddings are PQ's worst case (no subspace
+    # structure, concentrated distances): measured recall@10 is 0.24
+    # here vs 0.02 for a random ranking — assert the order-of-magnitude
+    # win, not a real-corpus recall
+    assert hits / total >= 0.15, hits / total
+
+
+def test_pq_topk_invariant_under_repartition(emb, queries):
+    from napalm_logs_spark.operators.similarity import pq_topk, pq_train
+
+    books = pq_train(emb, m=8, k_sub=16)
+    a = sorted(map(tuple, pq_topk(emb, queries, books, k=5).collect()))
+    b = sorted(map(tuple, pq_topk(emb.repartition(7), queries, books, k=5).collect()))
+    assert a == b
+    assert all(r[1] != r[0] for r in a)  # self-matches excluded
+
+
+def test_pq_encode_shape_and_determinism(emb):
+    from napalm_logs_spark.operators.similarity import pq_encode, pq_train
+
+    books = pq_train(emb, m=8, k_sub=16)
+    assert books.shape == (8, 16, 8)
+    rows = pq_encode(emb, books).select("vec_id", "codes").collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    again = pq_encode(emb.repartition(5), books).select("vec_id", "codes").collect()
+    assert {r.vec_id: list(r.codes) for r in rows} == {
+        r.vec_id: list(r.codes) for r in again
+    }

@@ -717,6 +717,77 @@ def make_ann_ivf(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_ann_pq(
+    m: int = 8, k_sub: int = 16, iters: int = 10, seed: int = 42,
+    sample_cap: int = 1024, k: int = 5, n_queries: int = 5,
+) -> pd.DataFrame:
+    """Expected ``pq_topk`` output (queries = vec_id < 5): an
+    independent replication of the published PQ spec — per-subspace
+    L2 Lloyd on the sample_cap smallest ids (seeded init, x²+c²−2x·c
+    distances, argmin ties low, dead centroids re-seeded), encode the
+    whole corpus, then ADC with HALF_UP 6-decimal rounding and
+    (distance, neighbor_id) ordering, self-matches excluded."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        dim = M.shape[1]
+        dsub = dim // m
+        sample = M[np.argsort(ids, kind="stable")][: min(sample_cap, len(M))]
+
+        def _d2(x, c):
+            return (
+                (x * x).sum(axis=1, keepdims=True)
+                + (c * c).sum(axis=1)
+                - 2.0 * (x @ c.T)
+            )
+
+        books = []
+        for j in range(m):
+            sub = sample[:, j * dsub : (j + 1) * dsub]
+            rng = np.random.RandomState(seed + j)
+            pick = rng.choice(len(sub), size=min(k_sub, len(sub)), replace=False)
+            cent = sub[np.sort(pick)].copy()
+            for _ in range(iters):
+                assign = _d2(sub, cent).argmin(axis=1)
+                for c in range(len(cent)):
+                    members = sub[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+                    else:
+                        cent[c] = sub[rng.randint(len(sub))]
+            books.append(cent)
+
+        codes = np.empty((len(M), m), dtype="int64")
+        for j in range(m):
+            codes[:, j] = _d2(M[:, j * dsub : (j + 1) * dsub], books[j]).argmin(axis=1)
+
+        rows = []
+        for i in np.where(ids < n_queries)[0]:
+            lut = [_d2(M[i : i + 1, j * dsub : (j + 1) * dsub], books[j])[0] for j in range(m)]
+            d = np.zeros(len(M), dtype="float64")
+            for j in range(m):
+                d += lut[j][codes[:, j]]
+            d = _round_half_up(np.maximum(d, 0.0))
+            keep = ids != ids[i]
+            cand_n, cand_d = ids[keep], d[keep]
+            order = np.lexsort((cand_n, cand_d))[:k]
+            for r, o in enumerate(order, start=1):
+                rows.append((int(ids[i]), int(cand_n[o]), float(cand_d[o]), r))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc_dist", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64", "scale_key": "int64"})
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -749,6 +820,9 @@ def main() -> None:
     ai = make_ann_ivf()
     ai.to_parquet(os.path.join(OUT, "ann_ivf_golden.parquet"), index=False)
     print(f"ann_ivf: {len(ai)} rows across {ai['scale_key'].nunique()} sfs")
+    ap = make_ann_pq()
+    ap.to_parquet(os.path.join(OUT, "ann_pq_golden.parquet"), index=False)
+    print(f"ann_pq: {len(ap)} rows across {ap['scale_key'].nunique()} sfs")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
