@@ -1697,6 +1697,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_jpeg_fidelity"] = mm_jpeg_fidelity  # oracled: tolerance golden
 
+    def mm_mp4_demux(spark, sf):
+        # REAL container demux: every second video row is a
+        # spec-conformant ISO-BMFF file (mp4codec.py); the operator
+        # walks the box tree and slices sample bytes via the
+        # stsc/stco/stsz chunk walk — no pixel decode.  The golden is
+        # computed from the PRE-encoding frame arrays (no parser
+        # involved), so the oracle gates encode→box-walk→slice
+        # end-to-end.
+        from napalm_logs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            demux_mp4_samples,
+            synth_real_media_pandas,
+        )
+
+        media = spark.createDataFrame(
+            synth_real_media_pandas(n=24, mp4_videos=True), schema=MEDIA_SCHEMA
+        )
+        return demux_mp4_samples(media, every_ms=30)
+    q["mm_mp4_demux"] = mm_mp4_demux  # oracled: pre-encoding-array golden
+
     def mm_frame_plan(spark, sf):
         # video frame-sampling explode (the JVM-side half of the decode
         # pipeline): one row per sampled frame offset
@@ -3371,6 +3391,11 @@ def oracle_sql() -> dict[str, str]:
     o["mm_jpeg_fidelity"] = f"""
         SELECT media_id, kind, mime, TRUE AS ok
         FROM read_parquet('{gd}/mm_jpeg_fidelity_golden.parquet')
+    """
+
+    o["mm_mp4_demux"] = f"""
+        SELECT media_id, frame_off_ms, frame_idx, n_bytes, digest
+        FROM read_parquet('{gd}/mm_mp4_demux_golden.parquet')
     """
 
     # independent pure-python BPE replication; keyed by the corpus

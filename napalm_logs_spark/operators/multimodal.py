@@ -450,7 +450,10 @@ def real_media_decoder(kind: str, payload: bytes, n_features: int = 8):
         v[2] = len(x) / rate
         v[3] = rate / 1e3
     elif kind == "video":
-        fr = decode_nlv(payload).astype("float64")
+        from .mp4codec import decode_mp4, is_mp4
+
+        raw = bytes(payload)
+        fr = (decode_mp4(raw) if is_mp4(raw) else decode_nlv(raw)).astype("float64")
         v[0] = fr.shape[0]
         v[1], v[2] = fr.shape[1], fr.shape[2]
         v[3] = fr.mean()
@@ -476,7 +479,7 @@ def real_resizer(payload: bytes, w: int, h: int, out_w: int, out_h: int) -> byte
 
 def synth_real_media_pandas(
     n: int = 24, seed: int = 42, png_images: bool = False,
-    jpeg_images: bool = False,
+    jpeg_images: bool = False, mp4_videos: bool = False,
 ) -> pd.DataFrame:
     """Deterministic REAL media table: decodable BMP / WAV / NLV
     payloads (same schema as :func:`synth_media_pandas`).
@@ -488,7 +491,12 @@ def synth_real_media_pandas(
     ``jpeg_images=True`` instead cycles image containers
     BMP → PNG → baseline-JPEG(q=95); JPEG is lossy, so goldens for
     that mode come from the decoded arrays (fidelity vs pre-encoding
-    is tolerance-gated separately in tests)."""
+    is tolerance-gated separately in tests).
+    ``mp4_videos=True`` encodes every second video row as a real
+    ISO-BMFF file (``mp4codec.encode_mp4``, uncompressed ``raw ``
+    samples) instead of NLV — same frames, same RNG stream, so
+    pre-encoding goldens stay valid while the box-tree demux is
+    exercised."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
@@ -516,8 +524,15 @@ def synth_real_media_pandas(
                         duration_ms=int(secs * 1000), mime="audio/wav")
         else:
             nf, h, w = 2 + i % 3, 6, 8
-            payload = encode_nlv(rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8))
-            meta = dict(width=w, height=h, duration_ms=nf * 40, mime="video/x-nlv")
+            frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            if mp4_videos and (i // 3) % 2 == 1:
+                from .mp4codec import encode_mp4
+
+                payload = encode_mp4(frames, fps=25.0)
+                meta = dict(width=w, height=h, duration_ms=nf * 40, mime="video/mp4")
+            else:
+                payload = encode_nlv(frames)
+                meta = dict(width=w, height=h, duration_ms=nf * 40, mime="video/x-nlv")
         rows.append({"media_id": i, "kind": kind, "payload": bytearray(payload), **meta})
     pdf = pd.DataFrame(rows)
     for col in ("width", "height", "duration_ms"):
@@ -564,3 +579,66 @@ def sample_frames(df: DataFrame, every_ms: int = 200, fps: float = 25.0) -> Data
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(_batch, schema=FRAME_SCHEMA)
+
+
+DEMUX_SCHEMA = (
+    "media_id long, frame_off_ms int, frame_idx int, n_bytes long, digest string"
+)
+
+
+def demux_mp4_samples(df: DataFrame, every_ms: int = 200) -> DataFrame:
+    """Container-level frame sampling for ISO-BMFF video payloads: walk
+    the box tree, pick the sample at each ``every_ms`` offset
+    (nearest-earlier by the stts decode timeline), and SLICE its bytes
+    straight out of ``mdat`` via the stsc/stco/stsz table — no pixel
+    decode anywhere.  This is the shape a 100 TB video pipeline needs:
+    per-frame byte ranges are a pure function of the (tiny) moov box,
+    so sampling cost is proportional to frames KEPT, not frames stored.
+
+    Narrow mapInPandas over the binary column; payloads never shuffle.
+    Non-BMFF rows are ignored (the NLV toy container has its own
+    :func:`sample_frames` path).
+    Output: ``(media_id, frame_off_ms, frame_idx, n_bytes, digest)``
+    with ``digest`` = sha256 of the raw sample bytes — verifiable from
+    the pre-encoding frames, so a stored golden gates the whole
+    box-walk + slice path end-to-end.
+    """
+    from .mp4codec import is_mp4, parse_mp4
+
+    def _batch(it):
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "frame_off_ms", "frame_idx", "n_bytes", "digest")}
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if r.kind != "video" or not is_mp4(payload):
+                    continue
+                info = parse_mp4(payload)
+                scale = info["timescale"] / 1000.0  # units per ms
+                frames = info["frames"]
+                if r.duration_ms:
+                    dur_ms = int(r.duration_ms)
+                elif len(frames) > 1:
+                    per = frames[1][1] - frames[0][1]
+                    dur_ms = int((frames[-1][1] + per) / scale)
+                else:
+                    dur_ms = 1
+                for off in range(0, max(dur_ms, 1), every_ms):
+                    units = off * scale
+                    idx = 0
+                    for fi, (i2, t, _o, _s) in enumerate(frames):
+                        if t <= units:
+                            idx = fi
+                        else:
+                            break
+                    i2, _t, foff, fsize = frames[idx]
+                    blob = payload[foff : foff + fsize]
+                    out["media_id"].append(r.media_id)
+                    out["frame_off_ms"].append(off)
+                    out["frame_idx"].append(i2)
+                    out["n_bytes"].append(fsize)
+                    out["digest"].append(hashlib.sha256(blob).hexdigest())
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batch, schema=DEMUX_SCHEMA)

@@ -717,6 +717,41 @@ def make_ann_ivf(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_mm_mp4_demux(every_ms: int = 30) -> pd.DataFrame:
+    """Golden for the ISO-BMFF demux path, computed from the
+    PRE-encoding frame arrays (no container parsing involved) — replays
+    synth_real_media_pandas(n=24, mp4_videos=True)'s RNG stream; for
+    each MP4 video row the expected sample at offset ``off`` is frame
+    ``min(off // 40, n_frames - 1)`` (25 fps decode timeline), its byte
+    count h·w·3 and the sha256 of its raw RGB bytes."""
+    rng = np.random.RandomState(42)
+    out = []
+    for i in range(24):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        elif kind == "audio":
+            pass  # audio synth draws nothing from the RNG
+        else:
+            nf, h, w = 2 + i % 3, 6, 8
+            frames = rng.randint(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2 != 1:
+                continue  # NLV row — the demux operator skips it
+            dur_ms = nf * 40
+            for off in range(0, max(dur_ms, 1), every_ms):
+                idx = min(off // 40, nf - 1)
+                blob = frames[idx].tobytes()
+                out.append((
+                    i, off, idx, len(blob),
+                    hashlib.sha256(blob).hexdigest(),
+                ))
+    return pd.DataFrame(
+        out, columns=["media_id", "frame_off_ms", "frame_idx", "n_bytes", "digest"]
+    ).astype({"media_id": "int64", "frame_off_ms": "int32",
+              "frame_idx": "int32", "n_bytes": "int64"})
+
+
 def make_ann_pq(
     m: int = 8, k_sub: int = 16, iters: int = 10, seed: int = 42,
     sample_cap: int = 1024, k: int = 5, n_queries: int = 5,
@@ -823,6 +858,9 @@ def main() -> None:
     ap = make_ann_pq()
     ap.to_parquet(os.path.join(OUT, "ann_pq_golden.parquet"), index=False)
     print(f"ann_pq: {len(ap)} rows across {ap['scale_key'].nunique()} sfs")
+    md = make_mm_mp4_demux()
+    md.to_parquet(os.path.join(OUT, "mm_mp4_demux_golden.parquet"), index=False)
+    print(f"mm_mp4_demux: {len(md)} rows")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
