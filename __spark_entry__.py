@@ -1930,24 +1930,30 @@ _PRIORITY_50 = [
     # one-per-family + everything driver-unchecked in r02
     "d_exact_dup_groups", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash",
     "d_dup_clusters", "d_dedup_keep", "d_decontaminate", "d_leakage_splits",
-    "d_dup_spans",
+    "d_dup_spans", "d_segment_dedup",  # new session 3: corpus line dedup
     "t_tokens", "t_quality", "t_langid", "t_fingerprint", "t_winnow",
     "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
     "t_mix_temperature", "t_repetition", "t_sample_mix",
     "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
+    "s_ann_pq",                 # new session 3: product-quantization ADC
     # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
     # mm_frame_plan's slot — the frame-plan explode stays mirror-gated
     "mm_features", "mm_real_features", "mm_jpeg_fidelity",
+    "mm_mp4_demux",             # new session 3: ISO-BMFF box-walk demux
     "c2_alarm_gauge",           # VERDICT r2 item 8
     "e_props_json",             # r02's one red row — oracle cast fixed
     "k6_msgpack",               # new this round (K6 serializer matrix)
     "m4_timestamps",            # new this round (M4 locale/tz breadth)
     "k5_prom_expo",             # new this round (K5 exposition render)
-    # representative core rows kept green (rest rotate; all r02-green already)
-    "p1_nonempty_filter", "a1_dedup_gap", "a1_dedup_ttl_exact",
-    "c1_transitions", "c14_session_window", "c6_interval_join",
+    # representative core rows kept green (rest rotate; all r02-green
+    # already — p1_nonempty_filter / a1_dedup_ttl_exact / c6_interval_join
+    # rotated out this session to make room for the three new-operator
+    # rows above; their families stay represented by a1_dedup_gap and
+    # c1/c14/c12)
+    "a1_dedup_gap",
+    "c1_transitions", "c14_session_window",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
     "q1_pricing_summary",
 ]
