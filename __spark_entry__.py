@@ -1427,6 +1427,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_scores(_t(spark, sf, "documents"))
     q["t_repetition"] = t_repetition
 
+    def t_fix_text(spark, sf):
+        # encoding repair ("ftfy pass"): the documents tables are pure
+        # ASCII where the chain is a no-op, so the gate runs on the
+        # deterministic planted-dirty corpus (mojibake / NFD / controls
+        # / NBSP), mirroring the mm_* in-memory-input pattern.  Golden
+        # is an independent python replication of the published spec.
+        from napalm_logs_spark.operators.text import (
+            fix_text,
+            synth_dirty_text_pandas,
+        )
+
+        dirty = spark.createDataFrame(
+            synth_dirty_text_pandas(64), "doc_id long, text string"
+        )
+        return fix_text(dirty).select(
+            "doc_id", "fixed_text", "n_controls_removed", "was_mojibake", "changed"
+        )
+    q["t_fix_text"] = t_fix_text  # oracled: stored spec-replication golden
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -1573,6 +1592,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 5), books, k=5
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_pq"] = s_ann_pq  # oracled: stored numpy golden (PQ/ADC spec)
+
+    def s_ann_ivfpq(spark, sf):
+        from napalm_logs_spark.operators.similarity import ivfpq_topk
+
+        emb = _t(spark, sf, "embeddings")
+        return ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=5,
+            n_clusters=8, nprobe=4, m=8, k_sub=16,
+        ).withColumn("rank", F.col("rank").cast("long"))
+    q["s_ann_ivfpq"] = s_ann_ivfpq  # oracled: stored numpy golden (IVFADC spec)
 
     def s_embedding_near_dup(spark, sf):
         from napalm_logs_spark.operators.similarity import embedding_near_dup
@@ -1935,6 +1964,7 @@ _PRIORITY_50 = [
     "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
     "t_mix_temperature", "t_repetition", "t_sample_mix",
+    "t_fix_text",               # new session 3: encoding repair chain
     "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
     "s_ann_pq",                 # new session 3: product-quantization ADC
@@ -1953,7 +1983,7 @@ _PRIORITY_50 = [
     # rows above; their families stay represented by a1_dedup_gap and
     # c1/c14/c12)
     "a1_dedup_gap",
-    "c1_transitions", "c14_session_window",
+    "c14_session_window",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
     "q1_pricing_summary",
 ]
@@ -3397,6 +3427,20 @@ def oracle_sql() -> dict[str, str]:
     o["mm_jpeg_fidelity"] = f"""
         SELECT media_id, kind, mime, TRUE AS ok
         FROM read_parquet('{gd}/mm_jpeg_fidelity_golden.parquet')
+    """
+
+    o["s_ann_ivfpq"] = f"""
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+        FROM read_parquet('{gd}/ann_ivfpq_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["t_fix_text"] = f"""
+        SELECT doc_id, fixed_text, n_controls_removed, was_mojibake, changed
+        FROM read_parquet('{gd}/fix_text_golden.parquet')
     """
 
     o["mm_mp4_demux"] = f"""

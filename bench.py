@@ -51,9 +51,11 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "d_dup_spans",
+    "d_segment_dedup",
     "s_knn_cosine",
     "s_ann_ivf",
     "s_ann_join",
+    "s_ann_pq",
     # s_semdedup / s_kmeans are deliberately NOT here: iterative
     # trainers (4 driver-synchronized Lloyd rounds) are fixed-cost
     # multi-job ops that would swamp the wall-clock suite; they are

@@ -846,3 +846,215 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def _lloyd_l2(X: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd on driver-side float64 rows — the
+    shared trainer for PQ sub-codebooks and the IVFADC coarse
+    quantizer.  Spec (replicated by the stored-golden oracles): seeded
+    init = ``RandomState(seed)`` choice of ``k`` distinct rows taken in
+    sorted index order; squared distances as ``x²+c²−2x·c`` (the exact
+    formula matters: near-tie argmins must break identically in any
+    replication); argmin ties to the lowest centroid id; empty clusters
+    re-seeded from ``rng.randint``."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    cent = X[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True)
+            + (cent * cent).sum(axis=1)
+            - 2.0 * (X @ cent.T)
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = X[rng.randint(len(X))]
+    return cent
+
+
+def _l2_argmin(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True)
+        + (cent * cent).sum(axis=1)
+        - 2.0 * (X @ cent.T)
+    )
+    return d2.argmin(axis=1)
+
+
+def ivfpq_train(
+    df: DataFrame,
+    n_clusters: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_cap: int = 1024,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple:
+    """IVFADC training (Jégou et al. 2011 §IV): a coarse L2 quantizer
+    over full vectors plus product-quantization codebooks over the
+    RESIDUALS ``x − c(x)`` — residual energy is much smaller than
+    vector energy, so the same code budget quantizes far finer than
+    raw-vector PQ.  Bounded driver-side sample, like every trainer
+    here.  Returns ``(coarse (C, dim), books (m, k_sub, dim/m))``."""
+    sample_rows = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(sample_cap).collect()
+    )
+    sample = np.array([r[1] for r in sample_rows], dtype="float64")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    coarse = _lloyd_l2(sample, n_clusters, seed, iters)
+    resid = sample - coarse[_l2_argmin(sample, coarse)]
+    books = np.empty((m, k_sub, dsub), dtype="float64")
+    for j in range(m):
+        books[j] = _lloyd_l2(resid[:, j * dsub : (j + 1) * dsub], k_sub, seed + 1 + j, iters)
+    return coarse, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One narrow Arrow pass: coarse-assign each row (L2, ties low),
+    PQ-encode its residual.  Output ``(<id>, cluster, codes)`` — the
+    inverted-file-with-codes table a 100 TB deployment persists: m
+    bytes of code + 4 of cluster per vector, partitionable BY cluster
+    so a probe reads only its lists."""
+    books = np.asarray(books, dtype="float64")
+    coarse = np.asarray(coarse, dtype="float64")
+    m, _, dsub = books.shape
+    b = df.sparkSession.sparkContext.broadcast((coarse, books))
+
+    def _scan(batches):
+        co, cb = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _embs_matrix(pdf[emb_col].to_numpy())
+            cl = _l2_argmin(X, co)
+            R = X - co[cl]
+            codes = np.empty((len(X), m), dtype="int32")
+            for j in range(m):
+                codes[:, j] = _l2_argmin(R[:, j * dsub : (j + 1) * dsub], cb[j]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.mapInPandas(_scan, f"{id_col} long, cluster int, codes array<int>")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` nearest coarse cells per
+    query, ADC-scan ONLY rows in probed cells with a per-(query, cell)
+    residual look-up table.  The full production ANN shape — coarse
+    pruning cuts the scan to ``nprobe/C`` of the corpus, PQ codes cut
+    bytes-per-row by ~4·dim/m — composed from the same broadcast-LUT /
+    merge-exact-partial-top-k machinery as :func:`pq_topk`.
+
+    Queries are the bounded side by contract (collected to build the
+    Q·nprobe LUTs).  Output ``(query_id, neighbor_id, adc_dist, rank)``
+    with HALF_UP 6-decimal rounding; self-matches excluded.
+    """
+    coarse, books = ivfpq_train(
+        corpus, n_clusters=n_clusters, m=m, k_sub=k_sub, seed=seed,
+        id_col=id_col, emb_col=emb_col,
+    )
+    mm, ksub, dsub = books.shape
+    qrows = queries.select(id_col, emb_col).orderBy(id_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([np.asarray(r[1], dtype="float64") for r in qrows])
+    # deterministic probe order: stable argsort on (d2, cluster id)
+    qd2 = (
+        (Q * Q).sum(axis=1, keepdims=True)
+        + (coarse * coarse).sum(axis=1)
+        - 2.0 * (Q @ coarse.T)
+    )
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    # LUT[qi][ci] = (m, k_sub) residual table for probed cell ci
+    luts = {}
+    for qi in range(len(q_ids)):
+        for c in probes[qi]:
+            r = Q[qi] - coarse[c]
+            t = np.empty((mm, ksub), dtype="float64")
+            for j in range(mm):
+                rs = r[j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                t[j] = (rs * rs).sum() + (cent * cent).sum(axis=1) - 2.0 * (cent @ rs)
+            luts[(qi, int(c))] = t
+    sess = corpus.sparkSession
+    bl = sess.sparkContext.broadcast((q_ids, probes, luts))
+
+    encoded = ivfpq_encode(
+        widen_if_narrow_scan(corpus), coarse, books, id_col=id_col, emb_col=emb_col
+    ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+
+    def _scan(batches):
+        ids_b, probes_b, luts_b = bl.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            cl = pdf["cluster"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            out = []
+            for qi, qid in enumerate(ids_b):
+                cand_n, cand_d = [], []
+                for c in probes_b[qi]:
+                    sel = np.where((cl == c) & (nid != qid))[0]
+                    if not len(sel):
+                        continue
+                    lut = luts_b[(qi, int(c))]
+                    d = np.zeros(len(sel), dtype="float64")
+                    sub = codes[sel]
+                    for j in range(lut.shape[0]):
+                        d += lut[j][sub[:, j]]
+                    cand_n.append(nid[sel])
+                    cand_d.append(d)
+                if not cand_n:
+                    continue
+                cand_n = np.concatenate(cand_n)
+                cand_d = _round6_half_up(np.maximum(np.concatenate(cand_d), 0.0))
+                order = np.lexsort((cand_n, cand_d))[:k]
+                for o in order:
+                    out.append((int(qid), int(cand_n[o]), float(cand_d[o])))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["query_id", "neighbor_id", "adc_dist"]
+                )
+
+    part = encoded.mapInPandas(
+        _scan, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -7,6 +7,7 @@ whole-stage codegen) — no Python in the per-row path.  Operates on the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -838,3 +839,116 @@ def gopher_rules(
         r_stop.alias("r_stopwords"),
         (r_words & r_len & r_alpha & r_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding repair / unicode hygiene (the "ftfy pass" of a web-scale
+# pipeline: crawled text arrives double-encoded, denormalized, and
+# salted with control characters — fix it BEFORE dedup/quality, or
+# byte-identical documents hash apart)
+
+#: zero-width + BOM codepoints stripped outright
+_ZERO_WIDTH = "\u200b\u200c\u200d\ufeff"
+
+
+def _fix_one_text(t: str) -> tuple:
+    """Deterministic repair chain for one document (the published spec
+    the stored-golden oracle replicates independently):
+
+    1. mojibake: if the text survives a latin-1 encode → UTF-8 decode
+       round-trip, differs from the original, and the result has
+       strictly fewer codepoints ≥ U+0080, it was UTF-8 bytes
+       mis-decoded as latin-1 — take the re-decode (the ftfy core
+       heuristic, applied once: a single generation of mojibake).
+    2. NFC normalization (combining sequences → precomposed forms).
+    3. hygiene: NBSP → space; zero-width/BOM and C0/C1 controls
+       (except ``\\n``/``\\t``) removed and counted.
+
+    Returns ``(fixed, n_controls_removed, was_mojibake)``.
+    """
+    import unicodedata
+
+    was_mojibake = False
+    try:
+        redecoded = t.encode("latin-1").decode("utf-8")
+        if redecoded != t and sum(ord(c) >= 0x80 for c in redecoded) < sum(
+            ord(c) >= 0x80 for c in t
+        ):
+            t = redecoded
+            was_mojibake = True
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        pass
+    t = unicodedata.normalize("NFC", t)
+    t = t.replace("\u00a0", " ")
+    kept, removed = [], 0
+    for c in t:
+        if c in ("\n", "\t"):
+            kept.append(c)
+        elif c in _ZERO_WIDTH or unicodedata.category(c) == "Cc":
+            removed += 1
+        else:
+            kept.append(c)
+    return "".join(kept), removed, was_mojibake
+
+
+def fix_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow-batched encoding repair over the corpus — a pure per-row
+    function (narrow, no shuffle, partition-order invariant); python
+    is unavoidable here (Spark has no NFC/encoding surface), so the
+    stage is a pandas UDF, not a row-at-a-time python UDF.
+
+    Output: input columns + ``fixed_text``, ``n_controls_removed``,
+    ``was_mojibake``, ``changed``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<fixed_text:string,n_controls_removed:int,was_mojibake:boolean>")
+    def _fix(texts: pd.Series) -> pd.DataFrame:
+        rows = [_fix_one_text(t if t is not None else "") for t in texts]
+        return pd.DataFrame(
+            {
+                "fixed_text": [r[0] for r in rows],
+                "n_controls_removed": pd.Series(
+                    [r[1] for r in rows], dtype="int32"
+                ),
+                "was_mojibake": [r[2] for r in rows],
+            }
+        )
+
+    out = widen_if_narrow_scan(df).withColumn("_fx", _fix(F.col(text_col)))
+    return (
+        out.withColumn("fixed_text", F.col("_fx.fixed_text"))
+        .withColumn("n_controls_removed", F.col("_fx.n_controls_removed"))
+        .withColumn("was_mojibake", F.col("_fx.was_mojibake"))
+        .withColumn("changed", F.col("fixed_text") != F.col(text_col))
+        .drop("_fx")
+    )
+
+
+#: deterministic planted corpus for the encoding-repair gate — the
+#: documents tables are pure ASCII (repair is a no-op there), so the
+#: driver query builds this table in-memory, mirroring the mm_* queries
+def synth_dirty_text_pandas(n: int = 64):
+    """Rows cycle five shapes: clean ASCII, UTF-8-as-latin-1 mojibake,
+    NFD combining sequences, control/zero-width salt, NBSP runs."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        shape = i % 5
+        if shape == 0:
+            t = f"plain ascii document number {i} with nothing to fix"
+        elif shape == 1:
+            t = f"caf\u00e9 r\u00e9sum\u00e9 na\u00efve {i}".encode(
+                "utf-8"
+            ).decode("latin-1")
+        elif shape == 2:
+            # NFD: e + combining acute, a + combining grave
+            t = f"de\u0301ja\u0300 vu composed {i}"
+        elif shape == 3:
+            t = f"ctrl\x00\x01salt\u200b\u200czero{i}\x7fwidth\ufeff"
+        else:
+            t = f"non\u00a0breaking\u00a0spaces {i}"
+        rows.append({"doc_id": i, "text": t})
+    return pd.DataFrame(rows)

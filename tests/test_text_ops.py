@@ -450,3 +450,41 @@ def test_gopher_keep_cols_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="shadow input column"):
         gopher_rules(df, keep_cols=True)
+
+
+def test_fix_text_planted_shapes(spark):
+    from napalm_logs_spark.operators.text import fix_text, synth_dirty_text_pandas
+
+    dirty = spark.createDataFrame(
+        synth_dirty_text_pandas(10), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in fix_text(dirty).collect()}
+    assert not got[0].changed and got[0].n_controls_removed == 0
+    assert got[1].was_mojibake and "café" in got[1].fixed_text
+    # NFD input comes out precomposed
+    assert got[2].changed and got[2].fixed_text.startswith("déjà")
+    assert got[3].n_controls_removed == 6
+    assert " " not in got[4].fixed_text and got[4].changed
+
+
+def test_fix_text_preserves_newline_tab_and_nulls(spark):
+    from napalm_logs_spark.operators.text import fix_text
+
+    df = spark.createDataFrame(
+        [(0, "line1\nline2\tcol"), (1, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in fix_text(df).collect()}
+    assert got[0].fixed_text == "line1\nline2\tcol" and not got[0].changed
+    assert got[1].fixed_text == "" and got[1].n_controls_removed == 0
+
+
+def test_fix_text_single_generation_only(spark):
+    # double-encoded mojibake is repaired exactly one generation — the
+    # documented contract (ftfy applies iteratively; this chain is one
+    # deterministic pass)
+    from napalm_logs_spark.operators.text import _fix_one_text
+
+    once = "café".encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    fixed, _, mj = _fix_one_text(twice)
+    assert mj and fixed == once

@@ -717,6 +717,145 @@ def make_ann_ivf(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_fix_text(n: int = 64) -> pd.DataFrame:
+    """Golden for the encoding-repair chain: replays the planted-corpus
+    spec (synth_dirty_text_pandas' five shapes) and applies an
+    independent implementation of the published repair spec —
+    one-generation mojibake re-decode (accept iff round-trip succeeds,
+    differs, and strictly lowers the count of codepoints >= U+0080),
+    NFC, NBSP→space, zero-width/BOM + C0/C1 control removal keeping
+    newline/tab."""
+    import unicodedata
+
+    out = []
+    for i in range(n):
+        shape = i % 5
+        if shape == 0:
+            t = f"plain ascii document number {i} with nothing to fix"
+        elif shape == 1:
+            t = f"caf\u00e9 r\u00e9sum\u00e9 na\u00efve {i}".encode("utf-8").decode("latin-1")
+        elif shape == 2:
+            t = f"de\u0301ja\u0300 vu composed {i}"  # NFD
+        elif shape == 3:
+            t = f"ctrl\x00\x01salt\u200b\u200czero{i}\x7fwidth\ufeff"
+        else:
+            t = f"non\u00a0breaking\u00a0spaces {i}"
+        orig = t
+
+        def _high(s):
+            return sum(1 for c in s if ord(c) >= 0x80)
+
+        mojibake = False
+        try:
+            rd = t.encode("latin-1").decode("utf-8")
+            if rd != t and _high(rd) < _high(t):
+                t, mojibake = rd, True
+        except UnicodeError:
+            pass
+        t = unicodedata.normalize("NFC", t).replace(" ", " ")
+        fixed = []
+        n_ctl = 0
+        for c in t:
+            if c in "\n\t":
+                fixed.append(c)
+            elif c in "\u200b\u200c\u200d\ufeff" or unicodedata.category(c) == "Cc":
+                n_ctl += 1
+            else:
+                fixed.append(c)
+        fixed = "".join(fixed)
+        out.append((i, fixed, n_ctl, mojibake, fixed != orig))
+    return pd.DataFrame(
+        out,
+        columns=["doc_id", "fixed_text", "n_controls_removed", "was_mojibake", "changed"],
+    ).astype({"doc_id": "int64", "n_controls_removed": "int32"})
+
+
+def make_ann_ivfpq(
+    n_clusters: int = 8, nprobe: int = 4, m: int = 8, k_sub: int = 16,
+    iters: int = 10, seed: int = 42, sample_cap: int = 1024,
+    k: int = 5, n_queries: int = 5,
+) -> pd.DataFrame:
+    """Expected ``ivfpq_topk`` output (queries = vec_id < 5): an
+    independent replication of the IVFADC spec — L2 Lloyd coarse
+    quantizer on the sample_cap smallest ids (seeded init in sorted
+    index order, x²+c²−2x·c distances, argmin ties low, dead centroids
+    re-seeded), per-subspace residual codebooks at seed+1+j, residual
+    encode of the whole corpus, nprobe stable-argsort cell probe, ADC
+    with HALF_UP 6-decimal rounding, (distance, neighbor_id) order,
+    self excluded."""
+
+    def _lloyd(X, kk, sd):
+        rng = np.random.RandomState(sd)
+        cent = X[np.sort(rng.choice(len(X), size=min(kk, len(X)), replace=False))].copy()
+        for _ in range(iters):
+            d2 = (X * X).sum(1, keepdims=True) + (cent * cent).sum(1) - 2.0 * (X @ cent.T)
+            a = d2.argmin(1)
+            for c in range(len(cent)):
+                mem = X[a == c]
+                cent[c] = mem.mean(0) if len(mem) else X[rng.randint(len(X))]
+        return cent
+
+    def _amin(X, cent):
+        return ((X * X).sum(1, keepdims=True) + (cent * cent).sum(1) - 2.0 * (X @ cent.T)).argmin(1)
+
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        dim = M.shape[1]
+        dsub = dim // m
+        sample = M[: min(sample_cap, len(M))]
+        coarse = _lloyd(sample, n_clusters, seed)
+        resid_s = sample - coarse[_amin(sample, coarse)]
+        books = [
+            _lloyd(resid_s[:, j * dsub : (j + 1) * dsub], k_sub, seed + 1 + j)
+            for j in range(m)
+        ]
+        cl = _amin(M, coarse)
+        R = M - coarse[cl]
+        codes = np.empty((len(M), m), dtype="int64")
+        for j in range(m):
+            codes[:, j] = _amin(R[:, j * dsub : (j + 1) * dsub], books[j])
+
+        rows = []
+        for i in np.where(ids < n_queries)[0]:
+            qd2 = ((M[i] * M[i]).sum() + (coarse * coarse).sum(1)
+                   - 2.0 * (coarse @ M[i]))
+            probe = np.argsort(qd2, kind="stable")[:nprobe]
+            cand_n, cand_d = [], []
+            for c in probe:
+                sel = np.where((cl == c) & (ids != ids[i]))[0]
+                if not len(sel):
+                    continue
+                r = M[i] - coarse[c]
+                d = np.zeros(len(sel), dtype="float64")
+                for j in range(m):
+                    rs = r[j * dsub : (j + 1) * dsub]
+                    lut = (rs * rs).sum() + (books[j] * books[j]).sum(1) - 2.0 * (books[j] @ rs)
+                    d += lut[codes[sel, j]]
+                cand_n.append(ids[sel])
+                cand_d.append(d)
+            if not cand_n:
+                continue
+            cand_n = np.concatenate(cand_n)
+            cand_d = _round_half_up(np.maximum(np.concatenate(cand_d), 0.0))
+            order = np.lexsort((cand_n, cand_d))[:k]
+            for r_, o in enumerate(order, start=1):
+                rows.append((int(ids[i]), int(cand_n[o]), float(cand_d[o]), r_))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc_dist", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64", "scale_key": "int64"})
+
+
 def make_mm_mp4_demux(every_ms: int = 30) -> pd.DataFrame:
     """Golden for the ISO-BMFF demux path, computed from the
     PRE-encoding frame arrays (no container parsing involved) — replays
@@ -861,6 +1000,12 @@ def main() -> None:
     md = make_mm_mp4_demux()
     md.to_parquet(os.path.join(OUT, "mm_mp4_demux_golden.parquet"), index=False)
     print(f"mm_mp4_demux: {len(md)} rows")
+    iq = make_ann_ivfpq()
+    iq.to_parquet(os.path.join(OUT, "ann_ivfpq_golden.parquet"), index=False)
+    print(f"ann_ivfpq: {len(iq)} rows across {iq['scale_key'].nunique()} sfs")
+    ft = make_fix_text()
+    ft.to_parquet(os.path.join(OUT, "fix_text_golden.parquet"), index=False)
+    print(f"fix_text: {len(ft)} rows")
     ag = make_alarm_gauge()
     ag.to_parquet(os.path.join(OUT, "alarm_gauge_golden.parquet"), index=False)
     print(f"alarm_gauge: {len(ag)} rows")
