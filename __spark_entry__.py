@@ -1533,6 +1533,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return segment_dedup(_t(spark, sf, "documents"), k=5, max_df=2)
     q["d_segment_dedup"] = d_segment_dedup  # oracled: duckdb segment DF join
 
+    def d_source_cap(spark, sf):
+        # RefinedWeb/FineWeb-style per-domain cap: keep the 5 longest
+        # docs per source (doc_id tie-break); salted two-phase top-k so
+        # a hot domain never sorts on one task
+        from napalm_logs_spark.operators.text import cap_per_source
+
+        return cap_per_source(
+            _t(spark, sf, "documents"), cap=5
+        ).withColumn("source_rank", F.col("source_rank").cast("long"))
+    q["d_source_cap"] = d_source_cap
+
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
 
@@ -1602,6 +1613,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_clusters=8, nprobe=4, m=8, k_sub=16,
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_ivfpq"] = s_ann_ivfpq  # oracled: stored numpy golden (IVFADC spec)
+
+    def s_quantize_int8(spark, sf):
+        # symmetric per-vector int8 quantization — pure JVM HOFs, zero
+        # shuffle; codes emitted CSV-stringified so the value hash is
+        # representation-stable across Spark/DuckDB pandas bridges
+        from napalm_logs_spark.operators.similarity import quantize_int8
+
+        out = quantize_int8(_t(spark, sf, "embeddings"))
+        # floor fixed-point, not round: scale/recon_err doubles are
+        # bit-identical across engines (IEEE-deterministic pipeline),
+        # so floor(x*1eN) always agrees, while decimal HALF_UP rounding
+        # differs between Spark (exact BigDecimal) and DuckDB (float)
+        return out.select(
+            "vec_id",
+            F.floor(F.col("scale") * 1e9).cast("long").alias("scale_e9"),
+            F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+            F.floor(F.col("recon_err") * 1e6).cast("long").alias("recon_err_e6"),
+        )
+    q["s_quantize_int8"] = s_quantize_int8
 
     def s_embedding_near_dup(spark, sf):
         from napalm_logs_spark.operators.similarity import embedding_near_dup
@@ -3385,6 +3415,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm
         FROM embeddings
+    """
+
+    o["s_quantize_int8"] = """
+        WITH q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs,
+                 list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') AS maxabs
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id, xs, maxabs,
+                 CASE WHEN maxabs = 0 THEN list_transform(xs, x -> 0)
+                      ELSE list_transform(xs, x -> CAST(round(x / (maxabs / 127.0)) AS INTEGER))
+                 END AS codes
+          FROM q
+        )
+        SELECT vec_id,
+               CAST(floor((maxabs / 127.0) * 1e9) AS BIGINT) AS scale_e9,
+               array_to_string(codes, ',') AS codes_csv,
+               CAST(floor(sqrt(list_aggregate(
+                   list_transform(list_zip(xs, codes),
+                                  s -> (s[1] - s[2] * (maxabs / 127.0)) * (s[1] - s[2] * (maxabs / 127.0))),
+                   'sum')) * 1e6) AS BIGINT) AS recon_err_e6
+        FROM c
+    """
+
+    o["d_source_cap"] = """
+        SELECT doc_id, source, source_rank FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS source_rank
+          FROM documents
+        ) WHERE source_rank <= 5
     """
 
     # ---- stored-golden oracles (tools/make_goldens.py) ----------------

@@ -1058,3 +1058,53 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector max-abs int8 quantization — the cheapest
+    embedding-compression tier (4·dim bytes → dim bytes, no training,
+    exact-ish dot products): ``scale = max(|x|)/127``, ``code_i =
+    round(x_i / scale)`` (HALF_UP, matching both Spark and DuckDB
+    double rounding), ``x̂_i = code_i · scale``.
+
+    Everything is JVM higher-order functions over the array column —
+    zero shuffle, zero Python, whole-stage-codegen friendly: the shape
+    that survives a 100 TB scan.  An all-zero vector quantizes to
+    all-zero codes with ``scale = 0``.
+
+    Output: ``(<id>, scale, codes array<int>, recon_err)`` where
+    ``recon_err`` is the L2 reconstruction error ``‖x − x̂‖₂`` (the
+    number a deployment monitors to pick its quantization tier).
+    ``scale``/``recon_err`` are raw doubles — bit-identical across
+    engines because every step is IEEE-deterministic on the same
+    inputs (the driver oracle compares them in floor fixed-point,
+    which never straddles a decimal-rounding tie).
+    """
+    xs = F.transform(F.col(emb_col), lambda v: v.cast("double"))
+    maxabs = F.aggregate(xs, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
+    out = df.select(F.col(id_col), xs.alias("_xs"), maxabs.alias("_maxabs"))
+    scale = F.col("_maxabs") / F.lit(127.0)
+    codes = F.when(
+        F.col("_maxabs") == 0.0,
+        F.transform(F.col("_xs"), lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(F.col("_xs"), lambda v: F.round(v / scale).cast("int"))
+    )
+    out = out.withColumn("scale", scale).withColumn("codes", codes)
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_xs"),
+                F.col("codes"),
+                lambda v, c: (v - c.cast("double") * F.col("scale"))
+                * (v - c.cast("double") * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return out.select(id_col, "scale", "codes", err.alias("recon_err"))

@@ -952,3 +952,46 @@ def synth_dirty_text_pandas(n: int = 64):
             t = f"non\u00a0breaking\u00a0spaces {i}"
         rows.append({"doc_id": i, "text": t})
     return pd.DataFrame(rows)
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int = 5,
+    source_col: str = "source",
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-source document cap (the RefinedWeb/FineWeb "domain cap"
+    stage: a handful of boilerplate-heavy domains otherwise dominate a
+    web corpus).  Keeps the ``cap`` best documents per source under the
+    total order ``(length DESC, id ASC)`` — deterministic because the
+    id tie-break is unique.
+
+    Scale shape: a single ``row_number`` window over ``source`` sorts
+    every document of a hot domain on ONE task — a 100M-doc domain is
+    a straggler.  So this is a salted two-phase top-k: phase 1 ranks
+    within ``(source, id % salt_buckets)`` and keeps ``cap`` per salted
+    group (any global top-``cap`` row is necessarily in its salt's
+    top-``cap``, so no survivor is lost); phase 2 re-ranks the
+    ≤ ``cap·salt_buckets`` survivors per source — a bounded-size
+    group regardless of domain skew.  Two shuffles, both on bounded
+    data; same algebra as a partial-aggregation top-k.
+
+    Output: the kept rows only — ``(<id>, <source>, source_rank)``
+    with ``source_rank ∈ [1, cap]``.
+    """
+    order = [F.col(length_col).desc(), F.col(id_col).asc()]
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    w1 = Window.partitionBy(source_col, salt).orderBy(*order)
+    cand = (
+        df.select(id_col, source_col, length_col)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        cand.withColumn("source_rank", F.row_number().over(w2))
+        .filter(F.col("source_rank") <= cap)
+        .select(id_col, source_col, "source_rank")
+    )

@@ -411,3 +411,47 @@ def test_ivfpq_encode_is_narrow_inverted_file(emb):
     # the scan is one narrow pass: no shuffle in the encode plan
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantize_int8_roundtrip_and_edge_cases(spark):
+    from napalm_logs_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5, -0.25]),
+            (1, [0.0, 0.0, 0.0, 0.0]),       # all-zero: scale 0, codes 0
+            (2, [-3.0, 3.0, 1.5, -1.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # max |x| maps to ±127 exactly
+    assert got[0].codes[1] == -127 and max(abs(c) for c in got[0].codes) == 127
+    assert got[1].scale == 0.0 and got[1].codes == [0, 0, 0, 0]
+    assert got[1].recon_err == 0.0
+    assert got[2].codes == [-127, 127, 64, -64]  # 1.5/ (3/127) = 63.5 HALF_UP
+    # reconstruction error bound: per-element error <= scale/2
+    import math
+    for r in (got[0], got[2]):
+        assert r.recon_err <= math.sqrt(len(r.codes)) * r.scale / 2 + 1e-12
+        for x, c in zip([1.0, -2.0, 0.5, -0.25] if r.vec_id == 0 else [-3.0, 3.0, 1.5, -1.5], r.codes):
+            assert abs(x - c * r.scale) <= r.scale / 2 + 1e-12
+
+
+def test_quantize_int8_matches_numpy_and_no_shuffle(spark, emb):
+    import numpy as np
+    from napalm_logs_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(emb)
+    rows = {r.vec_id: r for r in out.collect()}
+    for r in emb.limit(20).collect():
+        x = np.asarray(r.embedding, dtype="float64")
+        maxabs = np.abs(x).max()
+        scale = maxabs / 127.0
+        codes = np.floor(np.abs(x) / scale + 0.5).astype(int) * np.sign(x).astype(int)
+        got = rows[r.vec_id]
+        assert list(got.codes) == codes.tolist(), r.vec_id
+        assert abs(got.recon_err - float(np.linalg.norm(x - codes * scale))) < 1e-12
+    # zero shuffle: pure per-row JVM expressions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

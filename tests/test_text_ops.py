@@ -488,3 +488,38 @@ def test_fix_text_single_generation_only(spark):
     twice = once.encode("utf-8").decode("latin-1")
     fixed, _, mj = _fix_one_text(twice)
     assert mj and fixed == once
+
+
+def test_cap_per_source_matches_brute_force(spark):
+    from napalm_logs_spark.operators.text import cap_per_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.source, r.source_rank, r.doc_id)
+        for r in cap_per_source(docs, cap=3).collect()
+    )
+    import collections
+    rows = sorted(
+        ((r.source, -r.n_chars, r.doc_id) for r in docs.collect())
+    )
+    exp, seen = [], collections.Counter()
+    for src, neg, did in rows:
+        seen[src] += 1
+        if seen[src] <= 3:
+            exp.append((src, seen[src], did))
+    assert got == sorted(exp)
+    # every source capped; ranks dense from 1
+    per = collections.Counter(s for s, _, _ in got)
+    assert all(v <= 3 for v in per.values())
+
+
+def test_cap_per_source_salt_invariance(spark):
+    # any salt_buckets value yields the same survivors (phase-1 locality
+    # never loses a global top-cap row)
+    from napalm_logs_spark.operators.text import cap_per_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, cap_per_source(docs, cap=4, salt_buckets=1).collect()))
+    b = sorted(map(tuple, cap_per_source(docs, cap=4, salt_buckets=16).collect()))
+    c = sorted(map(tuple, cap_per_source(docs.repartition(7), cap=4, salt_buckets=5).collect()))
+    assert a == b == c and len(a) > 0
