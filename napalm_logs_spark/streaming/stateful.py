@@ -157,3 +157,101 @@ def entity_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    capacity: int = 8,
+    key: Sequence[str] = ("os",),
+    item_col: str = "error",
+    ts_col: str = "ts",
+    emit_k: int = 5,
+) -> DataFrame:
+    """Streaming heavy hitters (top talkers) with **bounded state**:
+    the space-saving summary (Metwally et al., ICDT'05) per group key.
+
+    The reference's counter transport keeps one counter per distinct
+    (host, error) forever; a streaming ``groupBy(item).count()``
+    likewise grows state with key cardinality — at 100 TB / billions of
+    distinct items that state is the bottleneck.  Space-saving keeps
+    exactly ``capacity`` counters per group whatever the cardinality,
+    with the classic guarantees: any item with true frequency
+    > n_total/capacity is present, and for a present item
+    ``true ∈ [est_count − err_bound, est_count]``.
+
+    Update rule per arriving item (rows processed in the deterministic
+    ``(ts, item)`` order within each micro-batch): present → count+1;
+    room → insert (1, 0); full → evict the (count, item)-lexicographic
+    minimum and insert at (min_count+1, err=min_count).
+
+    Emits after every micro-batch the group's current top ``emit_k``
+    by (count desc, item asc) tagged with the group's running
+    ``n_total`` — a monotone version stamp, so a consumer (or test)
+    reads the latest snapshot as the rows with the max ``n_total``.
+    State never times out: it is O(capacity) per group by construction.
+    """
+    key_cols = list(key)
+    out_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in key_cols]
+        + [
+            T.StructField("item", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("err_bound", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+            T.StructField("n_total", T.LongType()),
+        ]
+    )
+
+    def hh(key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs, n_total = state.get
+            summary = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+            n_total = int(n_total)
+        else:
+            summary, n_total = {}, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, item_col], kind="mergesort")
+            for it in pdf[item_col]:
+                it = "" if it is None else str(it)
+                n_total += 1
+                if it in summary:
+                    summary[it][0] += 1
+                elif len(summary) < capacity:
+                    summary[it] = [1, 0]
+                else:
+                    evict = min(summary, key=lambda x: (summary[x][0], x))
+                    mc = summary[evict][0]
+                    del summary[evict]
+                    summary[it] = [mc + 1, mc]
+        state.update(
+            (
+                list(summary.keys()),
+                [v[0] for v in summary.values()],
+                [v[1] for v in summary.values()],
+                n_total,
+            )
+        )
+        top = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))[:emit_k]
+        yield pd.DataFrame(
+            [
+                tuple(key_vals) + (it, v[0], v[1], r, n_total)
+                for r, (it, v) in enumerate(top, start=1)
+            ],
+            columns=key_cols + ["item", "est_count", "err_bound", "rank", "n_total"],
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        hh,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

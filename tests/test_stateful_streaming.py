@@ -334,3 +334,94 @@ def test_salted_dedup_storm(spark, tmp_path):
     # one survivor per key within the horizon
     assert len(by_key[("junos", "r1", "STORM")]) == 1
     assert len(by_key[("junos", "r2", "other")]) == 1
+
+
+def _space_saving_ref(stream_items, capacity):
+    """Independent space-saving replication (plain python)."""
+    summary, n = {}, 0
+    for it in stream_items:
+        n += 1
+        if it in summary:
+            summary[it][0] += 1
+        elif len(summary) < capacity:
+            summary[it] = [1, 0]
+        else:
+            ev = min(summary, key=lambda x: (summary[x][0], x))
+            mc = summary[ev][0]
+            del summary[ev]
+            summary[it] = [mc + 1, mc]
+    return summary, n
+
+
+def test_heavy_hitters_stream_matches_replication(spark, tmp_path):
+    from napalm_logs_spark.streaming.stateful import heavy_hitters_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # skewed item stream across TWO micro-batches: state must carry over
+    batch1 = [("junos", "r1", f"E{i % 3}", i, BASE + datetime.timedelta(seconds=i)) for i in range(30)]
+    batch2 = [("junos", "r1", f"E{i % 7}", i, BASE + datetime.timedelta(seconds=30 + i)) for i in range(40)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(src + "/b=1")
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(src + "/b=2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = heavy_hitters_stream(
+        stream, capacity=4, key=("os",), item_col="message", emit_k=4
+    )
+    q = (
+        out.writeStream.format("memory").queryName("hh_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from hh_stream").collect()
+    n_max = max(r.n_total for r in rows)
+    assert n_max == 70
+    latest = {r.item: r for r in rows if r.n_total == n_max}
+
+    # replication processes the same items in the same (ts, item) order
+    items = [r[2] for r in sorted(batch1, key=lambda t: (t[4], t[2]))]
+    items += [r[2] for r in sorted(batch2, key=lambda t: (t[4], t[2]))]
+    ref, n_ref = _space_saving_ref(items, capacity=4)
+    top_ref = sorted(ref.items(), key=lambda kv: (-kv[1][0], kv[0]))[:4]
+    assert n_ref == 70
+    assert {it: (v[0], v[1]) for it, v in top_ref} == {
+        it: (r.est_count, r.err_bound) for it, r in latest.items()
+    }
+
+    # space-saving guarantees vs exact counts
+    import collections
+    exact = collections.Counter(items)
+    for it, r in latest.items():
+        assert r.est_count - r.err_bound <= exact[it] <= r.est_count
+    for it, c in exact.items():
+        if c > n_ref / 4:
+            assert it in ref  # frequent items are never lost
+
+
+def test_heavy_hitters_state_is_bounded(spark, tmp_path):
+    # 200 distinct items through a capacity-6 summary: emitted summary
+    # never exceeds capacity and n_total tracks the full stream
+    from napalm_logs_spark.streaming.stateful import heavy_hitters_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    rows = [
+        ("ios", "r9", f"ITEM_{i}", i, BASE + datetime.timedelta(seconds=i))
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = heavy_hitters_stream(stream, capacity=6, key=("os",), item_col="message", emit_k=6)
+    q = (
+        out.writeStream.format("memory").queryName("hh_bounded")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from hh_bounded").collect()
+    assert len(got) <= 6 and max(r.n_total for r in got) == 200
+    # uniform stream: every estimate's error bound is disclosed and sane
+    assert all(r.err_bound <= r.est_count for r in got)
