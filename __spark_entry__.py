@@ -1446,6 +1446,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_fix_text"] = t_fix_text  # oracled: stored spec-replication golden
 
+    def t_url_canon(spark, sf):
+        # URL canonicalization before URL-keyed dedup — planted corpus
+        # (documents carry no URL column); golden is an INDEPENDENT
+        # urllib-based replication of the published spec
+        from napalm_logs_spark.operators.text import (
+            canonicalize_urls,
+            synth_urls_pandas,
+        )
+
+        urls = spark.createDataFrame(
+            synth_urls_pandas(64), "url_id long, url string"
+        )
+        return canonicalize_urls(urls).select(
+            "url_id", "url", "scheme", "host", "port",
+            "path_canon", "query_canon", "url_canon",
+        )
+    q["t_url_canon"] = t_url_canon  # oracled: stored urllib-replication golden
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -3501,6 +3519,11 @@ def oracle_sql() -> dict[str, str]:
     o["t_fix_text"] = f"""
         SELECT doc_id, fixed_text, n_controls_removed, was_mojibake, changed
         FROM read_parquet('{gd}/fix_text_golden.parquet')
+    """
+
+    o["t_url_canon"] = f"""
+        SELECT url_id, url, scheme, host, port, path_canon, query_canon, url_canon
+        FROM read_parquet('{gd}/url_canon_golden.parquet')
     """
 
     o["mm_mp4_demux"] = f"""

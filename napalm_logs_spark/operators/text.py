@@ -995,3 +995,103 @@ def cap_per_source(
         .filter(F.col("source_rank") <= cap)
         .select(id_col, source_col, "source_rank")
     )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization — the stage before URL-keyed dedup in a web
+    pipeline (two crawls of one page differ only in host case, default
+    ports, tracker params, param order, trailing slash, fragment).
+
+    The published spec (independently replicated by the urllib-based
+    golden generator):
+
+    1. scheme and host lowercased;
+    2. default port stripped (``:80`` for http, ``:443`` for https);
+    3. empty path → ``/``; a single trailing slash stripped when the
+       path is longer than ``/``;
+    4. query split on ``&``; empty params and params whose *name*
+       (the part before ``=``) starts with ``utm_`` dropped; the rest
+       sorted bytewise-ascending and rejoined;
+    5. fragment dropped.
+
+    Entirely JVM built-ins (regexp_extract / array ops) — zero Python,
+    zero shuffle; rows that don't parse as ``scheme://authority...``
+    pass through with ``url_canon = NULL`` so a 100 TB run surfaces its
+    garbage rows instead of mangling them.
+
+    Output: input columns + ``scheme``, ``host``, ``port`` (string,
+    empty if none), ``path_canon``, ``query_canon``, ``url_canon``.
+    """
+    u = F.col(url_col)
+    pat = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    parsed = F.regexp_extract(u, pat, 0) != ""
+    scheme = F.lower(F.regexp_extract(u, pat, 1))
+    auth = F.regexp_extract(u, pat, 2)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)(?::([0-9]+))?$", 1))
+    port = F.regexp_extract(auth, r"^([^:]*)(?::([0-9]+))?$", 2)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(port)
+    raw_path = F.regexp_extract(u, pat, 3)
+    qs = F.regexp_extract(u, pat, 4)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~F.split(p, "=")[0].startswith("utm_"),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    out = (
+        df.withColumn("scheme", F.when(parsed, scheme))
+        .withColumn("host", F.when(parsed, host))
+        .withColumn("port", F.when(parsed, port))
+        .withColumn("_p", F.when(parsed, F.when(raw_path == "", F.lit("/")).otherwise(raw_path)))
+        .withColumn(
+            "path_canon",
+            F.when(
+                (F.length("_p") > 1) & F.col("_p").endswith("/"),
+                F.expr("substring(_p, 1, length(_p) - 1)"),
+            ).otherwise(F.col("_p")),
+        )
+        .withColumn("query_canon", F.when(parsed, query))
+    )
+    url_canon = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        F.when(F.col("port") == "", F.lit("")).otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.col("path_canon"),
+        F.when(F.col("query_canon") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("query_canon"))
+        ),
+    )
+    return out.withColumn("url_canon", F.when(parsed, url_canon)).drop("_p")
+
+
+#: planted corpus for the URL-canonicalization gate (documents carry no
+#: URL column), mirroring the fix_text/mm_* in-memory-input pattern
+def synth_urls_pandas(n: int = 64):
+    """Rows cycle eight shapes: already-canonical, uppercase host,
+    default port, utm params, unsorted params, trailing slash,
+    fragment, and an unparseable garbage row."""
+    rows = []
+    for i in range(n):
+        shape = i % 8
+        if shape == 0:
+            u = f"https://example.com/a/b?k=v&x={i}"
+        elif shape == 1:
+            u = f"HTTP://WWW.Example{i}.COM/Path"
+        elif shape == 2:
+            u = f"https://example.com:443/p{i}" if i % 2 else f"http://example.com:80/p{i}"
+        elif shape == 3:
+            u = f"https://shop.example.com/item?id={i}&utm_source=feed&utm_campaign=x"
+        elif shape == 4:
+            u = f"https://example.com/s?z=9&a=1&m={i}"
+        elif shape == 5:
+            u = f"https://example.com/dir/{i}/"
+        elif shape == 6:
+            u = f"https://example.com/page#sec{i}"
+        else:
+            u = f"not a url {i}"
+        rows.append({"url_id": i, "url": u})
+    return pd.DataFrame(rows)

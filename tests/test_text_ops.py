@@ -523,3 +523,43 @@ def test_cap_per_source_salt_invariance(spark):
     b = sorted(map(tuple, cap_per_source(docs, cap=4, salt_buckets=16).collect()))
     c = sorted(map(tuple, cap_per_source(docs.repartition(7), cap=4, salt_buckets=5).collect()))
     assert a == b == c and len(a) > 0
+
+
+def test_canonicalize_urls_shapes(spark):
+    from napalm_logs_spark.operators.text import canonicalize_urls, synth_urls_pandas
+
+    urls = spark.createDataFrame(synth_urls_pandas(8), "url_id long, url string")
+    got = {r.url_id: r for r in canonicalize_urls(urls).collect()}
+    assert got[0].url_canon == "https://example.com/a/b?k=v&x=0"  # already canonical
+    assert got[1].url_canon == "http://www.example1.com/Path"      # host lowercased, path case kept
+    assert got[2].url_canon == "http://example.com/p2"             # default port stripped
+    assert got[3].url_canon == "https://shop.example.com/item?id=3"  # utm_* dropped
+    assert got[4].url_canon == "https://example.com/s?a=1&m=4&z=9"   # params sorted
+    assert got[5].url_canon == "https://example.com/dir/5"          # trailing slash
+    assert got[6].url_canon == "https://example.com/page"           # fragment dropped
+    assert got[7].url_canon is None and got[7].host is None         # garbage -> NULLs
+
+
+def test_canonicalize_urls_edges_and_plan(spark):
+    from napalm_logs_spark.operators.text import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://h.com:8443/x"),          # non-default port kept
+            (1, "http://h.com"),                   # empty path -> /
+            (2, "https://h.com/?b=2&a=1&utm_x=1&"),  # root path survives, empty param dropped
+            (3, "https://h.com/p?a=x%3D1&a=b"),    # duplicate names keep both, sorted
+            (4, None),
+        ],
+        "url_id long, url string",
+    )
+    out = canonicalize_urls(df)
+    got = {r.url_id: r for r in out.collect()}
+    assert got[0].url_canon == "https://h.com:8443/x" and got[0].port == "8443"
+    assert got[1].url_canon == "http://h.com/" and got[1].path_canon == "/"
+    assert got[2].url_canon == "https://h.com/?a=1&b=2"
+    assert got[3].url_canon == "https://h.com/p?a=b&a=x%3D1"
+    assert got[4].url_canon is None
+    # pure JVM per-row expressions: no shuffle, no python stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -717,6 +717,68 @@ def make_ann_ivf(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_url_canon(n: int = 64) -> pd.DataFrame:
+    """Golden for URL canonicalization: replays the planted corpus
+    (synth_urls_pandas' eight shapes) through an INDEPENDENT
+    urllib-based implementation of the published spec — lowercase
+    scheme/host, default-port strip, empty path -> '/', one trailing
+    slash stripped when path > '/', empty + utm_* params dropped and
+    the rest sorted bytewise, fragment dropped; rows not matching
+    scheme://authority emit NULLs."""
+    import re
+    from urllib.parse import urlsplit
+
+    out = []
+    for i in range(n):
+        shape = i % 8
+        if shape == 0:
+            u = f"https://example.com/a/b?k=v&x={i}"
+        elif shape == 1:
+            u = f"HTTP://WWW.Example{i}.COM/Path"
+        elif shape == 2:
+            u = f"https://example.com:443/p{i}" if i % 2 else f"http://example.com:80/p{i}"
+        elif shape == 3:
+            u = f"https://shop.example.com/item?id={i}&utm_source=feed&utm_campaign=x"
+        elif shape == 4:
+            u = f"https://example.com/s?z=9&a=1&m={i}"
+        elif shape == 5:
+            u = f"https://example.com/dir/{i}/"
+        elif shape == 6:
+            u = f"https://example.com/page#sec{i}"
+        else:
+            u = f"not a url {i}"
+
+        if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", u):
+            out.append((i, u, None, None, None, None, None, None))
+            continue
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = sp.hostname or ""
+        port = sp.port
+        if (scheme == "http" and port == 80) or (scheme == "https" and port == 443):
+            port = None
+        port_s = "" if port is None else str(port)
+        path = sp.path or "/"
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        params = [
+            p for p in sp.query.split("&")
+            if p and not p.split("=")[0].startswith("utm_")
+        ]
+        query = "&".join(sorted(params))
+        canon = (
+            scheme + "://" + host + (":" + port_s if port_s else "")
+            + path + ("?" + query if query else "")
+        )
+        out.append((i, u, scheme, host, port_s, path, query, canon))
+    return pd.DataFrame(
+        out,
+        columns=["url_id", "url", "scheme", "host", "port",
+                 "path_canon", "query_canon", "url_canon"],
+    ).astype({"url_id": "int64"})
+
+
+
 def make_fix_text(n: int = 64) -> pd.DataFrame:
     """Golden for the encoding-repair chain: replays the planted-corpus
     spec (synth_dirty_text_pandas' five shapes) and applies an
@@ -1003,6 +1065,9 @@ def main() -> None:
     iq = make_ann_ivfpq()
     iq.to_parquet(os.path.join(OUT, "ann_ivfpq_golden.parquet"), index=False)
     print(f"ann_ivfpq: {len(iq)} rows across {iq['scale_key'].nunique()} sfs")
+    uc = make_url_canon()
+    uc.to_parquet(os.path.join(OUT, "url_canon_golden.parquet"), index=False)
+    print(f"url_canon: {len(uc)} rows")
     ft = make_fix_text()
     ft.to_parquet(os.path.join(OUT, "fix_text_golden.parquet"), index=False)
     print(f"fix_text: {len(ft)} rows")
