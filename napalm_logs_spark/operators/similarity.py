@@ -968,6 +968,8 @@ def ivfpq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    model: tuple | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` nearest coarse cells per
     query, ADC-scan ONLY rows in probed cells with a per-(query, cell)
@@ -979,11 +981,23 @@ def ivfpq_topk(
     Queries are the bounded side by contract (collected to build the
     Q·nprobe LUTs).  Output ``(query_id, neighbor_id, adc_dist, rank)``
     with HALF_UP 6-decimal rounding; self-matches excluded.
+
+    A deployment trains once and encodes once: pass ``model=(coarse,
+    books)`` from :func:`ivfpq_train` and ``encoded`` from
+    :func:`ivfpq_encode` to search a persisted inverted-file table
+    without re-touching raw vectors (the amortized 100 TB path; the
+    defaults re-derive both from ``corpus`` for one-shot use).
     """
-    coarse, books = ivfpq_train(
-        corpus, n_clusters=n_clusters, m=m, k_sub=k_sub, seed=seed,
-        id_col=id_col, emb_col=emb_col,
-    )
+    if model is None:
+        coarse, books = ivfpq_train(
+            corpus, n_clusters=n_clusters, m=m, k_sub=k_sub, seed=seed,
+            id_col=id_col, emb_col=emb_col,
+        )
+    else:
+        coarse, books = model
+        coarse = np.asarray(coarse, dtype="float64")
+        books = np.asarray(books, dtype="float64")
+        n_clusters = len(coarse)
     mm, ksub, dsub = books.shape
     qrows = queries.select(id_col, emb_col).orderBy(id_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype="int64")
@@ -1009,9 +1023,20 @@ def ivfpq_topk(
     sess = corpus.sparkSession
     bl = sess.sparkContext.broadcast((q_ids, probes, luts))
 
-    encoded = ivfpq_encode(
-        widen_if_narrow_scan(corpus), coarse, books, id_col=id_col, emb_col=emb_col
-    ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    if encoded is None:
+        encoded = ivfpq_encode(
+            widen_if_narrow_scan(corpus), coarse, books, id_col=id_col, emb_col=emb_col
+        )
+    # JVM-side cell pruning BEFORE the Arrow scan: only rows in some
+    # query's probed cells can contribute, so unprobed clusters are
+    # dropped by a codegen filter (and, on an encoded table persisted
+    # partitionBy("cluster"), by partition pruning — the "a probe reads
+    # only its lists" property, enforced in the plan rather than by
+    # python-side skipping)
+    probed_cells = sorted({int(c) for row in probes for c in row})
+    encoded = encoded.select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+    ).filter(F.col("cluster").isin(probed_cells))
 
     def _scan(batches):
         ids_b, probes_b, luts_b = bl.value

@@ -455,3 +455,26 @@ def test_quantize_int8_matches_numpy_and_no_shuffle(spark, emb):
     # zero shuffle: pure per-row JVM expressions
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivfpq_amortized_model_path_identical(emb, queries):
+    # model= + encoded= (train once / encode once / search many) must
+    # return exactly the one-shot result
+    from napalm_logs_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    one_shot = sorted(map(tuple, ivfpq_topk(emb, queries, k=5).collect()))
+    coarse, books = ivfpq_train(emb, n_clusters=8, m=8, k_sub=16)
+    enc = ivfpq_encode(emb, coarse, books)
+    amortized = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=5, nprobe=4, model=(coarse, books), encoded=enc
+            ).collect(),
+        )
+    )
+    assert one_shot == amortized
