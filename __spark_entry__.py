@@ -1562,6 +1562,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("source_rank", F.col("source_rank").cast("long"))
     q["d_source_cap"] = d_source_cap
 
+    def d_pipeline_e2e(spark, sf):
+        # the composed LLM-data pipeline: C4 clean -> Gopher quality
+        # gate (on the CLEANED text) -> exact dedup (lowest-id keeper
+        # per content digest) -> token-budget packing of survivors.
+        # Each stage is the same operator its standalone query gates;
+        # this entry proves the stages COMPOSE (column contracts,
+        # determinism, no stage needing a materialization barrier) —
+        # the pipeline a 100 TB pretraining run actually executes.
+        from napalm_logs_spark.operators.text import (
+            clean_text,
+            gopher_rules,
+            pack_chunks,
+        )
+
+        docs = _t(spark, sf, "documents")
+        cleaned = clean_text(docs).select("doc_id", "lang", "clean_text")
+        gate = (
+            gopher_rules(cleaned, text_col="clean_text")
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        survivors = cleaned.join(gate, "doc_id")
+        digest = F.md5(F.lower(F.regexp_replace(F.col("clean_text"), r"\s+", " ")))
+        keyed = survivors.withColumn("digest", digest)
+        keepers = keyed.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+        kept = keyed.join(keepers.select("doc_id"), "doc_id")
+        return pack_chunks(
+            kept, budget_tokens=512, key="lang",
+            order_col="doc_id", text_col="clean_text",
+        ).select(
+            "doc_id", "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_off").cast("long").alias("chunk_off"),
+        )
+    q["d_pipeline_e2e"] = d_pipeline_e2e
+
     def t_sample_mix(spark, sf):
         from napalm_logs_spark.operators.text import stratified_sample
 
@@ -2011,7 +2048,10 @@ _PRIORITY_50 = [
     "t_tokens", "t_quality", "t_langid", "t_fingerprint", "t_winnow",
     "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
-    "t_mix_temperature", "t_repetition", "t_sample_mix",
+    "t_repetition", "t_sample_mix",
+    # t_mix_temperature rotates out (t_sample_mix keeps the mixing
+    # family represented) for the composed-pipeline flagship:
+    "d_pipeline_e2e",           # new session 3: clean->gate->dedup->pack
     "t_fix_text",               # new session 3: encoding repair chain
     "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
@@ -3455,6 +3495,53 @@ def oracle_sql() -> dict[str, str]:
                                   s -> (s[1] - s[2] * (maxabs / 127.0)) * (s[1] - s[2] * (maxabs / 127.0))),
                    'sum')) * 1e6) AS BIGINT) AS recon_err_e6
         FROM c
+    """
+
+    o["d_pipeline_e2e"] = r"""
+        WITH c AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean_text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, lang, clean_text,
+                 list_filter(regexp_split_to_array(trim(clean_text), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM c
+        ), gated AS (
+          SELECT doc_id, lang, clean_text FROM toks
+          WHERE len(t) BETWEEN 50 AND 100000
+            AND round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                      / nullif(len(t), 0), 6) BETWEEN 3.0 AND 10.0
+            AND round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / nullif(len(t), 0), 6) >= 0.8
+            AND len(list_intersect(list_transform(t, x -> lower(x)),
+                    ['the','be','to','of','and','that','have','with','a','in'])) >= 2
+        ), dd AS (
+          SELECT *, md5(lower(regexp_replace(clean_text, '\s+', ' ', 'g'))) AS digest
+          FROM gated
+        ), keepers AS (
+          SELECT min(doc_id) AS doc_id FROM dd GROUP BY digest
+        ), kept AS (
+          SELECT dd.doc_id, dd.lang,
+                 CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(clean_text), '\s+'))
+                 END AS n_tokens
+          FROM dd JOIN keepers USING (doc_id)
+        ), w AS (
+          SELECT doc_id, lang, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS before
+          FROM kept
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(before / 512) AS BIGINT) AS chunk_id,
+               CAST(before - floor(before / 512) * 512 AS BIGINT) AS chunk_off
+        FROM w
     """
 
     o["d_source_cap"] = """
