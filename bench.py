@@ -52,6 +52,7 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_dup_spans",
     "d_segment_dedup",
+    "d_pipeline_e2e",
     "s_knn_cosine",
     "s_ann_ivf",
     "s_ann_join",
