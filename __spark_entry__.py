@@ -1702,6 +1702,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
 
+    def s_classifier(spark, sf):
+        # model-based quality/domain gate (FineWeb-Edu/DCLM shape):
+        # distributed full-batch softmax regression over the embedding
+        # table, fixed-point partitioning-invariant gradient sums
+        from napalm_logs_spark.operators.classifier import classifier_filter
+
+        return classifier_filter(
+            _t(spark, sf, "embeddings"), k=10, iters=20, lr=5.0
+        )
+    q["s_classifier"] = s_classifier  # oracled: stored numpy golden
+
     def s_semdedup(spark, sf):
         # SemDeDup: spherical k-means + within-cluster cosine pruning,
         # deterministic lower-id-wins keeper
@@ -2073,7 +2084,10 @@ _PRIORITY_50 = [
     "a1_dedup_gap",
     "c14_session_window",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
-    "q1_pricing_summary",
+    # q1_pricing_summary rotates out (driver-green in r02; the whole
+    # TPC-H block stays mirror-gated at sf0.001+sf0.01) for the new
+    # model-based-filter family's first driver row:
+    "s_classifier",             # new session 4: softmax-regression gate
 ]
 
 
@@ -3661,6 +3675,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_embedding_near_dup"] = f"""
         SELECT id_a, id_b, cosine
         FROM read_parquet('{gd}/near_dup_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_classifier"] = f"""
+        SELECT vec_id, label, pred, correct
+        FROM read_parquet('{gd}/classifier_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

@@ -1,0 +1,141 @@
+"""Model-based quality/domain classifier: distributed softmax
+regression (operators/classifier.py) vs an inline independent numpy
+replication, plus the determinism contracts the stored golden relies
+on (partitioning invariance, zero-weight reproducibility)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.classifier import (
+    GRAD_QUANT,
+    classifier_filter,
+    softmax_predict,
+    softmax_train,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K, ITERS, LR = 10, 8, 5.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _numpy_train(M, y, k, iters, lr, l2=0.0):
+    """Independent replication of the published spec (same as
+    tools/make_goldens.make_classifier)."""
+    n, d = M.shape
+    Xb = np.concatenate([M, np.ones((n, 1))], axis=1)
+    W = np.zeros((k, d + 1))
+    for _ in range(iters):
+        Z = Xb @ W.T
+        Z = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P = P / P.sum(axis=1, keepdims=True)
+        R = P
+        R[np.arange(n), y] -= 1.0
+        G = (
+            np.rint(np.einsum("nk,nd->nkd", R, Xb) * GRAD_QUANT)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+        W = W - lr * ((G / GRAD_QUANT) / n + l2 * W)
+    return W
+
+
+@pytest.fixture(scope="module")
+def pdf_emb():
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    M = np.array([np.asarray(v, dtype="float64") for v in df["embedding"]])
+    y = df["label"].to_numpy().astype(np.int64)
+    return df, M, y
+
+
+def test_weights_match_numpy_replication(emb, pdf_emb):
+    _, M, y = pdf_emb
+    W_spark = softmax_train(emb, k=K, iters=ITERS, lr=LR)
+    W_np = _numpy_train(M, y, K, ITERS, LR)
+    # fixed-point gradient sums make the two trainers IDENTICAL, not
+    # merely close — any drift means order-dependence snuck in
+    assert np.array_equal(W_spark, W_np)
+
+
+def test_predictions_match_and_beat_chance(emb, pdf_emb):
+    _, M, y = pdf_emb
+    out = (
+        classifier_filter(emb, k=K, iters=ITERS, lr=LR)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    W = _numpy_train(M, y, K, ITERS, LR)
+    Xb = np.concatenate([M, np.ones((len(M), 1))], axis=1)
+    pred = (Xb @ W.T).argmax(axis=1)
+    assert (out["pred"].to_numpy() == pred).all()
+    assert (out["correct"].to_numpy() == (pred == y).astype(int)).all()
+    # 10-class chance is 0.1; the gate should actually learn something
+    # (8 short-test iterations reach ~0.18; 20 reach ~0.30)
+    assert out["correct"].mean() > 0.15
+
+
+def test_partitioning_invariance(emb):
+    a = softmax_train(emb, k=K, iters=4, lr=LR)
+    b = softmax_train(emb.repartition(7), k=K, iters=4, lr=LR)
+    c = softmax_train(emb.coalesce(1), k=K, iters=4, lr=LR)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
+
+
+def test_predict_ties_break_low(spark):
+    # zero weights score every class equally -> argmax picks class 0
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5])], "vec_id long, embedding array<double>"
+    )
+    out = softmax_predict(df, np.zeros((3, 3))).collect()
+    assert out[0]["pred"] == 0
+
+
+def test_empty_and_null_inputs(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    W = softmax_train(empty, k=3, iters=2)
+    assert W.shape[0] == 3
+    # null embedding / null label rows are excluded from training
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, None, 1), (3, [0.0, 1.0], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    W2 = softmax_train(df, k=2, iters=2, lr=1.0)
+    assert W2.shape == (2, 3)
+    assert np.isfinite(W2).all()
+
+
+def test_matches_stored_golden(emb):
+    golden = pd.read_parquet(
+        "/root/repo/testdata_goldens/classifier_golden.parquet"
+    )
+    key = (
+        emb.select(
+            F.sum(
+                F.floor(F.col("embedding")[0].cast("double") * 1000).cast("long")
+            ).alias("k")
+        ).first()["k"]
+    )
+    g = (
+        golden[golden["scale_key"] == key]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(g) > 0
+    out = (
+        classifier_filter(emb, k=10, iters=20, lr=5.0)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out["pred"].to_numpy() == g["pred"].to_numpy()).all()
+    assert (out["correct"].to_numpy() == g["correct"].to_numpy()).all()

@@ -1024,6 +1024,50 @@ def make_ann_pq(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_classifier(k: int = 10, iters: int = 20, lr: float = 5.0,
+                    l2: float = 0.0) -> pd.DataFrame:
+    """Independent numpy replication of operators/classifier.py's
+    published spec: full-batch softmax regression from zero weights,
+    per-row rint-fixed-point (2^20) gradient quantization before the
+    integer sum, float64 driver update, argmax ties -> lowest class."""
+    QUANT = float(1 << 20)
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id")
+        ids = emb["vec_id"].to_numpy().astype("int64")
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        y = emb["label"].to_numpy().astype("int64")
+        n, d = M.shape
+        Xb = np.concatenate([M, np.ones((n, 1))], axis=1)
+        W = np.zeros((k, d + 1))
+        for _ in range(iters):
+            Z = Xb @ W.T
+            Z = Z - Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P = P / P.sum(axis=1, keepdims=True)
+            R = P
+            R[np.arange(n), y] -= 1.0
+            G = (
+                np.rint(np.einsum("nk,nd->nkd", R, Xb) * QUANT)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+            W = W - lr * ((G / QUANT) / n + l2 * W)
+        pred = (Xb @ W.T).argmax(axis=1)
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(pd.DataFrame({
+            "scale_key": scale_key,
+            "vec_id": ids,
+            "label": y.astype("int32"),
+            "pred": pred.astype("int32"),
+            "correct": (pred == y).astype("int32"),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     env = make_golden_envelopes()
@@ -1083,6 +1127,9 @@ def main() -> None:
     bt = make_bpe_tokens()
     bt.to_parquet(os.path.join(OUT, "bpe_tokens_golden.parquet"), index=False)
     print(f"bpe_tokens: {len(bt)} rows across {bt['scale_key'].nunique()} sfs")
+    cf = make_classifier()
+    cf.to_parquet(os.path.join(OUT, "classifier_golden.parquet"), index=False)
+    print(f"classifier: {len(cf)} rows across {cf['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
