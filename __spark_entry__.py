@@ -1355,6 +1355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob(_t(spark, sf, "documents"), buckets=True)
     q["t_ccnet_quality"] = t_ccnet_quality
 
+    def t_lm_bigram(spark, sf):
+        # interpolated add-alpha bigram LM surprisal (the Markov upgrade
+        # of t_ccnet_quality; CCNet's KenLM shape at order 2)
+        from napalm_logs_spark.operators.text import bigram_logprob
+
+        return bigram_logprob(_t(spark, sf, "documents"))
+    q["t_lm_bigram"] = t_lm_bigram
+
     def t_gopher_rules(spark, sf):
         from napalm_logs_spark.operators.text import gopher_rules
 
@@ -2056,7 +2064,9 @@ _PRIORITY_50 = [
     "d_exact_dup_groups", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash",
     "d_dup_clusters", "d_dedup_keep", "d_decontaminate", "d_leakage_splits",
     "d_dup_spans", "d_segment_dedup",  # new session 3: corpus line dedup
-    "t_tokens", "t_quality", "t_langid", "t_fingerprint", "t_winnow",
+    # t_fingerprint (md5 + rolling hash, the family's simplest member)
+    # rotates out for the numerically-richer bigram LM scorer:
+    "t_tokens", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
     "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
     "t_repetition", "t_sample_mix",
@@ -3295,6 +3305,44 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bits_per_token <= c2 THEN 'middle'
                     ELSE 'tail' END AS ccnet_bucket
         FROM s2, cuts
+    """
+
+    # interpolated bigram LM (order-2 CCNet/KenLM analog): add-alpha
+    # conditional mixed with the unigram, trained on the corpus itself
+    o["t_lm_bigram"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM documents
+        ), uni AS (
+          SELECT w, count(*) AS c1
+          FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), consts AS (
+          SELECT CAST(sum(c1) AS DOUBLE) AS n_total,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM uni
+        ), bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)),
+                        i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+          FROM toks WHERE len(t) >= 2
+        ), pp AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+        ), big AS (
+          SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY w1, w2
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(-avg(log2(
+                 0.75 * (c2 + 0.1) / (c1_w1 + 0.1 * v)
+                 + 0.25 * c1_w2 / n_total)), 6) AS bits_per_bigram
+        FROM pp
+        JOIN big USING (w1, w2)
+        JOIN (SELECT w AS w1, c1 AS c1_w1 FROM uni) USING (w1)
+        JOIN (SELECT w AS w2, c1 AS c1_w2 FROM uni) USING (w2),
+        consts
+        GROUP BY doc_id
     """
 
     # Gopher rule gates (Rae et al. 2021 Table A1 analogs): word-count /

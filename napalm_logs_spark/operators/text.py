@@ -630,6 +630,79 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   alpha: float = 0.1, lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram language-model surprisal per document — the
+    Markov upgrade of :func:`unigram_logprob` (CCNet's actual filter is
+    a KenLM n-gram model, Wenzek et al. 2020 §3.3; a smoothed bigram is
+    its first non-trivial order, trained ON the corpus itself like the
+    unigram scorer).
+
+    Model: ``p(w2|w1) = λ·(C₂(w1,w2)+α)/(C₁(w1)+α·V) + (1−λ)·C₁(w2)/N``
+    (add-α conditional interpolated with the unigram), scored as
+    ``bits_per_bigram = round(−mean(log₂ p), 6)`` over a document's
+    adjacent token pairs.  Tokenization is identical to the unigram
+    scorer (lowercase, whitespace-normalize, split).  Documents with
+    fewer than two tokens have no bigrams and are excluded (the
+    sub-bigram guard — no pseudo-pairs).
+
+    Scale shape: one narrow pass builds the pair stream (``transform``
+    over ``sequence`` — no self-join to form adjacency); the bigram and
+    unigram count tables are map-side-combined groupBys bounded by
+    vocabulary (Zipf-hot keys pre-aggregate per partition before the
+    shuffle); the three count joins back onto the pair stream are
+    AQE-broadcast while the vocab fits; ``V``/``N`` ride a 1-row
+    broadcast crossJoin — no eager count() at plan-build time.  Final
+    doc_id groupBy is output-sized.
+    """
+    toks_all = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        TOKEN_SPLIT,
+    )
+    toks = F.filter(toks_all, lambda x: F.length(x) > 0)
+    base = df.select("doc_id", toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    consts = uni.agg(
+        F.sum("c1").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    pairs = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    p = (
+        pairs.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.log2(
+                F.lit(lam) * (F.col("c2") + F.lit(alpha))
+                / (F.col("c1_w1") + F.lit(alpha) * F.col("v"))
+                + F.lit(1.0 - lam) * F.col("c1_w2") / F.col("n_total")
+            ).alias("lp"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("bits_per_bigram"),
+    )
+
+
 _DSIR_HEX = "0123456789abcdef"
 
 

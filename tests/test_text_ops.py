@@ -364,6 +364,51 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[0].bits_per_token < got[1].bits_per_token < got[3].bits_per_token
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """3-doc corpus with a hand-computable interpolated bigram model:
+    the repeated 'a b' pair must score below the one-off 'c d'."""
+    import math
+
+    from napalm_logs_spark.operators.text import bigram_logprob
+
+    rows = [
+        (0, "a b a b"),   # bigrams: (a,b)x2, (b,a)x1
+        (1, "a b"),       # bigram: (a,b)
+        (2, "c d"),       # bigram: (c,d)
+    ]
+    # unigrams: a×3 b×3 c×1 d×1 → N=8, V=4
+    # C2: (a,b)=3, (b,a)=1, (c,d)=1
+    got = {r.doc_id: r for r in bigram_logprob(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        alpha=0.1, lam=0.75,
+    ).collect()}
+    N, V = 8.0, 4.0
+
+    def p(c2, c1_w1, c1_w2):
+        return 0.75 * (c2 + 0.1) / (c1_w1 + 0.1 * V) + 0.25 * c1_w2 / N
+
+    exp1 = round(-math.log2(p(3, 3, 3)), 6)
+    assert got[1].bits_per_bigram == exp1 and got[1].n_bigrams == 1
+    exp2 = round(-math.log2(p(1, 1, 1)), 6)
+    assert got[2].bits_per_bigram == exp2
+    exp0 = round(
+        -(2 * math.log2(p(3, 3, 3)) + math.log2(p(1, 3, 3))) / 3, 6
+    )
+    assert got[0].bits_per_bigram == exp0 and got[0].n_bigrams == 3
+    # the common pair is less surprising than the hapax pair
+    assert got[1].bits_per_bigram < got[2].bits_per_bigram
+
+
+def test_bigram_logprob_sub_bigram_docs_excluded(spark):
+    from napalm_logs_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "solo"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    assert sorted(r.doc_id for r in bigram_logprob(df).collect()) == [0]
+
+
 def test_unigram_logprob_empty_doc_dropped(spark):
     from napalm_logs_spark.operators.text import unigram_logprob
 
