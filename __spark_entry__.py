@@ -1710,6 +1710,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
 
+    def s_hard_negatives(spark, sf):
+        # contrastive-training negative mining (DPR-style): per row the
+        # k nearest OTHER-label rows via the shared-IVF kNN join
+        from napalm_logs_spark.operators.similarity import hard_negatives
+
+        return hard_negatives(
+            _t(spark, sf, "embeddings"), k=5, n_clusters=16, nprobe=2
+        )
+    q["s_hard_negatives"] = s_hard_negatives  # oracled: stored numpy golden
+
     def s_classifier(spark, sf):
         # model-based quality/domain gate (FineWeb-Edu/DCLM shape):
         # distributed full-batch softmax regression over the embedding
@@ -3723,6 +3733,16 @@ def oracle_sql() -> dict[str, str]:
     o["s_embedding_near_dup"] = f"""
         SELECT id_a, id_b, cosine
         FROM read_parquet('{gd}/near_dup_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_hard_negatives"] = f"""
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               cosine, rank
+        FROM read_parquet('{gd}/hard_negatives_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

@@ -616,6 +616,34 @@ def ivf_join_topk(
     reproducible on any partitioning, which is what lets a stored
     independent golden gate it.
     """
+    cand = _ivf_join_candidates(
+        df, n_clusters, nprobe, seed, sample_cap, id_col, emb_col
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivf_join_candidates(
+    df: DataFrame,
+    n_clusters: int,
+    nprobe: int,
+    seed: int,
+    sample_cap: int,
+    id_col: str,
+    emb_col: str,
+    carry: tuple = (),
+) -> DataFrame:
+    """Shared candidate stage of the large-to-large IVF joins: train
+    centroids on a bounded ordered sample, assign + probe both sides,
+    shuffle-hash-join on cluster, score exact cosine.  ``carry`` columns
+    ride along both sides as ``q_<col>`` / ``c_<col>`` (how
+    :func:`hard_negatives` gets labels onto the pair)."""
     sample_pdf = (
         df.select(id_col, emb_col).orderBy(id_col).limit(sample_cap).toPandas()
     )
@@ -633,6 +661,7 @@ def ivf_join_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(emb_col).alias("c_emb"),
             _norm(F.col(emb_col)).alias("c_nrm"),
+            *[F.col(x).alias(f"c_{x}") for x in carry],
         ),
         cent, "c_emb",
     )
@@ -641,19 +670,61 @@ def ivf_join_topk(
             F.col(id_col).alias("query_id"),
             F.col(emb_col).alias("q_emb"),
             _norm(F.col(emb_col)).alias("q_nrm"),
+            *[F.col(x).alias(f"q_{x}") for x in carry],
         ),
         cent, nprobe, "q_emb",
-    ).select("query_id", "q_emb", "q_nrm", "cluster")
+    ).select(
+        "query_id", "q_emb", "q_nrm",
+        *[f"q_{x}" for x in carry], "cluster",
+    )
     cand = c.join(q, "cluster").filter(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    return cand.withColumn("cosine", F.round(cos, 6))
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every row, the ``k`` most cosine-similar rows whose ``label_col``
+    DIFFERS — the near-but-wrong pairs that contrastive losses
+    (SimCLR/InfoNCE-style) and reranker training feed on.  At corpus
+    scale this is the standard "mine negatives from an ANN index" step
+    (e.g. DPR, Karpukhin et al. 2020 §4.2), expressed as the same
+    shared-IVF large-to-large join as :func:`ivf_join_topk` — labels
+    ride the candidate pair and the mismatch filter runs BEFORE the
+    top-k window, so matching-label candidates never consume rank
+    slots.  Same scale/determinism contract as the kNN join (one
+    cluster-keyed shuffle join, C ≈ √(N·nprobe), rank ties to the
+    lowest neighbor_id).
+    """
+    cand = _ivf_join_candidates(
+        df, n_clusters, nprobe, seed, sample_cap, id_col, emb_col,
+        carry=(label_col,),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("cosine", F.round(cos, 6))
+        cand.filter(F.col(f"c_{label_col}") != F.col(f"q_{label_col}"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(
+            "query_id",
+            F.col(f"q_{label_col}").cast("int").alias("query_label"),
+            "neighbor_id",
+            F.col(f"c_{label_col}").cast("int").alias("neighbor_label"),
+            "cosine",
+            "rank",
+        )
     )
 
 

@@ -284,6 +284,71 @@ def test_ivf_join_is_shuffle_join_not_broadcast_and_not_cartesian(emb):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hard_negatives_no_same_label_and_golden(emb):
+    """Every mined pair crosses labels; output matches the stored
+    independent-numpy golden bit-for-bit."""
+    import pandas as pd
+
+    from napalm_logs_spark.operators.similarity import hard_negatives
+
+    got = (
+        hard_negatives(emb, k=5, n_clusters=16, nprobe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (got["query_label"] != got["neighbor_label"]).all()
+    # ranks are contiguous from 1 per query
+    for _, g in got.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    golden = pd.read_parquet(
+        "/root/repo/testdata_goldens/hard_negatives_golden.parquet"
+    )
+    key = int(
+        np.floor(
+            np.array([v[0] for v in emb.select("embedding").toPandas()["embedding"]])
+            * 1000
+        ).astype(np.int64).sum()
+    )
+    g = (
+        golden[golden["scale_key"] == key]
+        .drop(columns=["scale_key"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(g) == len(got)
+    for c in ["query_id", "query_label", "neighbor_id", "neighbor_label", "rank"]:
+        assert (got[c].to_numpy() == g[c].to_numpy()).all(), c
+    assert np.allclose(got["cosine"], g["cosine"], atol=0)
+
+
+def test_hard_negatives_excludes_before_ranking(spark):
+    """A same-label nearest neighbor must not consume a rank slot: the
+    top hard negative is the nearest OTHER-label row, ranked 1."""
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import hard_negatives
+
+    # 0 and 1 nearly parallel with SAME label; 2 slightly off with a
+    # different label — for query 0 the only (and top) negative is 2
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.14, 0.0], 0),
+        (2, [0.9, 0.43, 0.0], 1),
+    ]
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.neighbor_label)
+        for r in hard_negatives(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label int"
+            ),
+            k=2, n_clusters=1, nprobe=1,
+        ).collect()
+    }
+    assert got[(0, 1)] == (2, 1)
+    assert (1, 1) not in got or got[(1, 1)][0] == 2
+
+
 def test_semdedup_planted_near_dup_dropped(spark):
     """Two near-identical vectors land in one cluster; the higher id is
     dropped, the lower kept; a distant vector survives untouched."""

@@ -585,11 +585,13 @@ def _numpy_ivf_centroids(M: np.ndarray, n_clusters: int, seed: int,
 
 
 def _numpy_ivf_topk_rows(M: np.ndarray, ids: np.ndarray, cent: np.ndarray,
-                         nprobe: int, k: int, query_idx) -> list:
+                         nprobe: int, k: int, query_idx,
+                         labels: np.ndarray | None = None) -> list:
     """Candidate scoring shared by the IVF goldens: corpus rows in their
     argmax lists, queries probe their nprobe stably ordered nearest
     lists, exact double cosine HALF_UP-rounded to 6, rank by (-cosine,
-    neighbor_id), top k."""
+    neighbor_id), top k.  With ``labels``, same-label candidates are
+    excluded BEFORE ranking (the hard-negative spec)."""
     norms = np.linalg.norm(M, axis=1)
     sims = (M @ cent.T) / np.where(norms[:, None] > 0, norms[:, None], 1.0)
     sims[norms == 0] = 0.0
@@ -605,11 +607,19 @@ def _numpy_ivf_topk_rows(M: np.ndarray, ids: np.ndarray, cent: np.ndarray,
             for j in members.get(int(c), ()):
                 if j == i:
                     continue
+                if labels is not None and labels[j] == labels[i]:
+                    continue
                 cos = float(M[i] @ M[j] / (norms[i] * norms[j]))
-                cands.append((int(ids[j]), float(_round_half_up(np.array([cos]))[0])))
-        cands.sort(key=lambda t2: (-t2[1], t2[0]))
-        for r, (nid, cos) in enumerate(cands[:k], start=1):
-            rows.append((int(ids[i]), nid, cos, r))
+                cands.append(
+                    (int(ids[j]), float(_round_half_up(np.array([cos]))[0]), j)
+                )
+        cands.sort(key=lambda t3: (-t3[1], t3[0]))
+        for r, (nid, cos, j) in enumerate(cands[:k], start=1):
+            if labels is not None:
+                rows.append((int(ids[i]), int(labels[i]), nid,
+                             int(labels[j]), cos, r))
+            else:
+                rows.append((int(ids[i]), nid, cos, r))
     return rows
 
 
@@ -637,6 +647,40 @@ def make_ann_join(
     out = pd.concat(frames, ignore_index=True)
     return out.astype({"query_id": "int64", "neighbor_id": "int64",
                        "rank": "int64", "scale_key": "int64"})
+
+
+def make_hard_negatives(
+    dim: int = 64, k: int = 5, n_clusters: int = 16, nprobe: int = 2,
+    seed: int = 42, sample_cap: int = 4096,
+) -> pd.DataFrame:
+    """Expected ``hard_negatives`` output per scale: the ann_join spec
+    with same-label candidates excluded before ranking."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        labels = emb["label"].to_numpy().astype("int64")
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        cent = _numpy_ivf_centroids(M, n_clusters, seed, sample_cap)
+        rows = _numpy_ivf_topk_rows(
+            M, ids, cent, nprobe, k, range(len(M)), labels=labels
+        )
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(rows, columns=["query_id", "query_label",
+                                        "neighbor_id", "neighbor_label",
+                                        "cosine", "rank"])
+            .assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({
+        "query_id": "int64", "query_label": "int32",
+        "neighbor_id": "int64", "neighbor_label": "int32",
+        "rank": "int64", "scale_key": "int64",
+    })
 
 
 def make_ann_lsh(
@@ -1130,6 +1174,9 @@ def main() -> None:
     cf = make_classifier()
     cf.to_parquet(os.path.join(OUT, "classifier_golden.parquet"), index=False)
     print(f"classifier: {len(cf)} rows across {cf['scale_key'].nunique()} sfs")
+    hn = make_hard_negatives()
+    hn.to_parquet(os.path.join(OUT, "hard_negatives_golden.parquet"), index=False)
+    print(f"hard_negatives: {len(hn)} rows across {hn['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
