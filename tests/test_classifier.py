@@ -114,6 +114,36 @@ def test_empty_and_null_inputs(spark):
     assert np.isfinite(W2).all()
 
 
+def test_predict_composes_with_structured_streaming(spark, tmp_path):
+    """Train batch, score a stream: softmax_predict is a narrow Arrow
+    UDF, so the same weights gate a readStream source — the deployment
+    shape where the classifier filters documents as they arrive."""
+    batch = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    W = softmax_train(batch, k=K, iters=4, lr=LR)
+    expected = {
+        r["vec_id"]: r["pred"]
+        for r in softmax_predict(batch, W).select("vec_id", "pred").collect()
+    }
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        softmax_predict(stream, W)
+        .select("vec_id", "pred")
+        .writeStream.format("memory")
+        .queryName("clf_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["vec_id"]: r["pred"]
+        for r in spark.sql("SELECT * FROM clf_stream_test").collect()
+    }
+    assert got == expected
+
+
 def test_matches_stored_golden(emb):
     golden = pd.read_parquet(
         "/root/repo/testdata_goldens/classifier_golden.parquet"
