@@ -106,44 +106,59 @@ def softmax_train(
         .filter(F.col(emb_col).isNotNull() & F.col(label_col).isNotNull())
     ).persist()
     try:
-        dim = len(base.select(emb_col).first()[0])
-    except TypeError:  # empty input: nothing to train on
+        first = base.select(emb_col).first()
+        if first is None:
+            raise ValueError(
+                "softmax_train: no trainable rows "
+                "(empty input, or every embedding/label is null)"
+            )
+        dim = len(first[0])
+        mn, mx = base.agg(F.min(label_col), F.max(label_col)).first()
+        if mn < 0 or mx >= k:
+            raise ValueError(
+                f"softmax_train: labels must lie in [0, {k}); "
+                f"saw min={mn} max={mx} — a negative label would "
+                "silently wrap in the gradient indexing"
+            )
+        W = np.zeros((k, dim + 1))
+        sc = df.sparkSession.sparkContext
+        width = k * (dim + 1) + 1
+        for _ in range(iters):
+            bw = sc.broadcast(W)
+
+            def _partials(batches, _bw=bw):
+                for pdf in batches:
+                    out = []
+                    for lo in range(0, len(pdf), _CHUNK):
+                        chunk = pdf.iloc[lo : lo + _CHUNK]
+                        M = _embs_matrix(chunk[emb_col].to_numpy())
+                        y = chunk[label_col].to_numpy().astype(np.int64)
+                        out.append(_grad_partial(M, y, _bw.value))
+                    if out:
+                        yield pd.DataFrame(
+                            {"g": [np.sum(out, axis=0).tolist()]}
+                        )
+
+            try:
+                sums = (
+                    base.mapInPandas(_partials, schema="g array<long>")
+                    .select(F.posexplode("g").alias("pos", "v"))
+                    .groupBy("pos")
+                    .agg(F.sum("v").alias("s"))
+                    .collect()
+                )
+            finally:
+                bw.unpersist()
+            total = np.zeros(width, dtype=np.int64)
+            for r in sums:
+                total[r["pos"]] = r["s"]
+            n = int(total[-1])
+            if n == 0:
+                break
+            G = total[:-1].reshape(k, dim + 1).astype(np.float64)
+            W = W - lr * ((G / GRAD_QUANT) / n + l2 * W)
+    finally:
         base.unpersist()
-        return np.zeros((k, 1))
-    W = np.zeros((k, dim + 1))
-    sc = df.sparkSession.sparkContext
-    width = k * (dim + 1) + 1
-    for _ in range(iters):
-        bw = sc.broadcast(W)
-
-        def _partials(batches, _bw=bw):
-            for pdf in batches:
-                out = []
-                for lo in range(0, len(pdf), _CHUNK):
-                    chunk = pdf.iloc[lo : lo + _CHUNK]
-                    M = _embs_matrix(chunk[emb_col].to_numpy())
-                    y = chunk[label_col].to_numpy().astype(np.int64)
-                    out.append(_grad_partial(M, y, _bw.value))
-                if out:
-                    yield pd.DataFrame({"g": [np.sum(out, axis=0).tolist()]})
-
-        sums = (
-            base.mapInPandas(_partials, schema="g array<long>")
-            .select(F.posexplode("g").alias("pos", "v"))
-            .groupBy("pos")
-            .agg(F.sum("v").alias("s"))
-            .collect()
-        )
-        total = np.zeros(width, dtype=np.int64)
-        for r in sums:
-            total[r["pos"]] = r["s"]
-        n = int(total[-1])
-        bw.unpersist()
-        if n == 0:
-            break
-        G = total[:-1].reshape(k, dim + 1).astype(np.float64)
-        W = W - lr * ((G / GRAD_QUANT) / n + l2 * W)
-    base.unpersist()
     return W
 
 
@@ -164,11 +179,17 @@ def softmax_predict(
 
     @pandas_udf("int")
     def _pred(embs: pd.Series) -> pd.Series:
-        if not len(embs):
-            return pd.Series([], dtype="int32")
-        M = _embs_matrix(embs.to_numpy())
-        Xb = np.concatenate([M, np.ones((len(M), 1))], axis=1)
-        return pd.Series((Xb @ bw.value.T).argmax(axis=1).astype("int32"))
+        out = pd.Series([pd.NA] * len(embs), dtype="Int32")
+        # null embeddings score null — the trainer drops them, so the
+        # scorer must tolerate them too (same corpus, composed op)
+        valid = embs.notna()
+        if valid.any():
+            M = _embs_matrix(embs[valid].to_numpy())
+            Xb = np.concatenate([M, np.ones((len(M), 1))], axis=1)
+            out[valid.to_numpy()] = (
+                (Xb @ bw.value.T).argmax(axis=1).astype("int32")
+            )
+        return out
 
     return df.withColumn(out_col, _pred(F.col(emb_col)))
 

@@ -660,11 +660,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         TOKEN_SPLIT,
     )
     toks = F.filter(toks_all, lambda x: F.length(x) > 0)
-    base = df.select("doc_id", toks.alias("t"))
+    # materialize the tokenized table once (lazy localCheckpoint, the
+    # semantic_dedup/dsir pattern): it feeds the unigram table AND the
+    # pair stream, and the pair stream is itself consumed twice (count
+    # table + probe side) — without the barrier the corpus would be
+    # re-scanned and re-tokenized up to 4x, since only identical
+    # exchanges get ReuseExchange
+    base = df.select("doc_id", toks.alias("t")).localCheckpoint(eager=False)
     uni = (
         base.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     consts = uni.agg(
         F.sum("c1").cast("double").alias("n_total"),

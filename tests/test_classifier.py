@@ -1,7 +1,9 @@
 """Model-based quality/domain classifier: distributed softmax
-regression (operators/classifier.py) vs an inline independent numpy
-replication, plus the determinism contracts the stored golden relies
-on (partitioning invariance, zero-weight reproducibility)."""
+regression (operators/classifier.py) vs the numpy reference
+implementation (shared with the golden generator so the two cannot
+drift — the Spark trainer is the only independent party), plus the
+determinism contracts the stored golden relies on (partitioning
+invariance, zero-weight reproducibility)."""
 
 import numpy as np
 import pandas as pd
@@ -14,6 +16,7 @@ from napalm_logs_spark.operators.classifier import (
     softmax_predict,
     softmax_train,
 )
+from tools.make_goldens import numpy_softmax_train
 
 SF_DIR = "/root/testdata/sf0.001"
 K, ITERS, LR = 10, 8, 5.0
@@ -24,26 +27,9 @@ def emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
 
-def _numpy_train(M, y, k, iters, lr, l2=0.0):
-    """Independent replication of the published spec (same as
-    tools/make_goldens.make_classifier)."""
-    n, d = M.shape
-    Xb = np.concatenate([M, np.ones((n, 1))], axis=1)
-    W = np.zeros((k, d + 1))
-    for _ in range(iters):
-        Z = Xb @ W.T
-        Z = Z - Z.max(axis=1, keepdims=True)
-        P = np.exp(Z)
-        P = P / P.sum(axis=1, keepdims=True)
-        R = P
-        R[np.arange(n), y] -= 1.0
-        G = (
-            np.rint(np.einsum("nk,nd->nkd", R, Xb) * GRAD_QUANT)
-            .astype(np.int64)
-            .sum(axis=0)
-        )
-        W = W - lr * ((G / GRAD_QUANT) / n + l2 * W)
-    return W
+# One shared numpy reference (tools/make_goldens.numpy_softmax_train)
+# backs both this test and the golden generator.
+_numpy_train = numpy_softmax_train
 
 
 @pytest.fixture(scope="module")
@@ -99,11 +85,14 @@ def test_predict_ties_break_low(spark):
 
 
 def test_empty_and_null_inputs(spark):
+    # an empty (or all-null) training set is a configuration error:
+    # loud ValueError, not a degenerate weight matrix that crashes
+    # the predict stage later with an opaque shape mismatch
     empty = spark.createDataFrame(
         [], "vec_id long, embedding array<double>, label int"
     )
-    W = softmax_train(empty, k=3, iters=2)
-    assert W.shape[0] == 3
+    with pytest.raises(ValueError, match="no trainable rows"):
+        softmax_train(empty, k=3, iters=2)
     # null embedding / null label rows are excluded from training
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, None, 1), (3, [0.0, 1.0], None)],
@@ -112,6 +101,36 @@ def test_empty_and_null_inputs(spark):
     W2 = softmax_train(df, k=2, iters=2, lr=1.0)
     assert W2.shape == (2, 3)
     assert np.isfinite(W2).all()
+    # ...and the scorer tolerates the same null rows the trainer
+    # drops: null embedding -> null prediction, valid rows scored
+    preds = {
+        r["vec_id"]: r["pred"]
+        for r in softmax_predict(df, W2).select("vec_id", "pred").collect()
+    }
+    assert preds[2] is None
+    assert preds[1] is not None and preds[3] is not None
+    # the composed gate runs end-to-end on the null-bearing frame
+    out = classifier_filter(
+        df.filter(F.col("label").isNotNull()), k=2, iters=2, lr=1.0
+    ).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}
+
+
+def test_label_range_validated(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # label >= k: loud driver-side error, not an executor IndexError
+    with pytest.raises(ValueError, match=r"labels must lie in \[0, 3\)"):
+        softmax_train(df, k=3, iters=1)
+    # negative labels would silently wrap in numpy fancy indexing
+    neg = spark.createDataFrame(
+        [(1, [1.0, 0.0], -1), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with pytest.raises(ValueError, match="labels must lie in"):
+        softmax_train(neg, k=3, iters=1)
 
 
 def test_predict_composes_with_structured_streaming(spark, tmp_path):

@@ -319,7 +319,10 @@ def test_hard_negatives_no_same_label_and_golden(emb):
     assert len(g) == len(got)
     for c in ["query_id", "query_label", "neighbor_id", "neighbor_label", "rank"]:
         assert (got[c].to_numpy() == g[c].to_numpy()).all(), c
-    assert np.allclose(got["cosine"], g["cosine"], atol=0)
+    # rtol=0 too: cosines are HALF_UP-rounded to 6 decimals on both
+    # sides, so the match must be exact — default rtol would mask a
+    # last-digit determinism regression
+    assert np.allclose(got["cosine"], g["cosine"], atol=0, rtol=0)
 
 
 def test_hard_negatives_excludes_before_ranking(spark):

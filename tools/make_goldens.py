@@ -1068,13 +1068,36 @@ def make_ann_pq(
                        "rank": "int64", "scale_key": "int64"})
 
 
-def make_classifier(k: int = 10, iters: int = 20, lr: float = 5.0,
-                    l2: float = 0.0) -> pd.DataFrame:
-    """Independent numpy replication of operators/classifier.py's
+def numpy_softmax_train(M, y, k, iters, lr, l2=0.0):
+    """The SINGLE numpy reference for operators/classifier.py's
     published spec: full-batch softmax regression from zero weights,
     per-row rint-fixed-point (2^20) gradient quantization before the
-    integer sum, float64 driver update, argmax ties -> lowest class."""
+    integer sum, float64 driver update.  Shared by the golden
+    generator below AND tests/test_classifier.py so the two cannot
+    drift apart — the Spark trainer is the only independent party."""
     QUANT = float(1 << 20)
+    n, d = M.shape
+    Xb = np.concatenate([M, np.ones((n, 1))], axis=1)
+    W = np.zeros((k, d + 1))
+    for _ in range(iters):
+        Z = Xb @ W.T
+        Z = Z - Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        R = P / P.sum(axis=1, keepdims=True)
+        R[np.arange(n), y] -= 1.0
+        G = (
+            np.rint(np.einsum("nk,nd->nkd", R, Xb) * QUANT)
+            .astype(np.int64)
+            .sum(axis=0)
+        )
+        W = W - lr * ((G / QUANT) / n + l2 * W)
+    return W
+
+
+def make_classifier(k: int = 10, iters: int = 20, lr: float = 5.0,
+                    l2: float = 0.0) -> pd.DataFrame:
+    """Golden = numpy_softmax_train weights applied to the same rows,
+    argmax ties -> lowest class."""
     frames = []
     for sf in SFS:
         path = os.path.join(TESTDATA, sf, "embeddings.parquet")
@@ -1086,20 +1109,7 @@ def make_classifier(k: int = 10, iters: int = 20, lr: float = 5.0,
         y = emb["label"].to_numpy().astype("int64")
         n, d = M.shape
         Xb = np.concatenate([M, np.ones((n, 1))], axis=1)
-        W = np.zeros((k, d + 1))
-        for _ in range(iters):
-            Z = Xb @ W.T
-            Z = Z - Z.max(axis=1, keepdims=True)
-            P = np.exp(Z)
-            P = P / P.sum(axis=1, keepdims=True)
-            R = P
-            R[np.arange(n), y] -= 1.0
-            G = (
-                np.rint(np.einsum("nk,nd->nkd", R, Xb) * QUANT)
-                .astype(np.int64)
-                .sum(axis=0)
-            )
-            W = W - lr * ((G / QUANT) / n + l2 * W)
+        W = numpy_softmax_train(M, y, k, iters, lr, l2)
         pred = (Xb @ W.T).argmax(axis=1)
         scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
         frames.append(pd.DataFrame({
