@@ -278,6 +278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c12_hysteresis"] = c12_hysteresis
 
+    def c15_rate_anomaly(spark, sf):
+        from napalm_logs_spark.operators.cep import rate_anomaly
+
+        ev = _t(spark, sf, "events")
+        return rate_anomaly(
+            ev, key="user_id", window_seconds=86400,
+            baseline=7, min_baseline=3, z_hi=2.0,
+        )
+    q["c15_rate_anomaly"] = c15_rate_anomaly
+
     def c7_sessions(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1710,6 +1720,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_kmeans"] = s_kmeans  # oracled: stored numpy golden (fixed-point sums)
 
+    def s_pca(spark, sf):
+        # one-pass distributed PCA (fixed-point moment sums -> driver
+        # eigh -> broadcast projection); floor-1e6 fixed-point output
+        # so the driver compare has no decimal-rounding engine skew
+        from napalm_logs_spark.operators.similarity import pca_reduce
+
+        out = pca_reduce(_t(spark, sf, "embeddings"), n_components=4)
+        return out.select(
+            "vec_id",
+            *[
+                F.floor(F.col("pc")[i] * 1e6).cast("long").alias(f"pc{i+1}_e6")
+                for i in range(4)
+            ],
+        )
+    q["s_pca"] = s_pca  # oracled: stored numpy golden (independent replication)
+
     def s_hard_negatives(spark, sf):
         # contrastive-training negative mining (DPR-style): per row the
         # k nearest OTHER-label rows via the shared-IVF kNN join
@@ -2071,13 +2097,17 @@ _PRIORITY_50 = [
     # the core normalize engine (M2-M9) — reference tests/test_config.py:85-209
     "golden_normalize",
     # one-per-family + everything driver-unchecked in r02
+    # d_dedup_keep rotates out (d_exact_dup_groups keeps exact dedup
+    # represented) for the PCA family's first driver row:
     "d_exact_dup_groups", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash",
-    "d_dup_clusters", "d_dedup_keep", "d_decontaminate", "d_leakage_splits",
+    "d_dup_clusters", "s_pca", "d_decontaminate", "d_leakage_splits",
     "d_dup_spans", "d_segment_dedup",  # new session 3: corpus line dedup
     # t_fingerprint (md5 + rolling hash, the family's simplest member)
     # rotates out for the numerically-richer bigram LM scorer:
+    # t_winnow_pairs rotates out (t_winnow keeps the fingerprint family
+    # represented) for the adaptive-threshold CEP alert's first row:
     "t_tokens", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
-    "t_winnow_pairs", "t_clean", "t_pii_scrub", "t_ccnet_quality",
+    "c15_rate_anomaly", "t_clean", "t_pii_scrub", "t_ccnet_quality",
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
     "t_repetition", "t_sample_mix",
     # t_mix_temperature rotates out (t_sample_mix keeps the mixing
@@ -2226,6 +2256,49 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY win_start
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS INT) AS alert
         FROM marked
+    """
+
+    # same explicit exact-integer-sum variance formula as the Spark
+    # side (cep.rate_anomaly) — identical double expression trees, so
+    # no engine-internal stddev summation-order dependence
+    o["c15_rate_anomaly"] = """
+        WITH sparse AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS win_start,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(mn, mx, 86400)) AS BIGINT) AS win_start
+          FROM (SELECT user_id, min(win_start) AS mn, max(win_start) AS mx
+                FROM sparse GROUP BY 1)
+        ), counts AS (
+          SELECT sp.user_id, sp.win_start, coalesce(s.n, 0) AS n
+          FROM spine sp LEFT JOIN sparse s USING (user_id, win_start)
+        ), stats AS (
+          SELECT user_id, win_start, n,
+                 CAST(count(*) OVER wb AS DOUBLE) AS nb,
+                 CAST(coalesce(sum(n) OVER wb, 0) AS DOUBLE) AS s1,
+                 coalesce(sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER wb,
+                          0) AS s2
+          FROM counts
+          WINDOW wb AS (PARTITION BY user_id ORDER BY win_start
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, win_start, n,
+               CAST(nb AS BIGINT) AS n_baseline,
+               CASE WHEN nb >= 1 THEN round(s1 / nb, 6) END AS mu,
+               CASE WHEN nb >= 3 AND (nb * s2 - s1 * s1) > 0 THEN
+                 round((n - s1 / nb)
+                       / sqrt((nb * s2 - s1 * s1) / (nb * (nb - 1))), 6)
+               END AS z,
+               CAST(CASE WHEN nb >= 3 AND (
+                      ((nb * s2 - s1 * s1) > 0 AND
+                       (n - s1 / nb)
+                       / sqrt((nb * s2 - s1 * s1) / (nb * (nb - 1))) >= 2.0)
+                      OR ((nb * s2 - s1 * s1) = 0 AND n > s1 / nb))
+                    THEN 1 ELSE 0 END AS INT) AS anomaly
+        FROM stats
     """
 
     o["c11_window_topk"] = """
@@ -3761,6 +3834,15 @@ def oracle_sql() -> dict[str, str]:
     o["s_kmeans"] = f"""
         SELECT vec_id, cluster
         FROM read_parquet('{gd}/kmeans_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_pca"] = f"""
+        SELECT vec_id, pc1_e6, pc2_e6, pc3_e6, pc4_e6
+        FROM read_parquet('{gd}/pca_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

@@ -396,6 +396,40 @@ def hysteresis_alerts(
     """
     from pyspark.sql import functions as F
 
+    counts = _tumbling_counts(
+        events, key, ts_col, window_seconds, predicate, densify
+    )
+    mark = (
+        F.when(F.col("n") >= hi, F.lit(1))
+        .when(F.col("n") < lo, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    w = Window.partitionBy(key).orderBy("win_start")
+    return (
+        counts.withColumn("_mark", mark)
+        .withColumn(
+            "alert",
+            F.coalesce(
+                F.last("_mark", ignorenulls=True).over(w), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("_mark")
+    )
+
+
+def _tumbling_counts(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    window_seconds: int,
+    predicate,
+    densify: bool,
+) -> DataFrame:
+    """(key, win_start, n) tumbling-window counts; ``densify`` fills
+    every window between a key's first and last observed window with
+    ``n = 0`` (sequence/explode spine — bounded by the key's time span
+    over the window size, the semantically required output).  Shared by
+    :func:`hysteresis_alerts` and :func:`rate_anomaly`."""
     ev = events.filter(predicate) if predicate is not None else events
     win = (F.floor(F.unix_timestamp(F.col(ts_col)) / window_seconds)
            * window_seconds).cast("long")
@@ -416,19 +450,105 @@ def hysteresis_alerts(
         counts = spine.join(counts, [key, "win_start"], "left").withColumn(
             "n", F.coalesce(F.col("n"), F.lit(0)).cast("long")
         )
-    mark = (
-        F.when(F.col("n") >= hi, F.lit(1))
-        .when(F.col("n") < lo, F.lit(0))
-        .otherwise(F.lit(None).cast("int"))
+    return counts
+
+
+def rate_anomaly(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    baseline: int = 7,
+    min_baseline: int = 3,
+    z_hi: float = 2.0,
+    predicate=None,
+) -> DataFrame:
+    """Per-key event-rate anomaly detection: flag a tumbling window
+    whose count is ``z_hi`` sample standard deviations above the mean
+    of the trailing ``baseline`` windows — the monitoring escalation on
+    top of plain counters (C3) and fixed thresholds (C12): the
+    threshold adapts to each key's own recent rate, so a chatty device
+    and a quiet one alarm at their own scales (the reference exposes
+    raw per-error counters and leaves thresholds to the operator,
+    transport/prometheus.py; this computes the adaptive threshold
+    in-engine).
+
+    Semantics per (key, window), over DENSE windows (silent windows
+    count as ``n = 0`` — a baseline that skipped them would
+    overestimate the recent rate and mask real spikes):
+
+    - ``n_baseline`` — how many trailing windows exist (< ``baseline``
+      near a key's start);
+    - ``mu`` — trailing mean; ``z`` — ``(n - mu) / sd`` with the
+      SAMPLE stddev, emitted only when ``n_baseline >= min_baseline``
+      and the baseline has any variance;
+    - ``anomaly`` — 1 when the baseline is deep enough AND (``z >=
+      z_hi``, or the baseline is FLAT (sd = 0) and ``n > mu`` — a
+      first deviation from a constant rate is an anomaly even though
+      z is undefined).
+
+    Determinism/portability: mean and variance are computed from
+    integer window counts via exact double sums (``nb·Σn² − (Σn)²``
+    — every intermediate is an integer below 2^53), with the SAME
+    explicit expression tree on the Spark and oracle sides, so the
+    doubles are bit-identical — no reliance on engine-internal
+    ``stddev`` summation order.
+
+    Scale shape: one partial-aggregated count shuffle + a spine join
+    sharing the key partitioning + one per-key ordered window pass —
+    identical to C12; the frame is ``ROWS BETWEEN baseline PRECEDING
+    AND 1 PRECEDING`` over the dense spine, so rows = windows and the
+    state per key is O(baseline).
+    """
+    counts = _tumbling_counts(
+        events, key, ts_col, window_seconds, predicate, densify=True
     )
-    w = Window.partitionBy(key).orderBy("win_start")
-    return (
-        counts.withColumn("_mark", mark)
-        .withColumn(
-            "alert",
-            F.coalesce(
-                F.last("_mark", ignorenulls=True).over(w), F.lit(0)
-            ).cast("int"),
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("win_start")
+        .rowsBetween(-baseline, -1)
+    )
+    # materialize the three frame aggregates ONCE before deriving the
+    # verdict columns: referencing the .over() expressions directly in
+    # each output would list ~36 duplicate window functions in the
+    # physical Window node (Spark computes every listed copy)
+    stats = counts.select(
+        key,
+        "win_start",
+        "n",
+        F.count(F.lit(1)).over(wb).cast("double").alias("_nb"),
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast("double").alias("_s1"),
+        F.coalesce(
+            F.sum((F.col("n") * F.col("n")).cast("double")).over(wb),
+            F.lit(0.0),
+        ).alias("_s2"),
+    )
+    nb, s1, s2 = F.col("_nb"), F.col("_s1"), F.col("_s2")
+    # try_divide: NULL (not an ANSI error) on the nb==0 / nb==1 /
+    # flat-baseline rows — every use below is guarded, but predicates
+    # and CaseWhen branches are not short-circuit-safe once the window
+    # aggregates are materialized columns
+    mu = F.try_divide(s1, nb)
+    var_num = nb * s2 - s1 * s1          # = nb·(nb−1)·sample-variance
+    sd = F.sqrt(F.try_divide(var_num, nb * (nb - F.lit(1.0))))
+    z_raw = F.try_divide(F.col("n").cast("double") - mu, sd)
+    deep = nb >= F.lit(float(min_baseline))
+    return stats.select(
+        key,
+        "win_start",
+        "n",
+        nb.cast("long").alias("n_baseline"),
+        F.when(nb >= 1, F.round(mu, 6)).alias("mu"),
+        F.when(deep & (var_num > 0), F.round(z_raw, 6)).alias("z"),
+        F.when(
+            deep
+            & (
+                ((var_num > 0) & (z_raw >= F.lit(z_hi)))
+                | ((var_num == 0) & (F.col("n") > mu))
+            ),
+            F.lit(1),
         )
-        .drop("_mark")
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("anomaly"),
     )

@@ -1204,3 +1204,157 @@ def quantize_int8(
         )
     )
     return out.select(id_col, "scale", "codes", err.alias("recon_err"))
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (one-pass covariance, broadcast projection)
+
+# finer than KMEANS_QUANT: covariance second moments are O(0.25) per
+# row for unit-norm embeddings, so 2^24 keeps ~7 significant digits per
+# contribution while the int64 accumulator still holds ~2e12 rows
+# (n_rows * 2^24 * 0.25 < 2^63)
+PCA_QUANT = float(1 << 24)
+# rows per in-UDF chunk: bounds the chunk x dim x dim outer-product
+# tensor (512 x 64 x 64 x 8 B ~ 17 MB) regardless of Arrow batch size
+_PCA_CHUNK = 512
+
+
+def _pca_partial(M: np.ndarray) -> np.ndarray:
+    """Fixed-point moment partial over a chunk of rows: flat int64
+    vector ``[vec(Σ rint(x·xᵀ·Q)), Σ rint(x·Q), n]``.  Per-ROW
+    contributions are quantized before the integer sum, so any chunking
+    or partitioning sums to the same total (the k-means/classifier
+    determinism contract)."""
+    n, d = M.shape
+    outer = (
+        np.rint(np.einsum("ni,nj->nij", M, M) * PCA_QUANT)
+        .astype(np.int64)
+        .sum(axis=0)
+    )
+    s1 = np.rint(M * PCA_QUANT).astype(np.int64).sum(axis=0)
+    return np.concatenate([outer.ravel(), s1, np.array([n], dtype=np.int64)])
+
+
+def numpy_pca_from_moments(
+    outer: np.ndarray, s1: np.ndarray, n: int, n_components: int
+):
+    """mean + sign-fixed principal components from the fixed-point
+    moment sums (driver-side float64 math, shared with the golden
+    generator via tools/make_goldens)."""
+    S2 = outer.astype(np.float64) / PCA_QUANT
+    S1 = s1.astype(np.float64) / PCA_QUANT
+    mean = S1 / n
+    cov = (S2 - np.outer(S1, S1) / n) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :n_components].T.copy()
+    evr = vals[::-1][:n_components] / vals.sum()
+    # deterministic sign: the largest-|entry| coordinate (first on
+    # ties) is made positive — eigenvectors are only defined up to sign
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evr
+
+
+def pca_fit(
+    df: DataFrame,
+    n_components: int = 4,
+    emb_col: str = "embedding",
+):
+    """Fit PCA over the corpus in ONE distributed pass → ``(mean,
+    components, explained_variance_ratio)``.
+
+    The LLM-data shape: dimensionality reduction before clustering /
+    visualization / cheap near-dup, and the Matryoshka-style truncated
+    representation.  Scale: each Arrow batch emits one flat int64
+    moment row (``dim² + dim + 1`` longs — dim=64 → 4161), reduced by
+    ``posexplode → groupBy(pos).sum`` with map-side combine, so the
+    shuffle is ``partitions × (dim²+dim+1)`` rows and the driver holds
+    one dim×dim matrix; the eigendecomposition is driver-side float64
+    on that dim×dim covariance (O(dim³), corpus-independent).
+
+    Determinism: per-row fixed-point quantization before the integer
+    sum (order-independent under any partitioning/AQE), zero-seed-free
+    driver eigh, and a sign convention (largest-|entry| coordinate
+    positive) — an independent numpy replication over the same rows
+    reproduces components and projections bit-for-bit.
+    """
+    base = widen_if_narrow_scan(
+        df.select(emb_col).filter(F.col(emb_col).isNotNull())
+    )
+    first = base.first()
+    if first is None:
+        raise ValueError("pca_fit: no rows with a non-null embedding")
+    dim = len(first[0])
+    width = dim * dim + dim + 1
+
+    def _partials(batches):
+        for pdf in batches:
+            out = []
+            for lo in range(0, len(pdf), _PCA_CHUNK):
+                M = _embs_matrix(pdf[emb_col].iloc[lo : lo + _PCA_CHUNK].to_numpy())
+                out.append(_pca_partial(M))
+            if out:
+                yield pd.DataFrame({"g": [np.sum(out, axis=0).tolist()]})
+
+    sums = (
+        base.mapInPandas(_partials, schema="g array<long>")
+        .select(F.posexplode("g").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    total = np.zeros(width, dtype=np.int64)
+    for r in sums:
+        total[r["pos"]] = r["s"]
+    n = int(total[-1])
+    if n < 2:
+        raise ValueError(f"pca_fit: need >= 2 rows, saw {n}")
+    outer = total[: dim * dim].reshape(dim, dim)
+    s1 = total[dim * dim : dim * dim + dim]
+    return numpy_pca_from_moments(outer, s1, n, n_components)
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Project every row onto the fitted components → ``(id, pc
+    array<double>)``.  mean/components ride as ONE broadcast variable
+    into an Arrow-batched pandas UDF (one centered matmul per batch, no
+    shuffle, plan O(1) in dim·k); null embeddings project to null."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        (np.asarray(mean, dtype="float64"),
+         np.asarray(components, dtype="float64"))
+    )
+
+    @pandas_udf("array<double>")
+    def _proj(embs: pd.Series) -> pd.Series:
+        out = [None] * len(embs)
+        valid = embs.notna().to_numpy()
+        if valid.any():
+            mu, comps = bc.value
+            M = _embs_matrix(embs[valid].to_numpy())
+            T = (M - mu) @ comps.T
+            # positional assembly — a masked Series assignment of
+            # array-valued cells trips pandas putmask
+            for j, i in enumerate(np.nonzero(valid)[0]):
+                out[i] = T[j]
+        return pd.Series(out, dtype="object")
+
+    return df.select(id_col, _proj(F.col(emb_col)).alias("pc"))
+
+
+def pca_reduce(
+    df: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Fit-then-project composition (the one-call reducer)."""
+    mean, comps, _ = pca_fit(df, n_components, emb_col=emb_col)
+    return pca_project(df, mean, comps, id_col=id_col, emb_col=emb_col)

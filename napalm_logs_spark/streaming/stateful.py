@@ -255,3 +255,143 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rate_anomaly_stream(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    baseline: int = 7,
+    min_baseline: int = 3,
+    z_hi: float = 2.0,
+    key_type: str = "long",
+) -> DataFrame:
+    """Streaming form of :func:`operators.cep.rate_anomaly` with
+    **O(baseline) state per key**: per-key trailing-window z-score
+    alerting where a window's verdict is emitted exactly when the
+    window CLOSES — on the first event of a later window, or when the
+    event-time watermark passes the open window's end (so a key that
+    goes silent still gets its final verdict; add ``withWatermark``
+    upstream, EventTimeTimeout requires it).
+
+    State = the open window's ``(win_start, n)`` plus the trailing
+    ≤ ``baseline`` closed-window counts — a few longs per key however
+    long the stream runs.  Verdict math is the batch operator's exact
+    formula (sample variance from integer count sums, flat-baseline
+    first-deviation rule); ``mu``/``z`` are emitted UNROUNDED (the
+    batch op rounds for oracle portability).
+
+    Silent windows between two events count as ``n = 0`` in the
+    baseline (the batch op's dense spine).  Bounded-output choice: per
+    gap, at most the ``baseline`` trailing silent windows are emitted
+    and retained — earlier ones cannot influence any later verdict
+    (the deque would already be all zeros), so a month-long-quiet key
+    costs ``baseline`` rows, not a month of zeros.  Rows older than
+    the open window (post-watermark stragglers) are dropped.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T._parse_datatype_string(key_type)),
+            T.StructField("win_start", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("n_baseline", T.LongType()),
+            T.StructField("mu", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("anomaly", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cur_win", T.LongType()),
+            T.StructField("cur_n", T.LongType()),
+            T.StructField("wins", T.ArrayType(T.LongType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+        ]
+    )
+    W = int(window_seconds)
+
+    def _verdict(n: int, ns: list):
+        """(n_baseline, mu, z, anomaly) — the batch op's expression
+        tree re-evaluated in float64 (same IEEE ops, same doubles)."""
+        nb = len(ns)
+        if nb < 1:
+            return 0, None, None, 0
+        nbf = float(nb)
+        s1 = float(sum(ns))
+        mu = s1 / nbf
+        if nb < min_baseline:
+            return nb, mu, None, 0
+        s2 = float(sum(v * v for v in ns))
+        var_num = nbf * s2 - s1 * s1
+        if var_num > 0:
+            sd = (var_num / (nbf * (nbf - 1.0))) ** 0.5
+            zv = (float(n) - mu) / sd
+            return nb, mu, zv, int(zv >= z_hi)
+        return nb, mu, None, int(n > mu)
+
+    def ra(key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_win, cur_n, wins, ns = state.get
+            wins, ns = list(wins), list(ns)
+        else:
+            cur_win, cur_n, wins, ns = None, 0, [], []
+        rows = []
+        kv = key_vals[0]
+
+        def close(w, n):
+            nb, mu, zv, an = _verdict(n, ns)
+            rows.append((kv, w, n, nb, mu, zv, an))
+            wins.append(w)
+            ns.append(n)
+            if len(wins) > baseline:
+                wins.pop(0)
+                ns.pop(0)
+
+        def advance_to(w):
+            # close the open window, then the (capped) silent gap
+            nonlocal cur_win, cur_n
+            if cur_win is not None:
+                close(cur_win, cur_n)
+                start = cur_win + W
+            elif wins:
+                start = wins[-1] + W
+            else:
+                start = w
+            gap = list(range(start, w, W))
+            for silent in gap[-baseline:]:
+                close(silent, 0)
+            cur_win, cur_n = w, 0
+
+        if state.hasTimedOut:
+            if cur_win is not None:
+                close(cur_win, cur_n)
+                cur_win, cur_n = None, 0
+        else:
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
+                for ts in pdf[ts_col]:
+                    w = int(ts.timestamp() // W) * W
+                    if cur_win is None or w > cur_win:
+                        advance_to(w)
+                    if w == cur_win:
+                        cur_n += 1
+                    # w < cur_win: post-watermark straggler — dropped
+            if cur_win is not None:
+                # close at the watermark: fire when event time passes
+                # the open window's end
+                state.setTimeoutTimestamp((cur_win + W) * 1000)
+        state.update((cur_win, cur_n, wins, ns))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key, "win_start", "n", "n_baseline", "mu", "z", "anomaly"],
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        ra,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

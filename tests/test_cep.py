@@ -437,3 +437,81 @@ def test_hysteresis_releases_across_silent_gap(spark):
     )
     assert [n for _, n, _ in sparse] == [4, 2]
     assert [a for _, _, a in sparse] == [1, 1]
+
+
+def test_rate_anomaly_z_flat_and_shallow_branches(spark):
+    """Hand-computed verdicts for all three regimes: a z-scored spike
+    over a varying baseline, the flat-baseline (sd = 0) first
+    deviation, and the shallow-baseline (n_baseline < min) abstain —
+    with silent windows densified into the baseline as n = 0."""
+    import datetime as dt
+
+    import numpy as np
+
+    from napalm_logs_spark.operators.cep import rate_anomaly
+
+    base = dt.datetime(2017, 7, 20, 0, 0, 0)
+    rows = []
+    # user 1: hourly counts [2, 1, 2, 1, 9] -> the last window's
+    # trailing-4 baseline is [2,1,2,1]: mu=1.5, sample sd=sqrt(1/3)
+    for w, k in enumerate([2, 1, 2, 1, 9]):
+        for j in range(k):
+            rows.append((1, base + dt.timedelta(hours=w, minutes=j)))
+    # user 2: flat [1, 1, 1] then a silent hour then 2 -> baseline of
+    # the last window is [1,1,1,0]: VARYING (the silent window broke
+    # the flat run), while window 3 (n=0) sees flat [1,1,1], sd=0,
+    # 0 > 1 false -> no anomaly
+    for w, k in [(0, 1), (1, 1), (2, 1), (4, 2)]:
+        for j in range(k):
+            rows.append((2, base + dt.timedelta(hours=w, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.win_start): r
+        for r in rate_anomaly(
+            df, key="user_id", window_seconds=3600,
+            baseline=4, min_baseline=3, z_hi=2.0,
+        ).collect()
+    }
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    spike = got[(1, t0 + 4 * 3600)]
+    mu, sd = 1.5, np.sqrt(1.0 / 3.0)
+    assert spike.n == 9 and spike.n_baseline == 4
+    assert spike.mu == round(mu, 6)
+    assert spike.z == round((9 - mu) / sd, 6)
+    assert spike.anomaly == 1
+    # windows 0..2 have n_baseline < 3: abstain whatever the count
+    for w in range(3):
+        r = got[(1, t0 + w * 3600)]
+        assert r.anomaly == 0 and r.z is None
+    # user 2, window 3 (densified n=0): flat baseline, no deviation up
+    quiet = got[(2, t0 + 3 * 3600)]
+    assert quiet.n == 0 and quiet.z is None and quiet.anomaly == 0
+    # user 2, window 4: flat-... baseline [1,1,1,0] varies -> z path
+    burst = got[(2, t0 + 4 * 3600)]
+    assert burst.n == 2 and burst.n_baseline == 4
+    assert burst.z is not None and burst.anomaly == 1
+
+
+def test_rate_anomaly_flat_baseline_first_deviation(spark):
+    """sd = 0 with n > mu flags even though z is undefined."""
+    import datetime as dt
+
+    from napalm_logs_spark.operators.cep import rate_anomaly
+
+    base = dt.datetime(2017, 7, 20, 0, 0, 0)
+    rows = []
+    for w, k in enumerate([2, 2, 2, 5]):
+        for j in range(k):
+            rows.append((1, base + dt.timedelta(hours=w, minutes=j)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r.win_start: r
+        for r in rate_anomaly(
+            df, key="user_id", window_seconds=3600,
+            baseline=4, min_baseline=3, z_hi=2.0,
+        ).collect()
+    }
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    r = out[t0 + 3 * 3600]
+    assert r.n == 5 and r.mu == 2.0 and r.z is None and r.anomaly == 1

