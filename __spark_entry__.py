@@ -1482,6 +1482,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_url_canon"] = t_url_canon  # oracled: stored urllib-replication golden
 
+    def t_html_extract(spark, sf):
+        # HTML -> text extraction (C4/RefinedWeb boilerplate strip):
+        # documents carry no markup, so each text is wrapped in a
+        # deterministic HTML scaffold (script with embedded tags +
+        # comparison '<', style, comment, entities) built by the SAME
+        # concat on both engines — the oracle replays the documented
+        # regex chain in SQL, valid at any scale factor
+        from napalm_logs_spark.operators.text import html_extract
+
+        docs = _t(spark, sf, "documents")
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(_HTML_PRE), F.col("doc_id").cast("string"),
+                F.lit(_HTML_MID), F.col("doc_id").cast("string"),
+                F.lit(_HTML_MID2), F.col("text"), F.lit(_HTML_POST),
+            ).alias("html"),
+        )
+        return html_extract(wrapped)
+    q["t_html_extract"] = t_html_extract
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -2093,6 +2114,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # front-loads them (VERDICT r2, "Next round" item 1). Previously driver-green
 # entries (full CORRECTNESS_r02 rows) rotate behind; all 90+ remain gated by the
 # pytest oracle mirror (tests/test_entry_contract.py) regardless of position.
+# HTML scaffold for t_html_extract — shared between the Spark concat
+# and the oracle's || chain (no single quotes: the pieces embed
+# directly in SQL literals)
+_HTML_PRE = "<html><head><title>Doc "
+_HTML_MID = (
+    '</title><style type="text/css">p { color: #333; }</style>'
+    '<script>if (1 < 2) { x = "</p>"; }</script></head><body>'
+    "<!-- banner --><h1>Doc "
+)
+_HTML_MID2 = "</h1><p>"
+_HTML_POST = (
+    '</p><br/><div class="foot">&copy; 2024 Example &amp; Co'
+    " &mdash;&nbsp;fin</div></body></html>"
+)
+
 _PRIORITY_50 = [
     # the core normalize engine (M2-M9) — reference tests/test_config.py:85-209
     "golden_normalize",
@@ -3751,6 +3787,49 @@ def oracle_sql() -> dict[str, str]:
     o["t_fix_text"] = f"""
         SELECT doc_id, fixed_text, n_controls_removed, was_mojibake, changed
         FROM read_parquet('{gd}/fix_text_golden.parquet')
+    """
+
+    # t_html_extract: the documented extraction chain replayed in SQL
+    # on the same scaffold concat (RE2 flags (?is)/lazy match Java's;
+    # no backreferences used anywhere); chr(39) = the single quote
+    o["t_html_extract"] = f"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}'
+                 || CAST(doc_id AS VARCHAR) || '{_HTML_MID2}' || text
+                 || '{_HTML_POST}' AS html
+          FROM documents
+        ), t1 AS (
+          SELECT doc_id, length(html) AS n_raw,
+                 regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script\\s*>',
+                                ' ', 'g') AS t
+          FROM wrapped
+        ), t2 AS (
+          SELECT doc_id, n_raw,
+                 regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style\\s*>',
+                                ' ', 'g') AS t
+          FROM t1
+        ), t3 AS (
+          SELECT doc_id, n_raw,
+                 regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+          FROM t2
+        ), t4 AS (
+          SELECT doc_id, n_raw,
+                 regexp_replace(t, '<[/!]?[A-Za-z][^>]*>', ' ', 'g') AS t
+          FROM t3
+        ), t5 AS (
+          SELECT doc_id, n_raw,
+                 replace(replace(replace(replace(replace(replace(replace(
+                   replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&mdash;', '—'),
+                   '&copy;', '©'), '&amp;', '&') AS t
+          FROM t4
+        ), t6 AS (
+          SELECT doc_id, n_raw,
+                 trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t
+          FROM t5
+        )
+        SELECT doc_id, n_raw, t AS clean_text, length(t) AS n_clean FROM t6
     """
 
     o["t_url_canon"] = f"""

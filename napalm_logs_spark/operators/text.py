@@ -1175,3 +1175,63 @@ def synth_urls_pandas(n: int = 64):
             u = f"not a url {i}"
         rows.append({"url_id": i, "url": u})
     return pd.DataFrame(rows)
+
+
+# entity decode table: named entities first, &amp; LAST so a literal
+# "&amp;lt;" decodes once (to "&lt;"), not twice — the single-pass
+# order every HTML parser documents
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&mdash;", "—"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),
+]
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """HTML → text extraction — the boilerplate-stripping stage every
+    web-corpus pipeline runs before quality/dedup (C4 strips markup
+    from WET-like text, Raffel et al. 2020 §2.2; RefinedWeb runs
+    trafilatura, Penedo et al. 2023 §3.1).  Deterministic regex chain,
+    documented so an independent engine reproduces it byte-for-byte:
+
+    1. drop ``<script>``/``<style>`` ELEMENTS (tag + content,
+       case-insensitive, dot-matches-newline, lazy) — two separate
+       patterns because RE2-class engines have no backreferences;
+    2. drop ``<!-- comments -->`` (lazy, spans newlines);
+    3. every remaining tag ``<[/!]?[A-Za-z][^>]*>`` → one space; an
+       HTML5-lexer-style guard: a ``<`` not followed by a letter,
+       ``/`` or ``!`` is TEXT (so ``1 < 2`` survives), and the
+       tag-name requirement stops ``< 2 and 3 >`` from being eaten as
+       one pseudo-tag;
+    4. decode the :data:`HTML_ENTITIES` table (named first, ``&amp;``
+       last — single-pass decode order);
+    5. collapse ``\\s+`` to one space and trim.
+
+    All pure JVM ``regexp_replace``/``replace`` — zero shuffle, zero
+    Python, narrow projection; null html stays null.  Emits the
+    cleaned text plus raw/clean lengths (the markup-fraction signal a
+    quality gate reads).
+    """
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[/!]?[A-Za-z][^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.length(F.col(html_col)).cast("long").alias("n_raw"),
+        c.alias(out_col),
+        F.length(c).cast("long").alias("n_clean"),
+    )

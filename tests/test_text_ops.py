@@ -608,3 +608,51 @@ def test_canonicalize_urls_edges_and_plan(spark):
     # pure JVM per-row expressions: no shuffle, no python stage
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_html_extract_hostile_markup(spark):
+    """Script bodies with embedded tags and comparison '<', uppercase
+    style, multi-line comments, single-pass entity decode, naked '<'
+    passthrough, and null tolerance."""
+    from napalm_logs_spark.operators.text import html_extract
+
+    rows = [
+        # script contains a quoted "</p>" and a bare 1 < 2 comparison
+        (1, '<p>a</p><script>if (1 < 2) { s = "</p>"; }</script><p>b</p>'),
+        # uppercase STYLE with attributes, content dropped wholesale
+        (2, 'x<STYLE media="all">p > a { color: red }</STYLE>y'),
+        # comment spanning lines
+        (3, "before<!-- line1\nline2 -->after"),
+        # entities: &amp;lt; decodes ONCE (to &lt;), not twice
+        (4, "&amp;lt;tag&gt; &quot;q&quot; &#39;s&#39; &copy;&mdash;&nbsp;."),
+        # naked '<' with no closing '>' stays literal text
+        (5, "1 < 2 and 3 > 2"),
+        # plain text untouched (whitespace collapsed)
+        (6, "  plain   text  "),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_extract(df).collect()}
+    assert got[1].clean_text == "a b"
+    assert got[2].clean_text == "x y"
+    assert got[3].clean_text == "before after"
+    # &nbsp; decodes to a real space, so it survives as a separator
+    assert got[4].clean_text == "&lt;tag> \"q\" 's' ©— ."
+    assert got[5].clean_text == "1 < 2 and 3 > 2"
+    assert got[6].clean_text == "plain text"
+    assert got[7].clean_text is None and got[7].n_clean is None
+    assert got[1].n_raw == len(rows[0][1])
+
+
+def test_html_extract_plan_is_narrow(spark):
+    """Pure projection: no Exchange, no Python in the plan."""
+    from napalm_logs_spark.operators.text import html_extract
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wrapped = df.selectExpr("doc_id", "concat('<p>', text, '</p>') AS html")
+    plan = (
+        html_extract(wrapped)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
