@@ -1,6 +1,6 @@
 """Custom stateful streaming operators via ``applyInPandasWithState``.
 
-Two exact-semantics operators the built-in primitives can't express:
+Exact-semantics operators the built-in primitives can't express:
 
 * :func:`exact_ttl_dedup_stream` — the reference's anchored-TTL dedup
   buffer (server.py:301-320, buffer/memory.py:26-41) with *exact* TTL
@@ -12,8 +12,13 @@ Two exact-semantics operators the built-in primitives can't express:
   state machine emitting open/close transitions (alerta pairing,
   transport/alerta.py:46-69) and maintaining the last-state gauge
   (prometheus, transport/prometheus.py:70-93) across micro-batches.
+* :func:`heavy_hitters_stream` — space-saving top talkers: O(capacity)
+  counters per group whatever the item cardinality.
+* :func:`rate_anomaly_stream` — adaptive-threshold rate alerting:
+  O(baseline) trailing window counts per key, verdicts emitted as
+  windows close (by a later event or the watermark timeout).
 
-Both are keyed by their natural state key, so Spark hash-partitions the
+All are keyed by their natural state key, so Spark hash-partitions the
 stream once and the state store shards with it; hot conversations are
 defused because the key includes the entity, not just the host.
 """
