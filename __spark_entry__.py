@@ -1503,6 +1503,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return html_extract(wrapped)
     q["t_html_extract"] = t_html_extract
 
+    def t_c4_rules(spark, sf):
+        # C4 line/page cleaning rules (Raffel et al. 2020 §2.2) on a
+        # deterministic planted page corpus generated by the SAME
+        # range+concat expression on both engines (documents carry no
+        # newlines): terminal-punctuation / min-words / javascript
+        # line drops, lorem-ipsum / brace / badword page flags
+        from napalm_logs_spark.operators.text import c4_line_rules
+
+        i = F.col("id")
+
+        def seg(mod, s):
+            return F.when(i % mod == 0, F.lit("\n" + s)).otherwise(F.lit(""))
+
+        text = F.concat(
+            F.lit("This is sentence number "), i.cast("string"),
+            F.lit(" and it is long enough."),
+            seg(2, "short line"),
+            seg(3, "Enable javascript to view this page."),
+            seg(5, "lorem ipsum dolor sit amet."),
+            seg(7, "function f() { return 1; }"),
+            F.lit("\nAnother proper sentence with enough words here number "),
+            i.cast("string"), F.lit("!"),
+            F.lit("\nThe third fine sentence stays here too."),
+            F.lit("\nNo terminal punctuation here so dropped"),
+            seg(11, "This page mentions badword1 sadly."),
+        )
+        pages = spark.range(96).select(i.alias("page_id"), text.alias("text"))
+        return c4_line_rules(pages)
+    q["t_c4_rules"] = t_c4_rules
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -3787,6 +3817,50 @@ def oracle_sql() -> dict[str, str]:
     o["t_fix_text"] = f"""
         SELECT doc_id, fixed_text, n_controls_removed, was_mojibake, changed
         FROM read_parquet('{gd}/fix_text_golden.parquet')
+    """
+
+    # t_c4_rules: the C4 line/page rules + the SAME page generation
+    # replayed in SQL (plain string — the brace segment would fight an
+    # f-string); word count = len(str_split_regex(trim(l), '\s+')),
+    # exactly Spark's size(split(trim(l), '\s+'))
+    o["t_c4_rules"] = r"""
+        WITH pages AS (
+          SELECT i AS page_id,
+                 'This is sentence number ' || CAST(i AS VARCHAR)
+                 || ' and it is long enough.'
+                 || CASE WHEN i % 2 = 0 THEN chr(10) || 'short line' ELSE '' END
+                 || CASE WHEN i % 3 = 0 THEN chr(10) || 'Enable javascript to view this page.' ELSE '' END
+                 || CASE WHEN i % 5 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+                 || CASE WHEN i % 7 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+                 || chr(10) || 'Another proper sentence with enough words here number '
+                 || CAST(i AS VARCHAR) || '!'
+                 || chr(10) || 'The third fine sentence stays here too.'
+                 || chr(10) || 'No terminal punctuation here so dropped'
+                 || CASE WHEN i % 11 = 0 THEN chr(10) || 'This page mentions badword1 sadly.' ELSE '' END
+                 AS text
+          FROM (SELECT unnest(generate_series(0, 95)) AS i)
+        ), r AS (
+          SELECT page_id, text,
+                 str_split(text, chr(10)) AS lines,
+                 list_filter(str_split(text, chr(10)),
+                   l -> regexp_matches(l, '[.!?"]$')
+                        AND len(str_split_regex(trim(l), '\s+')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM pages
+        )
+        SELECT page_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, chr(10)) AS kept_text,
+               CAST(CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS INT) AS has_lorem,
+               CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS INT) AS has_brace,
+               CAST(CASE WHEN regexp_matches(lower(text), '\bbadword1\b') THEN 1 ELSE 0 END AS INT) AS has_badword,
+               CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+                           OR contains(text, '{')
+                           OR regexp_matches(lower(text), '\bbadword1\b')
+                           OR len(kept) < 3
+                    THEN 0 ELSE 1 END AS INT) AS keep
+        FROM r
     """
 
     # t_html_extract: the documented extraction chain replayed in SQL

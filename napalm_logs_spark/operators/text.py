@@ -1235,3 +1235,61 @@ def html_extract(
         c.alias(out_col),
         F.length(c).cast("long").alias("n_clean"),
     )
+
+
+def c4_line_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+    blocklist: tuple = ("badword1",),
+) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020
+    §2.2) as one zero-shuffle JVM projection — the stage between HTML
+    extraction and quality gating in every C4-style pipeline:
+
+    line KEPT iff it ends in terminal punctuation (``. ! ? "``), has
+    ≥ ``min_words_per_line`` whitespace words, and does not mention
+    ``javascript`` (case-insensitive);
+    page flags: ``has_lorem`` (contains "lorem ipsum"),
+    ``has_brace`` (contains ``{`` — code, not prose), ``has_badword``
+    (any blocklist word, word-boundary match);
+    ``keep`` = no flag raised AND ≥ ``min_kept_lines`` kept lines.
+
+    Word counting is ``size(split(trim(line), '\\s+'))`` — exactly the
+    expression the SQL oracle replays, so engines agree on every edge
+    (empty line counts 1).  Null text → null outputs, keep = 0.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda l: (
+        l.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~F.contains(F.lower(l), F.lit("javascript"))
+    )
+    kept = F.filter(lines, is_kept)
+    low = F.lower(F.col(text_col))
+    bad = None
+    for w in blocklist:
+        t = F.regexp_like(low, F.lit(rf"\b{w}\b"))
+        bad = t if bad is None else (bad | t)
+    has_lorem = F.contains(low, F.lit("lorem ipsum")).cast("int")
+    has_brace = F.contains(F.col(text_col), F.lit("{")).cast("int")
+    has_badword = bad.cast("int")
+    n_kept = F.size(kept)
+    keep = (
+        (has_lorem == 0)
+        & (has_brace == 0)
+        & (has_badword == 0)
+        & (n_kept >= min_kept_lines)
+    ).cast("int")
+    return df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_badword.alias("has_badword"),
+        F.coalesce(keep, F.lit(0)).alias("keep"),
+    )

@@ -656,3 +656,49 @@ def test_html_extract_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_c4_line_rules_verdicts(spark):
+    """Hand-checked verdicts: line drops (no terminal punct, short,
+    javascript), page flags (lorem/brace/badword), the min-kept-lines
+    gate, and null tolerance."""
+    from napalm_logs_spark.operators.text import c4_line_rules
+
+    rows = [
+        # 3 good lines -> keep
+        (1, 'Alpha beta gamma delta.\nSecond proper line here!\nThird one is also fine."'),
+        # good lines but a brace page flag
+        (2, "Alpha beta gamma delta.\nSecond proper line here!\nx = { 1 }\nThird one is also fine."),
+        # javascript LINE dropped but page survives with 3 others
+        (3, "Alpha beta gamma delta.\nPlease enable JavaScript now.\nSecond proper line here!\nThird one is also fine."),
+        # only 2 kept lines -> dropped by the min-kept gate
+        (4, "Alpha beta gamma delta.\nno punct line here\nSecond proper line here!"),
+        # badword page flag (word-boundary: 'badword1x' must NOT flag)
+        (5, "Alpha badword1 beta gamma.\nSecond proper line here!\nThird one is also fine."),
+        (6, "Alpha badword1x beta gamma.\nSecond proper line here!\nThird one is also fine."),
+        # lorem ipsum page flag
+        (7, "Lorem ipsum dolor sit amet.\nSecond proper line here!\nThird one is also fine."),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, text string")
+    got = {r.page_id: r for r in c4_line_rules(df).collect()}
+    assert got[1].keep == 1 and got[1].n_kept == 3
+    assert got[2].keep == 0 and got[2].has_brace == 1
+    assert got[3].keep == 1 and got[3].n_kept == 3 and got[3].n_lines == 4
+    assert "JavaScript" not in got[3].kept_text
+    assert got[4].keep == 0 and got[4].n_kept == 2
+    assert got[5].keep == 0 and got[5].has_badword == 1
+    assert got[6].keep == 1 and got[6].has_badword == 0
+    assert got[7].keep == 0 and got[7].has_lorem == 1
+    assert got[8].keep == 0 and got[8].kept_text is None
+
+
+def test_c4_line_rules_plan_is_narrow(spark):
+    from napalm_logs_spark.operators.text import c4_line_rules
+
+    df = spark.range(100).selectExpr(
+        "id AS page_id", "concat('Line one is fine.', chr(10), 'x') AS text"
+    )
+    plan = c4_line_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
