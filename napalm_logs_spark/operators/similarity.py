@@ -1239,8 +1239,11 @@ def numpy_pca_from_moments(
     outer: np.ndarray, s1: np.ndarray, n: int, n_components: int
 ):
     """mean + sign-fixed principal components from the fixed-point
-    moment sums (driver-side float64 math, shared with the golden
-    generator via tools/make_goldens)."""
+    moment sums (driver-side float64 math).  tools/make_goldens.py's
+    make_pca deliberately does NOT import this — it re-implements the
+    published spec (quantization scale, n-1 covariance, eigh ordering,
+    sign convention) as an independent party, so a drift in either
+    implementation fails the stored-golden gate instead of hiding."""
     S2 = outer.astype(np.float64) / PCA_QUANT
     S1 = s1.astype(np.float64) / PCA_QUANT
     mean = S1 / n

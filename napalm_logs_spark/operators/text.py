@@ -7,6 +7,8 @@ whole-stage codegen) — no Python in the per-row path.  Operates on the
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1196,6 +1198,7 @@ def html_extract(
     df: DataFrame,
     html_col: str = "html",
     out_col: str = "clean_text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """HTML → text extraction — the boilerplate-stripping stage every
     web-corpus pipeline runs before quality/dedup (C4 strips markup
@@ -1230,7 +1233,7 @@ def html_extract(
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.select(
-        "doc_id",
+        id_col,
         F.length(F.col(html_col)).cast("long").alias("n_raw"),
         c.alias(out_col),
         F.length(c).cast("long").alias("n_clean"),
@@ -1269,9 +1272,15 @@ def c4_line_rules(
     )
     kept = F.filter(lines, is_kept)
     low = F.lower(F.col(text_col))
-    bad = None
+    # regex-escape blocklist words (a literal "c++" must not be a
+    # dangling quantifier); empty blocklist -> never flagged.  \b is
+    # attached only to a word-character edge — next to a symbol it can
+    # never match (both neighbors non-word), so "c++" gets \bc\+\+
+    bad = F.lit(False) if not blocklist else None
     for w in blocklist:
-        t = F.regexp_like(low, F.lit(rf"\b{w}\b"))
+        pre = r"\b" if re.match(r"\w", w) else ""
+        post = r"\b" if re.search(r"\w$", w) else ""
+        t = F.regexp_like(low, F.lit(pre + re.escape(w) + post))
         bad = t if bad is None else (bad | t)
     has_lorem = F.contains(low, F.lit("lorem ipsum")).cast("int")
     has_brace = F.contains(F.col(text_col), F.lit("{")).cast("int")

@@ -289,11 +289,13 @@ def rate_anomaly_stream(
 
     Silent windows between two events count as ``n = 0`` in the
     baseline (the batch op's dense spine).  Bounded-output choice: per
-    gap, at most the ``baseline`` trailing silent windows are emitted
-    and retained — earlier ones cannot influence any later verdict
-    (the deque would already be all zeros), so a month-long-quiet key
-    costs ``baseline`` rows, not a month of zeros.  Rows older than
-    the open window (post-watermark stragglers) are dropped.
+    gap, at most the ``baseline`` trailing silent windows are emitted —
+    the skipped prefix is *simulated* (up to ``baseline`` un-emitted
+    zero pushes, beyond which the deque is already all zeros), so the
+    rows that ARE emitted carry exactly the batch operator's values
+    and a month-long-quiet key costs ``baseline`` rows, not a month of
+    zeros.  Rows older than the open window (post-watermark
+    stragglers) are dropped.
     """
     out_schema = T.StructType(
         [
@@ -310,7 +312,7 @@ def rate_anomaly_stream(
         [
             T.StructField("cur_win", T.LongType()),
             T.StructField("cur_n", T.LongType()),
-            T.StructField("wins", T.ArrayType(T.LongType())),
+            T.StructField("last_win", T.LongType()),
             T.StructField("ns", T.ArrayType(T.LongType())),
         ]
     )
@@ -337,34 +339,45 @@ def rate_anomaly_stream(
 
     def ra(key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            cur_win, cur_n, wins, ns = state.get
-            wins, ns = list(wins), list(ns)
+            cur_win, cur_n, last_win, ns = state.get
+            ns = list(ns)
         else:
-            cur_win, cur_n, wins, ns = None, 0, [], []
+            cur_win, cur_n, last_win, ns = None, 0, None, []
         rows = []
         kv = key_vals[0]
 
-        def close(w, n):
-            nb, mu, zv, an = _verdict(n, ns)
-            rows.append((kv, w, n, nb, mu, zv, an))
-            wins.append(w)
+        def push(n):
             ns.append(n)
-            if len(wins) > baseline:
-                wins.pop(0)
+            if len(ns) > baseline:
                 ns.pop(0)
 
+        def close(w, n):
+            nonlocal last_win
+            nb, mu, zv, an = _verdict(n, ns)
+            rows.append((kv, w, n, nb, mu, zv, an))
+            push(n)
+            last_win = w
+
         def advance_to(w):
-            # close the open window, then the (capped) silent gap
+            # close the open window, then the silent gap: only the
+            # trailing `baseline` silent windows are EMITTED, but the
+            # skipped prefix is simulated with un-emitted zero pushes
+            # (capped at `baseline` — further zeros are idempotent on
+            # the deque), so emitted rows match the batch dense spine
+            # exactly and a huge gap costs O(baseline), not O(gap)
             nonlocal cur_win, cur_n
             if cur_win is not None:
                 close(cur_win, cur_n)
                 start = cur_win + W
-            elif wins:
-                start = wins[-1] + W
+            elif last_win is not None:
+                start = last_win + W
             else:
                 start = w
-            gap = list(range(start, w, W))
-            for silent in gap[-baseline:]:
+            gap_count = (w - start) // W
+            emit_count = min(gap_count, baseline)
+            for _ in range(min(gap_count - emit_count, baseline)):
+                push(0)
+            for silent in range(w - emit_count * W, w, W):
                 close(silent, 0)
             cur_win, cur_n = w, 0
 
@@ -373,8 +386,15 @@ def rate_anomaly_stream(
                 close(cur_win, cur_n)
                 cur_win, cur_n = None, 0
         else:
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(ts_col, kind="mergesort")
+            # ONE sort across the whole micro-batch: Arrow hands the
+            # group over in chunks, and sorting each chunk separately
+            # would mislabel out-of-order-across-chunk rows as
+            # post-watermark stragglers
+            chunks = list(pdf_iter)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ts_col, kind="mergesort"
+                )
                 for ts in pdf[ts_col]:
                     w = int(ts.timestamp() // W) * W
                     if cur_win is None or w > cur_win:
@@ -386,7 +406,7 @@ def rate_anomaly_stream(
                 # close at the watermark: fire when event time passes
                 # the open window's end
                 state.setTimeoutTimestamp((cur_win + W) * 1000)
-        state.update((cur_win, cur_n, wins, ns))
+        state.update((cur_win, cur_n, last_win, ns))
         if rows:
             yield pd.DataFrame(
                 rows,

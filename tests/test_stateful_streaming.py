@@ -531,3 +531,88 @@ def test_rate_anomaly_stream_state_bounded_over_long_gap(spark, tmp_path):
     # the post-gap window sees an all-zero flat baseline -> n=1 > mu=0
     last = max(rows_out, key=lambda r: r.win_start)
     assert last.n == 1 and last.anomaly == 1
+
+
+def test_rate_anomaly_stream_long_gap_matches_batch_values(spark, tmp_path):
+    """The rows emitted after a longer-than-baseline silent gap must
+    carry the batch dense-spine values: an all-zero baseline (mu=0.0,
+    z NULL), not the stale pre-gap counts."""
+    from napalm_logs_spark.streaming.stateful import rate_anomaly_stream
+
+    schema = "user_id long, ts timestamp"
+    rows = [(1, BASE + datetime.timedelta(hours=h, minutes=m))
+            for h in range(4) for m in range(5)]          # 4 windows of 5
+    rows.append((1, BASE + datetime.timedelta(hours=30)))  # 26-window gap
+    rows.append((99, BASE + datetime.timedelta(days=30)))  # watermark push
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = rate_anomaly_stream(
+        stream.withWatermark("ts", "0 seconds"),
+        key="user_id", window_seconds=3600,
+        baseline=4, min_baseline=3, z_hi=2.0,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ra_gapval")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.win_start: r for r in
+           spark.sql("select * from ra_gapval").collect() if r.user_id == 1}
+    t0 = int(BASE.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # emitted silent windows are hours 26..29 (the trailing 4 of the
+    # gap); their baselines must be all-zero spines, not [5,5,5,5]
+    for h in (26, 27, 28, 29):
+        r = got[t0 + h * 3600]
+        assert r.n == 0 and r.z is None and r.anomaly == 0
+        # h=26 saw 4 simulated zero pushes -> mu 0.0; batch agrees
+        assert r.mu == 0.0, (h, r.mu)
+    # hour 30 (n=1) against the flat zero baseline: first deviation
+    r30 = got[t0 + 30 * 3600]
+    assert r30.n == 1 and r30.mu == 0.0 and r30.anomaly == 1
+
+
+def test_rate_anomaly_stream_out_of_order_across_arrow_chunks(spark, tmp_path):
+    """Rows that arrive ts-DESCENDING in one micro-batch, spanning
+    several Arrow chunks, must still be counted (one sort across the
+    whole batch — per-chunk sorting would drop cross-chunk
+    stragglers as post-watermark)."""
+    from napalm_logs_spark.operators.cep import rate_anomaly
+    from napalm_logs_spark.streaming.stateful import rate_anomaly_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        schema = "user_id long, ts timestamp"
+        # 60 rows over 3 hours, written in REVERSE time order
+        rows = [(1, BASE + datetime.timedelta(hours=h, minutes=m))
+                for h in range(3) for m in range(20)]
+        rows = rows[::-1]
+        rows.append((99, BASE + datetime.timedelta(days=30)))
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = rate_anomaly_stream(
+            stream.withWatermark("ts", "0 seconds"),
+            key="user_id", window_seconds=3600,
+            baseline=4, min_baseline=2, z_hi=2.0,
+        )
+        q = (
+            out.writeStream.format("memory").queryName("ra_chunks")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {(r.user_id, r.win_start): r.n for r in
+               spark.sql("select * from ra_chunks").collect()
+               if r.user_id == 1}
+        batch = spark.createDataFrame(rows[:-1], schema)
+        expected = {(r.user_id, r.win_start): r.n for r in rate_anomaly(
+            batch, key="user_id", window_seconds=3600,
+            baseline=4, min_baseline=2, z_hi=2.0,
+        ).collect()}
+        assert got == expected          # every window fully counted (n=20 each)
+        assert set(got.values()) == {20}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

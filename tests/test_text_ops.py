@@ -702,3 +702,26 @@ def test_c4_line_rules_plan_is_narrow(spark):
     plan = c4_line_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_c4_blocklist_edge_cases(spark):
+    from napalm_logs_spark.operators.text import c4_line_rules
+
+    df = spark.createDataFrame(
+        [(1, "We like c++ here a lot.\nSecond proper line here!\nThird one is fine.")],
+        "page_id long, text string",
+    )
+    # empty blocklist: never flagged, no crash
+    r = c4_line_rules(df, blocklist=()).collect()[0]
+    assert r.has_badword == 0 and r.keep == 1
+    # regex metacharacters in a blocklist word are matched literally
+    r2 = c4_line_rules(df, blocklist=("c++",)).collect()[0]
+    assert r2.has_badword == 1 and r2.keep == 0
+
+
+def test_html_extract_id_col_param(spark):
+    from napalm_logs_spark.operators.text import html_extract
+
+    df = spark.createDataFrame([(7, "<p>hi there</p>")], "page_id long, html string")
+    r = html_extract(df, id_col="page_id").collect()[0]
+    assert r.page_id == 7 and r.clean_text == "hi there"
