@@ -1533,6 +1533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c4_line_rules(pages)
     q["t_c4_rules"] = t_c4_rules
 
+    def t_pack_spfhp(spark, sf):
+        # SPFHP sequence packing (Kosec/Fu/Krell 2021): whole-document
+        # packs, no cross-doc attention contamination — histogram ->
+        # driver strategy table -> rank-arithmetic broadcast join
+        from napalm_logs_spark.operators.text import pack_histogram
+
+        return pack_histogram(_t(spark, sf, "documents"), budget=128)
+    q["t_pack_spfhp"] = t_pack_spfhp  # oracled: stored independent-replication golden
+
     # ---- document dedup ----
     def d_exact_dup_groups(spark, sf):
         from napalm_logs_spark.operators.docdedup import exact_duplicate_groups
@@ -3811,6 +3820,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings
+        )
+    """
+
+    o["t_pack_spfhp"] = f"""
+        SELECT doc_id, length, strategy_id, pack_id, slot
+        FROM read_parquet('{gd}/spfhp_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
         )
     """
 

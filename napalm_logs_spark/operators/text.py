@@ -1302,3 +1302,131 @@ def c4_line_rules(
         has_badword.alias("has_badword"),
         F.coalesce(keep, F.lit(0)).alias("keep"),
     )
+
+
+def spfhp_strategies(hist: dict, budget: int) -> list:
+    """Shortest-pack-first histogram packing — the strategy derivation
+    of Kosec, Fu & Krell 2021 ("Efficient Sequence Packing without
+    Cross-contamination"), re-stated as a precise deterministic spec:
+
+    Process lengths from ``budget`` down to 1 with their histogram
+    counts.  Maintain strategy groups ``(lengths, remaining, count)``
+    in creation order (the index IS the strategy_id):
+
+    * while docs of length L remain, place one L into the OPEN group
+      with the smallest remaining space ≥ L (tie → earliest created):
+      ``take = min(n, group.count)`` packs split off into a NEW group
+      with L appended (the parent keeps the rest);
+    * when no group fits, bulk-open new packs: per-pack multiplicity
+      ``m = budget // L`` → ``n // m`` packs of ``(L,)*m`` and one
+      group of ``(L,) * (n % m)`` for the remainder.
+
+    Returns ``[(lengths_tuple, count), ...]`` in creation order with
+    zero-count (fully split) groups removed but order preserved.
+    O(budget²) driver work on a ≤ budget-row histogram — corpus-size
+    independent.
+    """
+    groups: list = []  # [lengths_tuple, remaining, count]
+    for L in range(budget, 0, -1):
+        n = int(hist.get(L, 0))
+        while n > 0:
+            cand = [
+                i for i, g in enumerate(groups)
+                if g[1] >= L and g[2] > 0
+            ]
+            if cand:
+                i = min(cand, key=lambda j: (groups[j][1], j))
+                g = groups[i]
+                take = min(n, g[2])
+                g[2] -= take
+                groups.append([g[0] + (L,), g[1] - L, take])
+                n -= take
+            else:
+                m = budget // L
+                full, rest = divmod(n, m)
+                if full:
+                    groups.append([(L,) * m, budget - m * L, full])
+                if rest:
+                    # the leftover docs form ONE partially-filled pack
+                    groups.append([(L,) * rest, budget - rest * L, 1])
+                n = 0
+    return [(tuple(g[0]), g[2]) for g in groups if g[2] > 0]
+
+
+def pack_histogram(
+    df: DataFrame,
+    budget: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing WITHOUT cross-document attention contamination
+    (the alternative to :func:`pack_chunks`' concat-and-split): each
+    pack is a multiset of whole documents whose token counts sum to
+    ≤ ``budget`` — the shape sample-packed LLM training wants, per
+    Kosec, Fu & Krell 2021 (SPFHP).
+
+    Scale shape (100 TB): the corpus collapses to a ≤ ``budget``-row
+    length histogram (one map-side-combined aggregate); strategy
+    derivation (:func:`spfhp_strategies`) is O(budget²) DRIVER work;
+    assignment back is pure rank arithmetic — per length, docs ranked
+    by id map into strategy instances via prefix-sum offsets carried
+    on a broadcast consumption table (``rank ∈ [offset, offset +
+    count·mult)`` → ``instance = (rank-offset) // mult``) — one
+    window rank + one broadcast range join, no driver loop over docs.
+
+    Deterministic end-to-end: ranks order by ``id_col``, strategies
+    consume ranks in strategy_id order.  Docs longer than ``budget``
+    are capped to one-per-pack at length ``budget`` (truncation
+    policy is the caller's); empty docs are excluded.
+
+    Output: ``(id, length, strategy_id, pack_id, slot)`` — pack_id
+    globally unique, slot = the doc's position among its pack's
+    same-length members.
+    """
+    from collections import Counter
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT))
+    # null text must become 0, not null: F.least SKIPS nulls, so a
+    # null n_tokens would silently pack at length = budget
+    n_tokens = F.when(
+        F.col(text_col).isNull()
+        | (F.length(F.trim(F.col(text_col))) == 0),
+        F.lit(0),
+    ).otherwise(toks)
+    base = df.select(
+        id_col, F.least(n_tokens, F.lit(budget)).alias("length")
+    ).filter(F.col("length") > 0)
+    hist = {r["length"]: r["n"] for r in
+            base.groupBy("length").agg(F.count(F.lit(1)).alias("n")).collect()}
+    strategies = spfhp_strategies(hist, budget)
+    # consumption table: one row per (strategy, distinct length) with
+    # the per-length rank window this strategy consumes and the
+    # strategy's global pack-id base
+    rows, offsets, pack_base = [], {}, 0
+    for sid, (lengths, count) in enumerate(strategies):
+        for L, mult in sorted(Counter(lengths).items()):
+            off = offsets.get(L, 0)
+            rows.append((L, sid, mult, off, count, pack_base))
+            offsets[L] = off + count * mult
+        pack_base += count
+    spark = df.sparkSession
+    cons = spark.createDataFrame(
+        rows or [(0, 0, 1, 0, 0, 0)],
+        "length int, strategy_id int, mult int, off long, count long, pack_base long",
+    )
+    w = Window.partitionBy("length").orderBy(id_col)
+    ranked = base.withColumn("rank", F.row_number().over(w).cast("long") - 1)
+    j = ranked.join(
+        F.broadcast(cons),
+        (ranked["length"] == cons["length"])
+        & (F.col("rank") >= F.col("off"))
+        & (F.col("rank") < F.col("off") + F.col("count") * F.col("mult")),
+    )
+    inst = (F.col("rank") - F.col("off")) / F.col("mult")
+    return j.select(
+        id_col,
+        ranked["length"],
+        "strategy_id",
+        (F.col("pack_base") + F.floor(inst)).cast("long").alias("pack_id"),
+        ((F.col("rank") - F.col("off")) % F.col("mult")).cast("int").alias("slot"),
+    )

@@ -725,3 +725,48 @@ def test_html_extract_id_col_param(spark):
     df = spark.createDataFrame([(7, "<p>hi there</p>")], "page_id long, html string")
     r = html_extract(df, id_col="page_id").collect()[0]
     assert r.page_id == 7 and r.clean_text == "hi there"
+
+
+def test_spfhp_strategies_hand_example():
+    from napalm_logs_spark.operators.text import spfhp_strategies
+
+    # B=4, lengths {4:1, 3:1, 2:2, 1:1}: the 3-pack absorbs the 1
+    # (smallest remaining space), the two 2s co-pack
+    assert spfhp_strategies({4: 1, 3: 1, 2: 2, 1: 1}, 4) == [
+        ((4,), 1), ((2, 2), 1), ((3, 1), 1)
+    ]
+    # leftover docs form ONE partial pack, not one pack per doc
+    assert spfhp_strategies({1: 7}, 4) == [((1, 1, 1, 1), 1), ((1, 1, 1), 1)]
+    assert spfhp_strategies({}, 4) == []
+
+
+def test_pack_histogram_invariants(spark, docs):
+    from napalm_logs_spark.operators.text import pack_histogram
+
+    out = pack_histogram(docs, budget=128).cache()
+    n_docs = docs.count()
+    assert out.count() == n_docs                       # every doc packed once
+    assert out.select("doc_id").distinct().count() == n_docs
+    sums = out.groupBy("pack_id").agg(F.sum("length").alias("s"))
+    assert sums.filter("s > 128").count() == 0         # capacity respected
+    # SPFHP on this corpus packs tightly (>90% fill)
+    fill = sums.agg(F.avg("s")).collect()[0][0]
+    assert fill > 115, fill
+    # deterministic under repartitioning (rank + broadcast arithmetic)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, pack_histogram(docs.repartition(7), budget=128).collect()))
+    assert a == b
+
+
+def test_pack_histogram_caps_and_empties(spark):
+    from napalm_logs_spark.operators.text import pack_histogram
+
+    df = spark.createDataFrame(
+        [(1, "w " * 1000), (2, "a b c"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_histogram(df, budget=16).collect()}
+    assert set(got) == {1, 2}              # empty/null docs excluded
+    assert got[1].length == 16             # long doc capped at budget
+    assert got[2].length == 3
+    assert got[1].pack_id != got[2].pack_id

@@ -1117,6 +1117,80 @@ def make_pca(n_components: int = 4) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def make_spfhp(budget: int = 128) -> pd.DataFrame:
+    """Independent replication of operators/text.py's SPFHP packing
+    spec (strategy derivation AND rank-arithmetic assignment) in plain
+    python over the documents tables — deliberately NOT importing the
+    engine's spfhp_strategies, so a drift in either implementation
+    fails the gate.  scale_key = sum(n_chars) of the source table."""
+    import re as _re
+    from collections import Counter
+
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "documents.parquet")
+        if not os.path.isfile(path):
+            continue
+        docs = pd.read_parquet(path)
+        scale_key = int(docs["n_chars"].sum())
+
+        def ntok(t):
+            t = (t or "").strip()
+            return 0 if not t else len(_re.split(r"\s+", t))
+
+        lens = {
+            int(d): min(ntok(t), budget)
+            for d, t in zip(docs["doc_id"], docs["text"])
+        }
+        lens = {d: l for d, l in lens.items() if l > 0}
+        hist = Counter(lens.values())
+        # --- strategy derivation (re-stated spec) ---
+        groups = []
+        for L in range(budget, 0, -1):
+            n = int(hist.get(L, 0))
+            while n > 0:
+                cand = [i for i, g in enumerate(groups)
+                        if g[1] >= L and g[2] > 0]
+                if cand:
+                    i = min(cand, key=lambda j: (groups[j][1], j))
+                    g = groups[i]
+                    take = min(n, g[2])
+                    g[2] -= take
+                    groups.append([g[0] + (L,), g[1] - L, take])
+                    n -= take
+                else:
+                    m = budget // L
+                    full, rest = divmod(n, m)
+                    if full:
+                        groups.append([(L,) * m, budget - m * L, full])
+                    if rest:
+                        groups.append([(L,) * rest, budget - rest * L, 1])
+                    n = 0
+        strategies = [(tuple(g[0]), g[2]) for g in groups if g[2] > 0]
+        # --- assignment: per-length ranks by doc_id, consumed in
+        # strategy order with multiplicity blocks per instance ---
+        by_len = {}
+        for d in sorted(lens):
+            by_len.setdefault(lens[d], []).append(d)
+        offsets, pack_base, out = {}, 0, []
+        for sid, (lengths, count) in enumerate(strategies):
+            for L, mult in sorted(Counter(lengths).items()):
+                off = offsets.get(L, 0)
+                for r in range(off, off + count * mult):
+                    inst, slot = divmod(r - off, mult)
+                    out.append((scale_key, by_len[L][r], L, sid,
+                                pack_base + inst, slot))
+                offsets[L] = off + count * mult
+            pack_base += count
+        frames.append(pd.DataFrame(
+            out,
+            columns=["scale_key", "doc_id", "length", "strategy_id",
+                     "pack_id", "slot"],
+        ).astype({"scale_key": "int64", "doc_id": "int64", "length": "int32",
+                  "strategy_id": "int32", "pack_id": "int64", "slot": "int32"}))
+    return pd.concat(frames, ignore_index=True)
+
+
 def numpy_softmax_train(M, y, k, iters, lr, l2=0.0):
     """The SINGLE numpy reference for operators/classifier.py's
     published spec: full-batch softmax regression from zero weights,
@@ -1239,6 +1313,9 @@ def main() -> None:
     pc = make_pca()
     pc.to_parquet(os.path.join(OUT, "pca_golden.parquet"), index=False)
     print(f"pca: {len(pc)} rows across {pc['scale_key'].nunique()} sfs")
+    sp = make_spfhp()
+    sp.to_parquet(os.path.join(OUT, "spfhp_golden.parquet"), index=False)
+    print(f"spfhp: {len(sp)} rows across {sp['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
