@@ -2183,7 +2183,9 @@ _PRIORITY_50 = [
     # represented) for the adaptive-threshold CEP alert's first row:
     "t_tokens", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
     "c15_rate_anomaly", "t_clean", "t_pii_scrub", "t_ccnet_quality",
-    "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_tfidf",
+    # t_tfidf rotates out (mirror-gated; simplest of the weighting
+    # family) for the SPFHP packer's first driver row:
+    "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_pack_spfhp",
     "t_repetition", "t_sample_mix",
     # t_mix_temperature rotates out (t_sample_mix keeps the mixing
     # family represented) for the composed-pipeline flagship:
