@@ -2145,6 +2145,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c14_session_window"] = c14_session_window
 
+    # ---- conversation-level transcript analytics (cv_*) ----
+    # The engine's native payload is the transcript table (BASELINE
+    # input_hint); these are the corpus-analytics rollups above the
+    # per-turn normalize/CEP path (operators/convstats.py).  Each query
+    # derives the transcript view from events via the pure-SQL mapping
+    # transcripts_from_events so the DuckDB oracle replays it verbatim.
+
+    def cv_stats(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            conversation_stats, transcripts_from_events,
+        )
+        return conversation_stats(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_stats"] = cv_stats
+
+    def cv_fingerprints(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            conversation_fingerprints, transcripts_from_events,
+        )
+        return conversation_fingerprints(
+            transcripts_from_events(_t(spark, sf, "events"))
+        )
+    q["cv_fingerprints"] = cv_fingerprints
+
+    def cv_tool_chains(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            tool_chains, transcripts_from_events,
+        )
+        return tool_chains(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_tool_chains"] = cv_tool_chains
+
+    def cv_role_transitions(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            role_transitions, transcripts_from_events,
+        )
+        return role_transitions(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_role_transitions"] = cv_role_transitions
+
+    def cv_latency(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            transcripts_from_events, turn_latency_stats,
+        )
+        return turn_latency_stats(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_latency"] = cv_latency
+
     return _priority_order(q)
 
 
@@ -2186,7 +2230,10 @@ _PRIORITY_50 = [
     # t_tfidf rotates out (mirror-gated; simplest of the weighting
     # family) for the SPFHP packer's first driver row:
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_pack_spfhp",
-    "t_repetition", "t_sample_mix",
+    # t_repetition rotates out (mirror-gated; the t_ family keeps 13
+    # rows) for the new conversation-analytics family's first driver
+    # row — the rollup over the BASELINE input_hint transcript shape:
+    "cv_stats", "t_sample_mix",
     # t_mix_temperature rotates out (t_sample_mix keeps the mixing
     # family represented) for the composed-pipeline flagship:
     "d_pipeline_e2e",           # new session 3: clean->gate->dedup->pack
@@ -4128,6 +4175,96 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sid
+    """
+
+    # shared transcript CTE — the pure-SQL mirror of
+    # convstats.transcripts_from_events (conv_id = user, turn order =
+    # (ts, event_id), role from event_type).  concat_ws on both sides
+    # so NULL fields drop instead of nulling the row.
+    _TRANS = """
+        SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) - 1
+                    AS INTEGER) AS turn_idx,
+               CASE WHEN event_type = 'error' THEN 'tool'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'agent'
+                    ELSE 'user' END AS role,
+               concat_ws(' ', event_type, props) AS text,
+               CASE WHEN event_type = 'error' THEN event_type END AS tool,
+               ts
+        FROM events
+    """
+
+    o["cv_stats"] = f"""
+        WITH t AS ({_TRANS})
+        SELECT conv_id,
+               count(*) AS n_turns,
+               sum(CASE WHEN role = 'user'  THEN 1 ELSE 0 END) AS n_user,
+               sum(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS n_agent,
+               sum(CASE WHEN role = 'tool'  THEN 1 ELSE 0 END) AS n_tool,
+               sum(length(text)) AS n_chars,
+               round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
+                   AS avg_turn_chars,
+               count(DISTINCT tool) AS n_tools,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM t GROUP BY conv_id
+    """
+
+    o["cv_fingerprints"] = f"""
+        WITH t AS ({_TRANS})
+        SELECT conv_id,
+               md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_hash,
+               count(*) AS n_turns
+        FROM t GROUP BY conv_id
+    """
+
+    o["cv_tool_chains"] = f"""
+        WITH t AS ({_TRANS}),
+        tool_turns AS (
+          SELECT conv_id, turn_idx,
+                 turn_idx - row_number() OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS island
+          FROM t WHERE role = 'tool'
+        ),
+        chains AS (
+          SELECT conv_id, island, count(*) AS chain_len
+          FROM tool_turns GROUP BY conv_id, island
+        )
+        SELECT conv_id, max(chain_len) AS max_tool_chain,
+               count(*) AS n_chains
+        FROM chains GROUP BY conv_id
+    """
+
+    o["cv_role_transitions"] = f"""
+        WITH t AS ({_TRANS})
+        SELECT role_from, role_to, count(*) AS n FROM (
+          SELECT coalesce(lag(role) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx),
+                          '<start>') AS role_from,
+                 role AS role_to
+          FROM t
+        ) GROUP BY role_from, role_to
+    """
+
+    o["cv_latency"] = f"""
+        WITH t AS ({_TRANS}),
+        g AS (
+          SELECT conv_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+                 CASE WHEN lag(role) OVER w = 'user' AND role = 'agent'
+                      THEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                 END AS resp_us
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+               round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us,
+               max(gap_us) AS max_gap_us,
+               round(CAST(sum(resp_us) AS DOUBLE) / count(resp_us), 6)
+                   AS avg_resp_us,
+               count(resp_us) AS n_responses
+        FROM g WHERE gap_us IS NOT NULL GROUP BY conv_id
     """
 
     return _priority_order(o)

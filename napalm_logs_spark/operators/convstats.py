@@ -1,0 +1,230 @@
+"""Conversation-level transcript analytics.
+
+The engine's native payload is a table of multi-turn transcripts
+(``conv_id, turn_idx, role, text, tool, ts`` — BASELINE input_hint).
+This module adds the corpus-analytics layer a transcript lakehouse
+needs *above* the per-turn normalize/CEP path: per-conversation
+rollups, conversation-level exact dedup, tool-call chain analysis and
+role-transition statistics.  The reference has no conversation notion
+(its unit is a single syslog message); these are the transcript-payload
+analogs of its per-device aggregation loops
+(`/root/reference/napalm_logs/device.py:250-299` processes one message
+at a time per device — here a "device" is a conversation and the
+rollup is a single distributed aggregate).
+
+Scale notes (100 TB / 10^12 turns):
+
+* Every operator here is one hash shuffle on ``conv_id`` with map-side
+  partial aggregation — no window over the whole corpus, no driver
+  collect.  Conversations are bounded (thousands of turns at most), so
+  per-group state (``collect_list`` in the fingerprint) is bounded the
+  same way per-document shingle lists are in :mod:`docdedup`.
+* ``transcripts_from_events`` exists so the DuckDB oracle can replay
+  the exact derivation: it is the only place a window runs, and it
+  partitions by the conversation key (``user_id``) — the same key the
+  downstream aggregates shuffle on, so AQE can reuse the exchange.
+* Skewed (hot) conversations: the rollups are algebraic aggregates
+  (sum/count/min/max), which partial-aggregate map-side before the
+  shuffle — a hot conv_id costs one reducer one merge, not a data
+  pile-up.  The fingerprint's ``collect_list`` is the one holistic
+  aggregate; :func:`conversation_fingerprints` therefore takes a
+  ``max_turns`` guard that truncates pathological conversations
+  deterministically (documented in the hash) rather than OOMing a
+  reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: unit separator — joins turn texts inside a conversation fingerprint
+#: (never appears in transcript text; chr(31) on the DuckDB side)
+US = "\x1f"
+
+
+def _us(col: Column) -> Column:
+    """Epoch microseconds for TIMESTAMP and TIMESTAMP_NTZ alike
+    (identity cast under the UTC session timezone used everywhere)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic transcript view over the events table.
+
+    Used by tests/benchmarks to synthesise the input_hint shape from
+    the driver's parquet without external data: each user's event
+    stream becomes one conversation, ordered by (ts, event_id).  The
+    mapping is pure SQL so a DuckDB oracle can replay it verbatim::
+
+        conv_id  = 'conv-' || user_id
+        turn_idx = row_number() over (partition by user_id
+                                      order by ts, event_id) - 1
+        role     = error -> 'tool' | purchase/signup -> 'agent'
+                   | else 'user'
+        text     = event_type || ' ' || props
+        tool     = event_type when role = 'tool'
+    """
+    role = (
+        F.when(F.col("event_type") == "error", F.lit("tool"))
+        .when(F.col("event_type").isin("purchase", "signup"), F.lit("agent"))
+        .otherwise(F.lit("user"))
+    )
+    # project conv_id FIRST, then window on the named column: the
+    # ordering exchange is then hashpartitioning(conv_id) itself
+    # (bijective with user_id), so every downstream conv_id window or
+    # aggregate reuses this one shuffle instead of re-exchanging on a
+    # derived expression.
+    base = events.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        role.alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+        F.when(role == "tool", F.col("event_type")).alias("tool"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
+def conversation_stats(tdf: DataFrame) -> DataFrame:
+    """Per-conversation rollup: turn counts by role, size, duration.
+
+    One algebraic groupBy — partial-aggregates map-side, single
+    shuffle on ``conv_id``.  ``n_tools`` is an exact distinct count
+    (expands to a two-phase aggregate; still shuffle-bounded).
+    """
+    is_role = lambda r: F.sum((F.col("role") == r).cast("long"))  # noqa: E731
+    return tdf.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        is_role("user").alias("n_user"),
+        is_role("agent").alias("n_agent"),
+        is_role("tool").alias("n_tool"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_turn_chars"),
+        F.countDistinct("tool").alias("n_tools"),
+        (_us(F.max("ts")) - _us(F.min("ts"))).alias("duration_us"),
+    )
+
+
+def conversation_fingerprints(
+    tdf: DataFrame, *, max_turns: int = 100_000
+) -> DataFrame:
+    """Canonical per-conversation content hash.
+
+    ``conv_hash = md5(concat_ws(US, texts ordered by turn_idx))`` —
+    the conversation-level analog of :func:`docdedup.exact_dedup`'s
+    per-document hash.  ``sort_array(collect_list(struct(...)))``
+    keeps ordering deterministic regardless of shuffle arrival order
+    (turn_idx is unique within a conversation).  ``max_turns`` bounds
+    reducer memory on adversarial conversations: only the first
+    ``max_turns`` turns feed the hash (slice is deterministic, so two
+    identical over-long conversations still collide).
+    """
+    turns = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+    texts = F.transform(F.slice(turns, 1, max_turns), lambda s: s["text"])
+    return tdf.groupBy("conv_id").agg(
+        F.md5(F.concat_ws(US, texts)).alias("conv_hash"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conversation_dup_groups(tdf: DataFrame, **fp_kwargs) -> DataFrame:
+    """Groups of byte-identical conversations (content-ordered).
+
+    Two shuffles total: fingerprint (by conv_id) then group (by
+    conv_hash).  ``canonical`` is the lexicographically-first member,
+    mirroring docdedup's lowest-id-wins keep rule.
+    """
+    fp = conversation_fingerprints(tdf, **fp_kwargs)
+    return (
+        fp.groupBy("conv_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("conv_id").alias("canonical"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )
+
+
+def tool_chains(tdf: DataFrame) -> DataFrame:
+    """Longest run of consecutive tool turns per conversation.
+
+    Gaps-and-islands: island id = turn_idx − row_number() within
+    (conv_id, is_tool) — consecutive tool turns share an island.  Two
+    narrow windows partitioned by conv_id (co-partitioned: one
+    exchange, reused), then an algebraic max.  Conversations with no
+    tool turns don't appear (inner semantics, mirrored in the oracle).
+    """
+    w = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    isl = tdf.filter(F.col("role") == "tool").withColumn(
+        "island", F.col("turn_idx") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("conv_id", "island")
+        .agg(F.count(F.lit(1)).alias("chain_len"))
+        .groupBy("conv_id")
+        .agg(
+            F.max("chain_len").alias("max_tool_chain"),
+            F.count(F.lit(1)).alias("n_chains"),
+        )
+    )
+
+
+def role_transitions(tdf: DataFrame) -> DataFrame:
+    """Corpus-wide role-bigram distribution (who speaks after whom).
+
+    lag window per conversation, then a 9-row global rollup — the
+    transcript analog of the reference's per-error counters
+    (`/root/reference/napalm_logs/device.py:250` increments one
+    counter per message type).  First turns (no predecessor) roll up
+    under role_from='<start>'.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        tdf.select(
+            F.coalesce(F.lag("role").over(w), F.lit("<start>")).alias("role_from"),
+            F.col("role").alias("role_to"),
+        )
+        .groupBy("role_from", "role_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def turn_latency_stats(tdf: DataFrame) -> DataFrame:
+    """Per-conversation inter-turn latency profile.
+
+    Response-time analytics over the transcript: per-conversation
+    median / p90 / max gap between consecutive turns, plus the mean
+    agent-after-user response gap (the "assistant latency" a serving
+    dashboard wants).  One window (same conv_id exchange as the other
+    operators) + one algebraic/percentile aggregate.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_us = _us(F.col("ts")) - _us(F.lag("ts").over(w))
+    prev_role = F.lag("role").over(w)
+    gaps = tdf.select(
+        "conv_id",
+        gap_us.alias("gap_us"),
+        F.when(
+            (prev_role == "user") & (F.col("role") == "agent"), gap_us
+        ).alias("resp_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("conv_id").agg(
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(
+            F.sum("resp_us").cast("double") / F.count("resp_us"), 6
+        ).alias("avg_resp_us"),
+        F.count("resp_us").alias("n_responses"),
+    )

@@ -1,0 +1,137 @@
+"""Unit semantics for the conversation-level transcript analytics
+(operators/convstats.py) on hand-built transcripts — covers the paths
+the events-derived registry queries can't reach (byte-identical
+duplicate conversations, max_turns truncation, empty tool chains)."""
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.convstats import (
+    US,
+    conversation_dup_groups,
+    conversation_fingerprints,
+    conversation_stats,
+    role_transitions,
+    tool_chains,
+    transcripts_from_events,
+    turn_latency_stats,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    # c1: user/agent/tool mix with a 2-chain and a 1-chain of tools
+    # c2: byte-identical content to c3 (different ids/timestamps)
+    rows = [
+        ("c1", 0, "user",  "hi",        None,      _ts(0)),
+        ("c1", 1, "agent", "hello",     None,      _ts(4)),
+        ("c1", 2, "tool",  "search q",  "search",  _ts(10)),
+        ("c1", 3, "tool",  "fetch u",   "fetch",   _ts(11)),
+        ("c1", 4, "agent", "answer",    None,      _ts(20)),
+        ("c1", 5, "user",  "thanks",    None,      _ts(120)),
+        ("c1", 6, "tool",  "log it",    "log",     _ts(121)),
+        ("c2", 0, "user",  "dup text",  None,      _ts(0)),
+        ("c2", 1, "agent", "dup reply", None,      _ts(7)),
+        ("c3", 0, "user",  "dup text",  None,      _ts(1000)),
+        ("c3", 1, "agent", "dup reply", None,      _ts(1009)),
+    ]
+    return _tdf(spark, rows)
+
+
+def test_conversation_stats(tdf):
+    got = {r["conv_id"]: r.asDict() for r in conversation_stats(tdf).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 7
+    assert (c1["n_user"], c1["n_agent"], c1["n_tool"]) == (2, 2, 3)
+    assert c1["n_tools"] == 3  # search, fetch, log
+    assert c1["duration_us"] == 121_000_000
+    assert got["c2"]["n_tools"] == 0  # countDistinct skips nulls
+
+
+def test_fingerprints_and_dup_groups(tdf):
+    fp = {r["conv_id"]: r["conv_hash"]
+          for r in conversation_fingerprints(tdf).collect()}
+    # c2 and c3 share content, c1 differs; hash matches hashlib exactly
+    assert fp["c2"] == fp["c3"] != fp["c1"]
+    expect = hashlib.md5(f"dup text{US}dup reply".encode()).hexdigest()
+    assert fp["c2"] == expect
+
+    dups = conversation_dup_groups(tdf).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_convs"] == 2 and dups[0]["canonical"] == "c2"
+
+
+def test_fingerprint_max_turns_truncation(tdf):
+    # with max_turns=1 only turn 0 feeds the hash: c2/c3 still collide,
+    # and the hash equals md5 of the first text alone
+    fp = {r["conv_id"]: r["conv_hash"]
+          for r in conversation_fingerprints(tdf, max_turns=1).collect()}
+    assert fp["c2"] == fp["c3"] == hashlib.md5(b"dup text").hexdigest()
+    assert fp["c1"] == hashlib.md5(b"hi").hexdigest()
+
+
+def test_tool_chains(tdf):
+    got = {r["conv_id"]: r.asDict() for r in tool_chains(tdf).collect()}
+    # c1 has islands [2,3] and [6] -> max chain 2, 2 chains
+    assert got["c1"]["max_tool_chain"] == 2
+    assert got["c1"]["n_chains"] == 2
+    # conversations with no tool turns are absent (inner semantics)
+    assert "c2" not in got and "c3" not in got
+
+
+def test_role_transitions(tdf):
+    got = {(r["role_from"], r["role_to"]): r["n"]
+           for r in role_transitions(tdf).collect()}
+    assert got[("<start>", "user")] == 3  # every conversation starts with user
+    assert got[("user", "agent")] == 3
+    assert got[("tool", "tool")] == 1  # the c1 2-chain
+    assert sum(got.values()) == 11  # one bigram per turn
+
+
+def test_turn_latency(tdf):
+    got = {r["conv_id"]: r.asDict() for r in turn_latency_stats(tdf).collect()}
+    c2 = got["c2"]
+    # single gap: user->agent 7 s; it is also the only response
+    assert c2["p50_gap_us"] == 7_000_000.0
+    assert c2["max_gap_us"] == 7_000_000
+    assert c2["avg_resp_us"] == 7_000_000.0
+    assert c2["n_responses"] == 1
+    # c1 gaps: 4,6,1,9,100,1 s; responses: only user->agent = 4 s
+    c1 = got["c1"]
+    assert c1["max_gap_us"] == 100_000_000
+    assert c1["p50_gap_us"] == 5_000_000.0  # median of 1,1,4,6,9,100
+    assert c1["n_responses"] == 1 and c1["avg_resp_us"] == 4_000_000.0
+
+
+def test_transcripts_from_events_shape(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "view", 1.0, '{"k": 1}'),
+            (2, _ts(5), 7, "error", 2.0, '{"k": 2}'),
+            (3, _ts(9), 7, "purchase", 3.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = transcripts_from_events(ev).orderBy("turn_idx").collect()
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["conv_id"] == "conv-7"
+    assert [r["role"] for r in rows] == ["user", "tool", "agent"]
+    assert rows[1]["tool"] == "error" and rows[0]["tool"] is None
+    assert rows[2]["text"] == "purchase"  # concat_ws drops the NULL props
