@@ -2189,6 +2189,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return turn_latency_stats(transcripts_from_events(_t(spark, sf, "events")))
     q["cv_latency"] = cv_latency
 
+    def cv_sft_spans(spark, sf):
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.sft import sft_spans
+        return sft_spans(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_sft_spans"] = cv_sft_spans
+
+    def cv_sft_render(spark, sf):
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.sft import sft_render
+        return sft_render(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_sft_render"] = cv_sft_render
+
     return _priority_order(q)
 
 
@@ -4265,6 +4277,50 @@ def oracle_sql() -> dict[str, str]:
                    AS avg_resp_us,
                count(resp_us) AS n_responses
         FROM g WHERE gap_us IS NOT NULL GROUP BY conv_id
+    """
+
+    # SFT chat template: '<|role|>' \n text \n per turn; spans cover
+    # the text body; whitespace token counts guard the ''-split case
+    o["cv_sft_spans"] = rf"""
+        WITH t AS ({_TRANS}),
+        r AS (
+          SELECT conv_id, turn_idx, role, text,
+                 length('<|' || role || '|>') + 1 AS hlen,
+                 length('<|' || role || '|>') + 1 + length(text) + 1 AS rlen,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(length(string_split_regex(trim(text), '\s+'))
+                                AS INTEGER) END AS n_tokens
+          FROM t
+        )
+        SELECT conv_id, turn_idx, role,
+               CAST(coalesce(sum(rlen) OVER w, 0) + hlen AS BIGINT)
+                   AS span_start,
+               CAST(coalesce(sum(rlen) OVER w, 0) + hlen + length(text)
+                    AS BIGINT) AS span_end,
+               CASE WHEN role = 'agent' THEN 1 ELSE 0 END AS mask,
+               n_tokens
+        FROM r
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+
+    o["cv_sft_render"] = rf"""
+        WITH t AS ({_TRANS}),
+        r AS (
+          SELECT conv_id, turn_idx, role, text,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(length(string_split_regex(trim(text), '\s+'))
+                                AS INTEGER) END AS n_tokens
+          FROM t
+        )
+        SELECT conv_id,
+               string_agg('<|' || role || '|>' || chr(10) || text || chr(10),
+                          '' ORDER BY turn_idx) AS sample_text,
+               CAST(sum(n_tokens) AS INTEGER) AS n_tokens,
+               CAST(sum(CASE WHEN role = 'agent' THEN n_tokens ELSE 0 END)
+                    AS INTEGER) AS n_loss_tokens,
+               count(*) AS n_turns
+        FROM r GROUP BY conv_id
     """
 
     return _priority_order(o)
