@@ -65,6 +65,10 @@ HEADLINE = [
     "t_dsir_weights",
     "q_window_running",
     "golden_normalize",
+    # the transcript-native family added late round 3: template render
+    # + loss-mask spans is the write-side of the SFT pipeline (one
+    # conv_id exchange end-to-end)
+    "cv_sft_render",
 ]
 
 
