@@ -2201,6 +2201,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sft_render(transcripts_from_events(_t(spark, sf, "events")))
     q["cv_sft_render"] = cv_sft_render
 
+    def cv_pref_pairs(spark, sf):
+        # DPO preference-pair construction: prompts keyed by the
+        # event_type token sequence of the pre-agent prefix (the
+        # normalized-prompt hook — volatile props stripped so
+        # semantically-equal prompts collide), score = agent response
+        # mass (total chars over agent turns).
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.sft import preference_pairs
+
+        t = transcripts_from_events(_t(spark, sf, "events")).withColumn(
+            "ptext", F.split(F.col("text"), " ")[0]
+        )
+        scores = (
+            t.filter(F.col("role") == "agent")
+            .groupBy("conv_id")
+            .agg(F.sum(F.length("text")).cast("double").alias("score"))
+        )
+        return preference_pairs(t, scores, prompt_text_col="ptext")
+    q["cv_pref_pairs"] = cv_pref_pairs
+
+    def cv_truncate(spark, sf):
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.sft import truncate_to_budget
+
+        return truncate_to_budget(
+            transcripts_from_events(_t(spark, sf, "events")), budget_tokens=64
+        )
+    q["cv_truncate"] = cv_truncate
+
     return _priority_order(q)
 
 
@@ -2237,8 +2266,14 @@ _PRIORITY_50 = [
     # rotates out for the numerically-richer bigram LM scorer:
     # t_winnow_pairs rotates out (t_winnow keeps the fingerprint family
     # represented) for the adaptive-threshold CEP alert's first row:
-    "t_tokens", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
-    "c15_rate_anomaly", "t_clean", "t_pii_scrub", "t_ccnet_quality",
+    # t_tokens rotates out (mirror-gated; t_quality keeps the counting
+    # family represented) for the SFT sample-construction family's
+    # first driver row — loss-mask spans over the input_hint shape:
+    "cv_sft_spans", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
+    # t_clean rotates out (mirror-gated; t_pii_scrub keeps the
+    # scrubbing family represented) for the DPO preference-pair
+    # constructor's first driver row:
+    "c15_rate_anomaly", "cv_pref_pairs", "t_pii_scrub", "t_ccnet_quality",
     # t_tfidf rotates out (mirror-gated; simplest of the weighting
     # family) for the SPFHP packer's first driver row:
     "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_pack_spfhp",
@@ -4321,6 +4356,77 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER) AS n_loss_tokens,
                count(*) AS n_turns
         FROM r GROUP BY conv_id
+    """
+
+    o["cv_pref_pairs"] = f"""
+        WITH t AS ({_TRANS}),
+        fl AS (
+          SELECT conv_id,
+                 min(CASE WHEN role = 'agent' THEN turn_idx END) AS fl
+          FROM t GROUP BY conv_id
+        ),
+        fp AS (
+          SELECT t.conv_id,
+                 md5(string_agg(string_split(t.text, ' ')[1], chr(31)
+                                ORDER BY t.turn_idx)) AS prompt_fp
+          FROM t JOIN fl ON t.conv_id = fl.conv_id
+          WHERE fl.fl IS NOT NULL AND t.turn_idx < least(fl.fl, 1024)
+          GROUP BY t.conv_id
+        ),
+        sc AS (
+          SELECT conv_id, CAST(sum(length(text)) AS DOUBLE) AS score
+          FROM t WHERE role = 'agent' GROUP BY conv_id
+        ),
+        s AS (
+          SELECT fp.prompt_fp, fp.conv_id, sc.score
+          FROM fp JOIN sc ON fp.conv_id = sc.conv_id
+        ),
+        b AS (
+          SELECT prompt_fp, conv_id AS chosen_conv_id,
+                 score AS chosen_score,
+                 row_number() OVER (PARTITION BY prompt_fp
+                                    ORDER BY score DESC, conv_id ASC) AS rn
+          FROM s
+        ),
+        w AS (
+          SELECT prompt_fp, conv_id AS rejected_conv_id,
+                 score AS rejected_score,
+                 row_number() OVER (PARTITION BY prompt_fp
+                                    ORDER BY score ASC, conv_id DESC) AS rn
+          FROM s
+        )
+        SELECT b.prompt_fp, chosen_conv_id, rejected_conv_id,
+               chosen_score, rejected_score,
+               round(chosen_score - rejected_score, 6) AS margin
+        FROM b JOIN w ON b.prompt_fp = w.prompt_fp
+        WHERE b.rn = 1 AND w.rn = 1
+          AND chosen_score - rejected_score > 0
+    """
+
+    o["cv_truncate"] = rf"""
+        WITH t AS ({_TRANS}),
+        r AS (
+          SELECT conv_id, turn_idx, role,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(length(string_split_regex(trim(text), '\s+'))
+                                AS INTEGER) END AS n_tokens
+          FROM t
+        ),
+        c AS (
+          SELECT conv_id, turn_idx, role, n_tokens,
+                 CAST(sum(n_tokens) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS suffix_tokens
+          FROM r
+        )
+        SELECT conv_id, turn_idx, role, n_tokens, suffix_tokens,
+               CASE WHEN suffix_tokens <= 64
+                         OR (turn_idx = 0 AND suffix_tokens > 64)
+                    THEN 1 ELSE 0 END AS keep,
+               CASE WHEN turn_idx = 0 AND suffix_tokens > 64
+                    THEN 1 ELSE 0 END AS pinned
+        FROM c
     """
 
     return _priority_order(o)

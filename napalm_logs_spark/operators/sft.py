@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from napalm_logs_spark.operators.convstats import US
+
 TEMPLATE_VERSION = 1
 
 #: roles whose text spans receive loss (mask = 1)
@@ -87,6 +89,147 @@ def sft_spans(tdf: DataFrame) -> DataFrame:
         (span_start + F.length("text")).alias("span_end"),
         F.col("role").isin(*LOSS_ROLES).cast("int").alias("mask"),
         _ws_tokens(F.col("text")).alias("n_tokens"),
+    )
+
+
+def preference_pairs(
+    tdf: DataFrame,
+    scores: DataFrame,
+    *,
+    prompt_text_col: str = "text",
+    max_prompt_turns: int = 1024,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: one (chosen, rejected)
+    conversation pair per shared prompt.
+
+    The *prompt* of a conversation is its prefix of turns strictly
+    before the first loss-role (agent) turn; conversations with no
+    agent turn have no response and are dropped.  Conversations are
+    grouped by the md5 fingerprint of the ordered prompt texts
+    (``prompt_text_col`` lets callers fingerprint a normalized view of
+    the text, e.g. with volatile IDs stripped, so semantically-equal
+    prompts collide).  Within a prompt group the pair is
+    best-vs-worst by ``scores.score``:
+
+    * chosen   = max score, tie-break min ``conv_id``
+    * rejected = min score, tie-break max ``conv_id``
+    * rows with ``margin = chosen_score - rejected_score <= 0`` are
+      dropped (a pair needs a strict preference), which also removes
+      single-conversation groups.
+
+    Scale (10^12 turns): the prompt fingerprint is one ``conv_id``
+    aggregate that reuses the transcript ordering exchange
+    (``sort_array(collect_list)``, ``max_prompt_turns``-bounded like
+    convstats fingerprints); pairing is two rank-1 windows over
+    ``prompt_fp`` — a hot prompt (one shared greeting, millions of
+    conversations) costs its reducer one sort, never a cross join,
+    and emits exactly one row.  All JVM built-ins, no Python.
+
+    Reference analog: the reference publishes one envelope per message
+    (`/root/reference/napalm_logs/device.py:336-351`); the
+    preference pair is the transcript-payload training envelope.
+    """
+    is_loss = F.col("role").isin(*LOSS_ROLES)
+    w_conv = Window.partitionBy("conv_id")
+    first_loss = F.min(F.when(is_loss, F.col("turn_idx"))).over(w_conv)
+    marked = tdf.select(
+        "conv_id", "turn_idx", F.col(prompt_text_col).alias("_pt"),
+        first_loss.alias("_fl"),
+    ).filter(F.col("_fl").isNotNull())
+    prompt_turns = marked.filter(F.col("turn_idx") < F.col("_fl"))
+    fp = prompt_turns.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                US,
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(F.struct("turn_idx", "_pt"))
+                        ),
+                        1,
+                        max_prompt_turns,
+                    ),
+                    lambda s: s["_pt"],
+                ),
+            )
+        ).alias("prompt_fp")
+    )
+    scored = fp.join(scores.select("conv_id", "score"), "conv_id")
+    # both rank-1 selections ride ONE prompt_fp exchange: two window
+    # passes back-to-back on the same partitioning (sort-only between
+    # them), then a conditional aggregate stitches chosen + rejected
+    # into the pair row — no self-join, no second shuffle of scored
+    w_best = Window.partitionBy("prompt_fp").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc()
+    )
+    w_worst = Window.partitionBy("prompt_fp").orderBy(
+        F.col("score").asc(), F.col("conv_id").desc()
+    )
+    ranked = scored.select(
+        "prompt_fp",
+        "conv_id",
+        "score",
+        F.row_number().over(w_best).alias("_rb"),
+        F.row_number().over(w_worst).alias("_rw"),
+    )
+    agg = ranked.groupBy("prompt_fp").agg(
+        F.max(
+            F.when(F.col("_rb") == 1, F.struct("conv_id", "score"))
+        ).alias("_c"),
+        F.max(
+            F.when(F.col("_rw") == 1, F.struct("conv_id", "score"))
+        ).alias("_r"),
+    )
+    return agg.select(
+        "prompt_fp",
+        F.col("_c.conv_id").alias("chosen_conv_id"),
+        F.col("_r.conv_id").alias("rejected_conv_id"),
+        F.col("_c.score").alias("chosen_score"),
+        F.col("_r.score").alias("rejected_score"),
+        F.round(F.col("_c.score") - F.col("_r.score"), 6).alias("margin"),
+    ).filter(F.col("margin") > 0)
+
+
+def truncate_to_budget(
+    tdf: DataFrame, *, budget_tokens: int, pin_first: bool = True
+) -> DataFrame:
+    """Context-window truncation: per-turn keep verdicts for the
+    longest conversation *suffix* that fits a token budget.
+
+    The standard serving/training truncation rule — recent turns matter
+    most — expressed as one reverse running-sum window: a turn is kept
+    when the whitespace-token sum of itself plus every LATER turn is
+    ≤ ``budget_tokens``.  ``pin_first=True`` additionally keeps
+    ``turn_idx = 0`` (the system-prompt retention rule) even when it
+    is out of budget; pinned-only turns are flagged so a renderer can
+    splice them ahead of the kept suffix.
+
+    One window on ``conv_id`` (same exchange as the transcript
+    ordering — the sort direction differs but the hash partitioning is
+    reused), zero Python, output is input-sized: scale-safe at any
+    conversation length.
+    """
+    tok = _ws_tokens(F.col("text"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suffix_tok = F.sum(tok).over(w)
+    in_budget = suffix_tok <= F.lit(budget_tokens)
+    pinned = (
+        (F.col("turn_idx") == 0) & ~in_budget
+        if pin_first
+        else F.lit(False)
+    )
+    return tdf.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        tok.alias("n_tokens"),
+        suffix_tok.cast("long").alias("suffix_tokens"),
+        (in_budget | pinned).cast("int").alias("keep"),
+        pinned.cast("int").alias("pinned"),
     )
 
 

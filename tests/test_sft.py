@@ -85,3 +85,141 @@ def test_compose_with_spfhp_packing(tdf):
     assert "c1" in packed_ids
     for r in rows:
         assert r["pack_id"] is not None
+
+
+# ---------------------------------------------------------------------------
+# preference pairs (DPO) + context-window truncation
+
+
+@pytest.fixture(scope="module")
+def pref_tdf(spark):
+    def conv(cid, prompt_turns, agent_text):
+        rows = [
+            (cid, i, "user", t, None, T0) for i, t in enumerate(prompt_turns)
+        ]
+        rows.append((cid, len(prompt_turns), "agent", agent_text, None, T0))
+        return rows
+
+    rows = (
+        # three convs sharing prompt ["hi", "please help"]
+        conv("a1", ["hi", "please help"], "long detailed answer here")   # 25ch
+        + conv("a2", ["hi", "please help"], "ok")                        # 2ch
+        + conv("a3", ["hi", "please help"], "medium answer")             # 13ch
+        # shared prompt but identical scores -> margin 0, dropped
+        + conv("b1", ["bye"], "same")
+        + conv("b2", ["bye"], "same")
+        # no agent turn -> dropped
+        + [("c1", 0, "user", "hi", None, T0)]
+        # unique prompt, single conv -> no pair
+        + conv("d1", ["solo prompt"], "resp")
+    )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+
+
+def _scores(tdf):
+    return (
+        tdf.filter(F.col("role") == "agent")
+        .groupBy("conv_id")
+        .agg(F.sum(F.length("text")).cast("double").alias("score"))
+    )
+
+
+def test_preference_pairs_best_vs_worst(pref_tdf):
+    from napalm_logs_spark.operators.sft import preference_pairs
+
+    rows = preference_pairs(pref_tdf, _scores(pref_tdf)).collect()
+    # only the a-group survives: b margin 0, c no agent, d singleton
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["chosen_conv_id"] == "a1" and r["rejected_conv_id"] == "a2"
+    assert r["chosen_score"] == 25.0 and r["rejected_score"] == 2.0
+    assert r["margin"] == 23.0
+
+
+def test_preference_pairs_tie_breaks(spark):
+    """Equal-score ties resolve deterministically: chosen = min conv_id
+    among max-score, rejected = max conv_id among min-score."""
+    from napalm_logs_spark.operators.sft import preference_pairs
+
+    rows = []
+    for cid, resp in [("z1", "aa"), ("z2", "aa"), ("z3", "bbbb"), ("z4", "bbbb")]:
+        rows += [
+            (cid, 0, "user", "same prompt", None, T0),
+            (cid, 1, "agent", resp, None, T0),
+        ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = preference_pairs(tdf, _scores(tdf)).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["chosen_conv_id"] == "z3"    # max score 4, min conv_id
+    assert r["rejected_conv_id"] == "z2"  # min score 2, max conv_id
+
+
+def test_preference_pairs_prompt_normalization(spark):
+    """prompt_text_col fingerprints the normalized view, so prompts
+    that differ only in the volatile part still collide."""
+    from napalm_logs_spark.operators.sft import preference_pairs
+
+    rows = [
+        ("n1", 0, "user", "greet id=111", None, T0),
+        ("n1", 1, "agent", "wordy reply", None, T0),
+        ("n2", 0, "user", "greet id=222", None, T0),
+        ("n2", 1, "agent", "x", None, T0),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    ).withColumn("ptext", F.split(F.col("text"), " ")[0])
+    # raw texts differ -> no pair
+    assert preference_pairs(tdf, _scores(tdf)).count() == 0
+    # normalized texts collide -> one pair
+    got = preference_pairs(tdf, _scores(tdf), prompt_text_col="ptext").collect()
+    assert len(got) == 1 and got[0]["chosen_conv_id"] == "n1"
+
+
+def test_truncate_to_budget_suffix_and_pin(spark):
+    from napalm_logs_spark.operators.sft import truncate_to_budget
+
+    rows = [
+        ("t1", 0, "user", "sys prompt here",  None, T0),  # 3 tokens
+        ("t1", 1, "user", "one two three",    None, T0),  # 3
+        ("t1", 2, "agent", "four five",       None, T0),  # 2
+        ("t1", 3, "user", "six",              None, T0),  # 1
+        ("t1", 4, "agent", "",                None, T0),  # 0
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = {r["turn_idx"]: r.asDict()
+           for r in truncate_to_budget(tdf, budget_tokens=3).collect()}
+    # suffix sums from the end: t4=0, t3=1, t2=3, t1=6, t0=9
+    assert [got[i]["suffix_tokens"] for i in range(5)] == [9, 6, 3, 1, 0]
+    # kept: t2..t4 fit the budget; t1 does not; t0 pinned despite overflow
+    assert [got[i]["keep"] for i in range(5)] == [1, 0, 1, 1, 1]
+    assert [got[i]["pinned"] for i in range(5)] == [1, 0, 0, 0, 0]
+    # pin_first=False drops the system turn too
+    got2 = {r["turn_idx"]: r.asDict()
+            for r in truncate_to_budget(
+                tdf, budget_tokens=3, pin_first=False).collect()}
+    assert [got2[i]["keep"] for i in range(5)] == [0, 0, 1, 1, 1]
+    assert all(got2[i]["pinned"] == 0 for i in range(5))
+
+
+def test_truncate_budget_covers_all(spark):
+    """A budget >= the whole conversation keeps every turn, none pinned."""
+    from napalm_logs_spark.operators.sft import truncate_to_budget
+
+    rows = [("u1", i, "user", "a b", None, T0) for i in range(3)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    )
+    got = truncate_to_budget(tdf, budget_tokens=100).collect()
+    assert all(r["keep"] == 1 and r["pinned"] == 0 for r in got)
