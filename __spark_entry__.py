@@ -2298,11 +2298,12 @@ _PRIORITY_50 = [
     "m4_timestamps",            # new this round (M4 locale/tz breadth)
     "k5_prom_expo",             # new this round (K5 exposition render)
     # representative core rows kept green (rest rotate; all r02-green
-    # already — p1_nonempty_filter / a1_dedup_ttl_exact / c6_interval_join
+    # already — p1_nonempty_filter / a1_dedup_gap / c6_interval_join
     # rotated out this session to make room for the three new-operator
-    # rows above; their families stay represented by a1_dedup_gap and
+    # rows above; their families stay represented by a1_dedup_ttl_exact
+    # — the stored-golden TTL path VERDICT r2 item 8 names — and
     # c1/c14/c12)
-    "a1_dedup_gap",
+    "a1_dedup_ttl_exact",
     "c14_session_window",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
     # q1_pricing_summary rotates out (driver-green in r02; the whole
