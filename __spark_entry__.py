@@ -2230,6 +2230,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cv_truncate"] = cv_truncate
 
+    def cv_neardup(spark, sf):
+        # conversation-level near-dedup: the SFT dedup stage a
+        # transcript corpus runs before training — render each
+        # conversation to its sample text, then MinHash+LSH near-dup
+        # pairs over the rendered documents (composition of the two
+        # driver-gated operators; one new plan, no new code path)
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.docdedup import minhash_lsh_pairs
+        from napalm_logs_spark.operators.sft import sft_render
+
+        rendered = sft_render(
+            transcripts_from_events(_t(spark, sf, "events"))
+        ).select(
+            F.col("conv_id").alias("doc_id"), F.col("sample_text").alias("text")
+        )
+        return minhash_lsh_pairs(
+            rendered, num_hashes=32, bands=8, n=3, threshold=0.1
+        )
+    q["cv_neardup"] = cv_neardup
+
     return _priority_order(q)
 
 
@@ -4428,6 +4448,53 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN turn_idx = 0 AND suffix_tokens > 64
                     THEN 1 ELSE 0 END AS pinned
         FROM c
+    """
+
+    # conversation near-dedup = the d_minhash_lsh oracle over rendered
+    # conversations (the cv_sft_render string_agg) instead of documents
+    o["cv_neardup"] = rf"""
+        WITH t AS ({_TRANS}),
+        rendered AS (
+          SELECT conv_id AS doc_id,
+                 string_agg('<|' || role || '|>' || chr(10) || text || chr(10),
+                            '' ORDER BY turn_idx) AS text
+          FROM t GROUP BY conv_id
+        ), toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS t
+          FROM rendered
+        ), sh AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+          FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+          WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+        ), hx AS (
+          SELECT doc_id, shingle, {_mh_concat} AS h FROM sh
+        ), sig AS (
+          SELECT doc_id, i, min(substr(h, i * 8 + 1, 8)) AS mh
+          FROM hx, UNNEST(generate_series(0, 31)) AS s(i)
+          GROUP BY doc_id, i
+        ), bands AS (
+          SELECT doc_id, i // 4 AS band, string_agg(mh, '' ORDER BY i) AS bucket
+          FROM sig GROUP BY doc_id, i // 4
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """
 
     return _priority_order(o)

@@ -223,3 +223,37 @@ def test_truncate_budget_covers_all(spark):
     )
     got = truncate_to_budget(tdf, budget_tokens=100).collect()
     assert all(r["keep"] == 1 and r["pinned"] == 0 for r in got)
+
+
+def test_conversation_neardup_composition(spark):
+    """Conversation-level near-dedup (the cv_neardup driver query):
+    rendered conversations feed MinHash+LSH directly.  Two planted
+    conversations differing in one turn out of twelve must pair with
+    high Jaccard; an unrelated conversation must not pair."""
+    from napalm_logs_spark.operators.docdedup import minhash_lsh_pairs
+    from napalm_logs_spark.operators.sft import sft_render
+
+    def conv(cid, texts):
+        return [(cid, i, "user" if i % 2 == 0 else "agent", t, None, T0)
+                for i, t in enumerate(texts)]
+
+    base = [f"turn {i} the quick brown fox jumps over the lazy dog"
+            for i in range(12)]
+    variant = list(base)
+    variant[5] = "a completely different fifth turn body"
+    other = [f"unrelated {i} lorem ipsum dolor sit amet consectetur"
+             for i in range(12)]
+    tdf = spark.createDataFrame(
+        conv("k1", base) + conv("k2", variant) + conv("k3", other),
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rendered = sft_render(tdf).select(
+        F.col("conv_id").alias("doc_id"), F.col("sample_text").alias("text")
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(
+                 rendered, num_hashes=32, bands=8, n=3, threshold=0.1
+             ).collect()}
+    assert ("k1", "k2") in pairs and pairs[("k1", "k2")] > 0.5
+    assert all("k3" not in p for p in pairs)
