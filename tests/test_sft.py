@@ -257,3 +257,28 @@ def test_conversation_neardup_composition(spark):
              ).collect()}
     assert ("k1", "k2") in pairs and pairs[("k1", "k2")] > 0.5
     assert all("k3" not in p for p in pairs)
+
+
+def test_render_composes_with_foreachbatch(spark, tmp_path, pref_tdf):
+    """Deployment shape: the SFT write-side runs inside foreachBatch on
+    a transcript stream — per-batch render output must equal the batch
+    render of the same rows (conversations arrive whole per batch)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    pref_tdf.write.parquet(src)
+    expected = {r["conv_id"]: r.asDict() for r in sft_render(pref_tdf).collect()}
+
+    def render_batch(bdf, bid):
+        sft_render(bdf).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(pref_tdf.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(render_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["conv_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert got == expected
