@@ -2250,6 +2250,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cv_neardup"] = cv_neardup
 
+    def cv_loop_detect(spark, sf):
+        # agent-loop detection over the transcript view: the loop key
+        # is the event_type token (props vary per event, so raw-text
+        # runs never form — the key is the "normalized call" an agent
+        # retry loop repeats, same normalization hook cv_pref_pairs
+        # uses for its prompt fingerprint)
+        from napalm_logs_spark.operators.convstats import (
+            agent_loop_detect, transcripts_from_events,
+        )
+        t = transcripts_from_events(_t(spark, sf, "events"))
+        return agent_loop_detect(
+            t, min_run=3, key=F.split(F.col("text"), " ")[0]
+        )
+    q["cv_loop_detect"] = cv_loop_detect
+
+    def cv_role_violations(spark, sf):
+        from napalm_logs_spark.operators.convstats import (
+            role_violations, transcripts_from_events,
+        )
+        return role_violations(transcripts_from_events(_t(spark, sf, "events")))
+    q["cv_role_violations"] = cv_role_violations
+
     return _priority_order(q)
 
 
@@ -4495,6 +4517,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """
+
+    o["cv_loop_detect"] = f"""
+        WITH t AS ({_TRANS}),
+        isl AS (
+          SELECT conv_id, role, string_split(text, ' ')[1] AS k,
+                 turn_idx - row_number() OVER (
+                   PARTITION BY conv_id, role, string_split(text, ' ')[1]
+                   ORDER BY turn_idx) AS island
+          FROM t
+        ),
+        runs AS (
+          SELECT conv_id, count(*) AS run_len
+          FROM isl GROUP BY conv_id, role, k, island
+        )
+        SELECT conv_id,
+               max(run_len) AS max_repeat_run,
+               sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_loop_runs,
+               max(run_len) >= 3 AS looping
+        FROM runs GROUP BY conv_id
+    """
+
+    o["cv_role_violations"] = f"""
+        WITH t AS ({_TRANS}),
+        m AS (
+          SELECT conv_id,
+                 CASE WHEN lag(role) OVER w = role THEN 1 ELSE 0 END
+                     AS same_role,
+                 CASE WHEN turn_idx = 0
+                           AND role NOT IN ('user', 'system')
+                      THEN 1 ELSE 0 END AS bad_start,
+                 CASE WHEN role = 'tool'
+                           AND coalesce(lag(role) OVER w, '<start>')
+                               NOT IN ('agent', 'tool')
+                      THEN 1 ELSE 0 END AS orphan_tool
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               sum(same_role) AS n_same_role,
+               sum(bad_start) AS bad_start,
+               sum(orphan_tool) AS n_orphan_tool,
+               sum(same_role) = 0 AND sum(bad_start) = 0
+                   AND sum(orphan_tool) = 0 AS valid
+        FROM m GROUP BY conv_id
     """
 
     return _priority_order(o)

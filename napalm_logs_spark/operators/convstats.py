@@ -200,6 +200,95 @@ def role_transitions(tdf: DataFrame) -> DataFrame:
     )
 
 
+def agent_loop_detect(
+    tdf: DataFrame, *, min_run: int = 3, key: Column | None = None
+) -> DataFrame:
+    """Detect agents stuck in a loop: runs of consecutive turns by the
+    same role with identical (normalized) content.
+
+    Agent-trajectory curation needs this gate before transcripts become
+    training data — a tool-calling agent that retries the same call N
+    times, or a model that repeats the same sentence every turn, must
+    be flagged (and usually dropped) rather than learned from.  It is
+    the conversation-level analog of :func:`text.repetition_scores`'
+    Gopher dup-fraction signals, lifted from tokens-within-a-document
+    to turns-within-a-conversation.
+
+    ``key`` is the loop fingerprint (default: md5 of the
+    case/whitespace-normalized text).  Runs are gaps-and-islands on
+    (conv_id, role, key): island id = turn_idx − row_number() within
+    that partition, so consecutive identical turns share an island.
+    Both windows partition by conv_id first — co-partitioned with the
+    transcript derivation's exchange, so the whole operator is one
+    shuffle.  Output has one row per conversation (every conversation
+    has at least one run).
+
+    Columns: ``max_repeat_run`` (longest identical run),
+    ``n_loop_runs`` (runs of length ≥ min_run), ``looping`` verdict.
+    """
+    if key is None:
+        key = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("conv_id", "role", key).orderBy("turn_idx")
+    runs = (
+        tdf.withColumn("island", F.col("turn_idx") - F.row_number().over(w))
+        .groupBy("conv_id", "role", key.alias("k"), "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("conv_id").agg(
+        F.max("run_len").alias("max_repeat_run"),
+        F.sum((F.col("run_len") >= min_run).cast("long")).alias("n_loop_runs"),
+        (F.max("run_len") >= min_run).alias("looping"),
+    )
+
+
+def role_violations(tdf: DataFrame) -> DataFrame:
+    """Chat-format validation gates per conversation.
+
+    SFT corpora are schema-checked before training (role alternation,
+    who may open a conversation, tool results only after an agent
+    call); this is that validator as one distributed pass.  Violations
+    counted per conversation:
+
+    * ``n_same_role`` — consecutive turns by the same role (a broken
+      alternation; some formats allow it, so it is a count not a hard
+      fail),
+    * ``bad_start`` — the opening turn's role is not ``user``/``system``,
+    * ``n_orphan_tool`` — a tool turn whose predecessor is neither an
+      agent turn (the call) nor another tool turn (a result chain),
+      including a tool turn that opens the conversation,
+    * ``valid`` — the conjunctive keep verdict (no violations).
+
+    One lag window + one algebraic groupBy, both on conv_id — single
+    exchange, reused from the transcript derivation.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    marked = tdf.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (prev == F.col("role")).cast("long").alias("same_role"),
+        (
+            (F.col("turn_idx") == 0)
+            & ~F.col("role").isin("user", "system")
+        ).cast("long").alias("bad_start"),
+        (
+            (F.col("role") == "tool")
+            & ~F.coalesce(prev, F.lit("<start>")).isin("agent", "tool")
+        ).cast("long").alias("orphan_tool"),
+    )
+    return marked.groupBy("conv_id").agg(
+        F.sum(F.coalesce(F.col("same_role"), F.lit(0))).alias("n_same_role"),
+        F.sum("bad_start").alias("bad_start"),
+        F.sum("orphan_tool").alias("n_orphan_tool"),
+        (
+            (F.sum(F.coalesce(F.col("same_role"), F.lit(0))) == 0)
+            & (F.sum("bad_start") == 0)
+            & (F.sum("orphan_tool") == 0)
+        ).alias("valid"),
+    )
+
+
 def turn_latency_stats(tdf: DataFrame) -> DataFrame:
     """Per-conversation inter-turn latency profile.
 

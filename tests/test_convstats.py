@@ -135,3 +135,90 @@ def test_transcripts_from_events_shape(spark):
     assert [r["role"] for r in rows] == ["user", "tool", "agent"]
     assert rows[1]["tool"] == "error" and rows[0]["tool"] is None
     assert rows[2]["text"] == "purchase"  # concat_ws drops the NULL props
+
+
+def test_agent_loop_detect(spark):
+    from napalm_logs_spark.operators.convstats import agent_loop_detect
+
+    rows = [
+        # c1: agent retries the same call 3x (a loop), then moves on
+        ("c1", 0, "user",  "do it",     None, _ts(0)),
+        ("c1", 1, "agent", "call X",    None, _ts(1)),
+        ("c1", 2, "agent", "call X",    None, _ts(2)),
+        ("c1", 3, "agent", "call X",    None, _ts(3)),
+        ("c1", 4, "agent", "done",      None, _ts(4)),
+        # c2: same text twice but different roles — NOT a run
+        ("c2", 0, "user",  "ping",      None, _ts(0)),
+        ("c2", 1, "agent", "ping",      None, _ts(1)),
+        # c3: same text by same role but separated — two runs of 1
+        ("c3", 0, "agent", "a",         None, _ts(0)),
+        ("c3", 1, "agent", "b",         None, _ts(1)),
+        ("c3", 2, "agent", "a",         None, _ts(2)),
+    ]
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in agent_loop_detect(_tdf(spark, rows), min_run=3).collect()
+    }
+    assert got["c1"]["max_repeat_run"] == 3
+    assert got["c1"]["n_loop_runs"] == 1
+    assert got["c1"]["looping"] is True
+    assert got["c2"]["max_repeat_run"] == 1
+    assert got["c2"]["looping"] is False
+    assert got["c3"]["max_repeat_run"] == 1
+    assert got["c3"]["n_loop_runs"] == 0
+    # normalization: case/whitespace variants collide under the default key
+    norm = [
+        ("c4", 0, "agent", "Call  X ", None, _ts(0)),
+        ("c4", 1, "agent", "call x",   None, _ts(1)),
+    ]
+    got4 = agent_loop_detect(_tdf(spark, norm), min_run=2).collect()[0]
+    assert got4["max_repeat_run"] == 1  # trim-only: inner whitespace differs
+    norm2 = [
+        ("c5", 0, "agent", "call x ",  None, _ts(0)),
+        ("c5", 1, "agent", "Call X",   None, _ts(1)),
+    ]
+    got5 = agent_loop_detect(_tdf(spark, norm2), min_run=2).collect()[0]
+    assert got5["max_repeat_run"] == 2 and got5["looping"] is True
+
+
+def test_role_violations(spark):
+    from napalm_logs_spark.operators.convstats import role_violations
+
+    rows = [
+        # c1: clean alternation — valid
+        ("c1", 0, "user",  "q",  None, _ts(0)),
+        ("c1", 1, "agent", "a",  None, _ts(1)),
+        ("c1", 2, "tool",  "r",  "t",  _ts(2)),
+        ("c1", 3, "agent", "a2", None, _ts(3)),
+        # c2: agent opens (bad_start) and double-user (same_role)
+        ("c2", 0, "agent", "hi", None, _ts(0)),
+        ("c2", 1, "user",  "u1", None, _ts(1)),
+        ("c2", 2, "user",  "u2", None, _ts(2)),
+        # c3: tool turn right after user (orphan) AND opening tool turn
+        ("c3", 0, "tool",  "r0", "t",  _ts(0)),
+        ("c3", 1, "user",  "u",  None, _ts(1)),
+        ("c3", 2, "tool",  "r1", "t",  _ts(2)),
+        # c4: system may open; tool chains (tool after tool) are fine
+        ("c4", 0, "system", "s", None, _ts(0)),
+        ("c4", 1, "agent",  "a", None, _ts(1)),
+        ("c4", 2, "tool",   "r", "t",  _ts(2)),
+        ("c4", 3, "tool",   "r", "t",  _ts(3)),
+    ]
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in role_violations(_tdf(spark, rows)).collect()
+    }
+    assert got["c1"] == {
+        "conv_id": "c1", "n_same_role": 0, "bad_start": 0,
+        "n_orphan_tool": 0, "valid": True,
+    }
+    assert got["c2"]["bad_start"] == 1
+    assert got["c2"]["n_same_role"] == 1
+    assert got["c2"]["valid"] is False
+    assert got["c3"]["bad_start"] == 1  # tool opening is also a bad start
+    assert got["c3"]["n_orphan_tool"] == 2
+    # c4: tool-after-tool chain is legal, same_role counts the repeat
+    assert got["c4"]["n_orphan_tool"] == 0
+    assert got["c4"]["bad_start"] == 0
+    assert got["c4"]["n_same_role"] == 1
+    assert got["c4"]["valid"] is False
