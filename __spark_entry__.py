@@ -421,6 +421,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q_sketch_quantiles"] = q_sketch_quantiles
 
+    def q_sketch_cms(spark, sf):
+        # Count-Min point-frequency sketch (operators/sketch.py): the
+        # third sketch sibling — depth×width counters from one
+        # map-side-combined groupBy, broadcast-joined back against the
+        # probe keys.  user_id over a 256-wide sketch forces real
+        # collisions, so overcount exercises the one-sided error path;
+        # the md5 hashing is portable, so the oracle replays the
+        # sketch EXACTLY (value-match, not a tolerance flag).
+        from napalm_logs_spark.operators.sketch import cms_vs_exact
+
+        ev = _t(spark, sf, "events")
+        return cms_vs_exact(
+            ev.select(F.col("user_id").cast("string").alias("key")),
+            depth=4,
+            width=256,
+        )
+    q["q_sketch_cms"] = q_sketch_cms
+
     def q_zorder_key(spark, sf):
         # Z-order (Morton) layout key: scan locality for BOTH user_id
         # and value range predicates at once (bucketed.write_zordered
@@ -3401,6 +3419,32 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.5), 6) AS exact_p50,
                TRUE AS approx_within_2pct_range
         FROM events GROUP BY event_type
+    """
+
+    # exact replay of the CM sketch: same seed-prefixed md5 buckets
+    # (first 8 hex digits -> int, mod width), same min-over-rows
+    o["q_sketch_cms"] = """
+        WITH keys AS (
+          SELECT CAST(user_id AS VARCHAR) AS key FROM events
+        ), coords AS (
+          SELECT key, d,
+                 CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR)
+                                           || ':' || key), 1, 8))::BIGINT
+                      % 256 AS INTEGER) AS bucket
+          FROM keys, UNNEST(generate_series(0, 3)) AS s(d)
+        ), sketch AS (
+          SELECT d, bucket, count(*) AS cnt
+          FROM coords GROUP BY d, bucket
+        ), exact AS (
+          SELECT key, count(*) AS exact FROM keys GROUP BY key
+        ), est AS (
+          SELECT c.key, min(coalesce(sk.cnt, 0)) AS cms_est
+          FROM (SELECT DISTINCT key, d, bucket FROM coords) c
+          LEFT JOIN sketch sk USING (d, bucket)
+          GROUP BY c.key
+        )
+        SELECT key, exact, cms_est, cms_est - exact AS overcount
+        FROM exact JOIN est USING (key)
     """
 
     o["d_decontaminate"] = r"""

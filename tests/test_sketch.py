@@ -1,0 +1,71 @@
+"""Count-Min sketch semantics (operators/sketch.py): the one-sided
+error bound, counter-wise mergeability, absent-key estimates, and
+partitioning invariance."""
+
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.sketch import (
+    cms_estimate,
+    cms_vs_exact,
+    count_min_sketch,
+)
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "key string")
+
+
+def test_one_sided_bound_and_exact_when_wide(spark):
+    # 26 keys with frequencies 1..26
+    vals = [c * 3 for c in "abcdefghijklmnopqrstuvwxyz" for _ in range(ord(c) - 96)]
+    df = _keys(spark, vals)
+    got = {r["key"]: r for r in cms_vs_exact(df, depth=4, width=1024).collect()}
+    assert len(got) == 26
+    for r in got.values():
+        assert r["cms_est"] >= r["exact"]  # never undercounts
+        assert r["overcount"] >= 0
+    # 1024 buckets x 4 rows over 26 keys: no key collides in all rows
+    assert all(r["overcount"] == 0 for r in got.values())
+
+
+def test_collisions_overcount_but_never_undercount(spark):
+    vals = [f"k{i}" for i in range(200) for _ in range(i % 5 + 1)]
+    df = _keys(spark, vals)
+    rows = cms_vs_exact(df, depth=2, width=16).collect()
+    assert len(rows) == 200
+    assert all(r["cms_est"] >= r["exact"] for r in rows)
+    # 200 keys into 16 buckets MUST collide somewhere
+    assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_mergeability(spark):
+    # sketch(A + B) == counter-wise sum of sketch(A) and sketch(B)
+    a = _keys(spark, ["x", "y", "x", "z"])
+    b = _keys(spark, ["x", "w", "w"])
+    whole = count_min_sketch(a.unionAll(b), depth=3, width=32)
+    merged = (
+        count_min_sketch(a, depth=3, width=32)
+        .unionAll(count_min_sketch(b, depth=3, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = {(r["d"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    m = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert w == m
+
+
+def test_absent_key_estimate_nonnegative(spark):
+    corpus = _keys(spark, ["a", "a", "b"])
+    sketch = count_min_sketch(corpus, depth=4, width=64)
+    probes = _keys(spark, ["a", "never-seen"])
+    got = {r["key"]: r["cms_est"] for r in cms_estimate(sketch, probes, depth=4, width=64).collect()}
+    assert got["a"] >= 2
+    assert got["never-seen"] >= 0  # collision mass only
+
+
+def test_partitioning_invariance(spark):
+    vals = [f"k{i % 37}" for i in range(500)]
+    df = _keys(spark, vals)
+    s1 = count_min_sketch(df.repartition(1), depth=4, width=128)
+    s7 = count_min_sketch(df.repartition(7), depth=4, width=128)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s7.collect()))
