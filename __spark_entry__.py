@@ -2290,6 +2290,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return role_violations(transcripts_from_events(_t(spark, sf, "events")))
     q["cv_role_violations"] = cv_role_violations
 
+    def g_pagerank(spark, sf):
+        # link-graph centrality (operators/graph.py): exact fixed-point
+        # PageRank, 10 iterations over a deterministic synthetic link
+        # graph on the documents ids (dense 0..N-1 — synth_link_graph's
+        # arithmetic replays verbatim in the oracle's edge CTE, and the
+        # all-integer recurrence makes the iterative result an exact
+        # value-match, oracle unrolled as chained CTEs).  Dangling
+        # nodes (every 7th doc) exercise the redistribution path.
+        from napalm_logs_spark.operators.graph import pagerank, synth_link_graph
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        return pagerank(
+            synth_link_graph(docs, n),
+            nodes=docs.select(F.col("doc_id").alias("node")),
+            iterations=10,
+        )
+    q["g_pagerank"] = g_pagerank
+
     return _priority_order(q)
 
 
@@ -2345,7 +2364,11 @@ _PRIORITY_50 = [
     # family represented) for the composed-pipeline flagship:
     "d_pipeline_e2e",           # new session 3: clean->gate->dedup->pack
     "t_fix_text",               # new session 3: encoding repair chain
-    "s_knn_cosine", "s_embedding_norms", "s_ann_lsh", "s_ann_ivf",
+    # s_embedding_norms rotates out (mirror-gated; s_knn_cosine keeps
+    # the exact-similarity family represented) for the new iterative
+    # link-graph family's first driver row — exact fixed-point PageRank:
+    "g_pagerank",
+    "s_knn_cosine", "s_ann_lsh", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
     "s_ann_pq",                 # new session 3: product-quantization ADC
     # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
@@ -4606,6 +4629,57 @@ def oracle_sql() -> dict[str, str]:
                sum(same_role) = 0 AND sum(bad_start) = 0
                    AND sum(orphan_tool) = 0 AS valid
         FROM m GROUP BY conv_id
+    """
+
+    # PageRank: the all-integer recurrence (operators/graph.py) unrolled
+    # as chained CTEs — `//` is BIGINT floor division, matching Spark's
+    # `div`; dang{k} is the dangling-mass reduction of iteration k
+    _pr = []
+    _prev = "r0"
+    for _k in range(1, 11):
+        _pr.append(f"""
+        dang{_k} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), 0) AS dang
+          FROM {_prev} r LEFT JOIN deg d USING (node)
+          WHERE d.node IS NULL
+        ),
+        r{_k} AS MATERIALIZED (
+          SELECT no.node,
+                 cs.tp + (85 * (coalesce(c.contrib, 0)
+                                + dk.dang // cs.n)) // 100 AS rank
+          FROM nodes no CROSS JOIN consts cs CROSS JOIN dang{_k} dk
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+            FROM {_prev} r JOIN deg d USING (node)
+            JOIN edges e ON e.src = r.node
+            GROUP BY e.dst
+          ) c ON c.node = no.node
+        )""")
+        _prev = f"r{_k}"
+    o["g_pagerank"] = f"""
+        WITH consts AS (
+          SELECT count(*) AS n,
+                 1000000000000 // count(*) AS base,
+                 (15 * (1000000000000 // count(*))) // 100 AS tp
+          FROM documents
+        ),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT doc_id AS src,
+                   UNNEST([(17 * doc_id + 1) % cs.n,
+                           (29 * doc_id + 3) % cs.n,
+                           CASE WHEN doc_id % 3 = 0
+                                THEN (13 * doc_id + 7) % cs.n END]) AS dst
+            FROM documents CROSS JOIN consts cs
+          ) WHERE dst IS NOT NULL AND src % 7 <> 0
+        ),
+        deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+                FROM edges GROUP BY src),
+        r0 AS (SELECT node, cs.base AS rank
+               FROM nodes CROSS JOIN consts cs),
+        {",".join(_pr)}
+        SELECT node, rank FROM {_prev}
     """
 
     return _priority_order(o)
