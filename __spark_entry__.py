@@ -1725,6 +1725,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return emb.select("vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"))
     q["s_embedding_norms"] = s_embedding_norms
 
+    def s_jl_projection(spark, sf):
+        # Johnson-Lindenstrauss ±1 sign projection 64 -> 8
+        # (operators/similarity.py random_projection): the
+        # dimensionality-reduction stage before LSH/PQ at scale.
+        # Fixed-point exact (power-of-two quantize + integer sums), so
+        # the oracle value-matches; signs derive from the md5
+        # convention — hashlib on the Spark side, DuckDB's md5 in the
+        # oracle, two independent implementations.
+        from napalm_logs_spark.operators.similarity import random_projection
+
+        return random_projection(
+            _t(spark, sf, "embeddings"), in_dim=64, out_dim=8
+        )
+    q["s_jl_projection"] = s_jl_projection
+
     def s_ann_lsh(spark, sf):
         from napalm_logs_spark.operators.similarity import lsh_cosine_topk
 
@@ -3899,6 +3914,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm
         FROM embeddings
+    """
+
+    # JL projection: the float32->double promotion and the 2^24
+    # multiply are both exact, so floor() then integer sums replay
+    # bit-for-bit; p0..p7 pivot keeps the compare scalar-typed
+    _p_cols = ",\n               ".join(
+        f"max(CASE WHEN i = {i} THEN v END) AS p{i}" for i in range(8)
+    )
+    o["s_jl_projection"] = f"""
+        WITH w AS (
+          SELECT vec_id, j,
+                 CAST(floor(CAST(embedding[j + 1] AS DOUBLE)
+                            * 16777216) AS BIGINT) AS wv
+          FROM embeddings, UNNEST(generate_series(0, 63)) AS s(j)
+        ), sg AS (
+          SELECT i, j,
+                 CASE WHEN ('0x' || substr(md5('rp:' || CAST(i AS VARCHAR)
+                                || ':' || CAST(j AS VARCHAR)), 1, 1))::INTEGER
+                           % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM UNNEST(generate_series(0, 7)) AS a(i),
+               UNNEST(generate_series(0, 63)) AS b(j)
+        ), p AS (
+          SELECT vec_id, i, sum(wv * sgn) AS v
+          FROM w JOIN sg USING (j) GROUP BY vec_id, i
+        )
+        SELECT vec_id,
+               {_p_cols}
+        FROM p GROUP BY vec_id
     """
 
     o["s_quantize_int8"] = """

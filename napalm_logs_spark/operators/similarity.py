@@ -99,6 +99,73 @@ def cosine_topk(
     )
 
 
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix from the engine's md5
+    convention: sign(i, j) = +1 iff the first hex digit of
+    ``md5('rp:{i}:{j}')`` is even.  Computed here with hashlib; the SQL
+    oracle recomputes it with the engine's own ``md5`` — two
+    independent implementations of one published convention (the
+    d_simhash pattern)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+#: fixed-point scale for the JL projection — a power of two, so the
+#: quantizing multiply is EXACT in IEEE doubles (exponent shift only)
+#: and floor() agrees bit-for-bit between engines
+JL_SCALE = 1 << 24
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: dim → out_dim.
+
+    The dimensionality-reduction stage that runs *before* LSH/PQ at
+    scale (Achlioptas 2001: ±1 entries preserve pairwise distances in
+    expectation with the same JL guarantee as Gaussians, at integer
+    cost).  Output coordinate ``p_i = Σ_j floor(v_j·2^24) · sign(i,j)``
+    — an exact integer, so the operator is bit-identical under any
+    partitioning and value-matches a SQL replay; dequantize as
+    ``p_i / 2^24 / √out_dim`` for the isometry-scaled embedding.
+
+    Entirely JVM higher-order functions over literal sign arrays:
+    zero shuffle, zero Python, plan size O(out_dim·in_dim) literals.
+    No overflow: |p_i| ≤ in_dim · 2^24 · max|v| ≪ 2^63.
+    """
+    signs = jl_signs(out_dim, in_dim)
+    w = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(JL_SCALE))).cast("long"),
+    )
+    out = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_w"),
+                F.array(*[F.lit(s) for s in signs[i]]),
+                lambda x, y: x * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"p{i}")
+        for i in range(out_dim)
+    ]
+    return df.withColumn("_w", w).select(F.col(id_col), *out)
+
+
 def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype("float64")

@@ -596,3 +596,58 @@ def test_pca_fit_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="no rows"):
         pca_fit(empty, 2)
+
+
+def test_jl_projection_parity_and_isometry(spark):
+    import hashlib
+
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import (
+        JL_SCALE,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(40, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out_dim = 12
+    got = {
+        r["vec_id"]: [r[f"p{i}"] for i in range(out_dim)]
+        for r in random_projection(df, in_dim=16, out_dim=out_dim).collect()
+    }
+    # independent replication: hashlib signs + integer arithmetic
+    S = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+                else -1
+                for j in range(16)
+            ]
+            for i in range(out_dim)
+        ],
+        dtype=np.int64,
+    )
+    W = np.floor(V.astype(np.float64) * JL_SCALE).astype(np.int64)
+    exp = W @ S.T
+    for i in range(40):
+        assert got[i] == list(exp[i])
+    # JL isometry (fixed deterministic signs, so the check is stable):
+    # dequantized pairwise distances stay within a loose factor
+    Y = exp.astype(np.float64) / JL_SCALE / np.sqrt(out_dim)
+    for a, b in [(0, 1), (2, 3), (4, 5), (6, 7)]:
+        d0 = np.linalg.norm(V[a].astype(np.float64) - V[b].astype(np.float64))
+        d1 = np.linalg.norm(Y[a] - Y[b])
+        assert 0.3 < d1 / d0 < 1.9
+
+
+def test_jl_projection_zero_shuffle(spark):
+    from napalm_logs_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = random_projection(emb, in_dim=64, out_dim=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
