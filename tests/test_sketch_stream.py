@@ -1,0 +1,82 @@
+"""Streaming CMS: merged per-batch slices equal the whole-stream
+sketch (mergeability end-to-end), estimates stay one-sided, replay is
+idempotent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from napalm_logs_spark.operators.sketch import (
+    cms_estimate,
+    count_min_sketch,
+)
+from napalm_logs_spark.streaming.sketch_stream import (
+    cms_batch_sink,
+    read_merged_sketch,
+    run_cms_stream_once,
+)
+
+SCHEMA = "key string"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("src", "sk", "ckpt")}
+
+
+def _write(spark, src, keys):
+    spark.createDataFrame([(k,) for k in keys], SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def test_merged_slices_equal_whole_stream_sketch(spark, dirs):
+    b1 = [f"k{i % 11}" for i in range(120)]
+    b2 = [f"k{i % 7}" for i in range(80)] + ["hot"] * 40
+    _write(spark, dirs["src"], b1)
+    run_cms_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, width=64
+    )
+    _write(spark, dirs["src"], b2)
+    run_cms_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, width=64
+    )
+    merged = read_merged_sketch(spark, dirs["sk"])
+    whole = count_min_sketch(
+        spark.createDataFrame([(k,) for k in b1 + b2], SCHEMA), width=64
+    )
+    assert sorted(
+        (r["d"], r["bucket"], r["cnt"]) for r in merged.collect()
+    ) == sorted((r["d"], r["bucket"], r["cnt"]) for r in whole.collect())
+    # point queries off the merged sketch: one-sided vs exact stream counts
+    probes = spark.createDataFrame([("hot",), ("k1",), ("absent",)], SCHEMA)
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimate(merged, probes, width=64).collect()
+    }
+    assert est["hot"] >= 40
+    assert est["k1"] >= sum(1 for k in b1 + b2 if k == "k1")
+    assert est["absent"] >= 0
+
+
+def test_replayed_batch_overwrites_its_slice(spark, dirs):
+    keys = ["a", "b", "a"]
+    _write(spark, dirs["src"], keys)
+    run_cms_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, width=32
+    )
+    before = sorted(map(tuple, read_merged_sketch(spark, dirs["sk"]).collect()))
+    # replay batch 0 by hand: same function, same batch id
+    bdf = spark.createDataFrame([(k,) for k in keys], SCHEMA)
+    cms_batch_sink(dirs["sk"], width=32)(bdf, 0)
+    after = sorted(map(tuple, read_merged_sketch(spark, dirs["sk"]).collect()))
+    assert before == after
+
+
+def test_merged_sketch_bounded_rows(spark, dirs):
+    _write(spark, dirs["src"], [f"u{i}" for i in range(3000)])
+    run_cms_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA,
+        depth=4, width=64,
+    )
+    # 3000 distinct keys, but the sketch stays <= depth*width rows
+    assert read_merged_sketch(spark, dirs["sk"]).count() <= 4 * 64
