@@ -2305,6 +2305,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return role_violations(transcripts_from_events(_t(spark, sf, "events")))
     q["cv_role_violations"] = cv_role_violations
 
+    def d_bloom_incremental(spark, sf):
+        # incremental-crawl dedup (operators/sketch.py): new batch vs
+        # history WITHOUT joining history for definite-new rows — the
+        # Bloom position table broadcasts, only candidates pay the
+        # verify semi-join.  Key = (lang, source, n_chars%50) so true
+        # cross-split dups exist (~15 rows); m=1024 is deliberately
+        # tight so the false-positive path is exercised in the output
+        # (bloom_candidate=true, is_dup=false rows) — both branches of
+        # the verify land in the oracle compare.
+        from napalm_logs_spark.operators.sketch import incremental_dedup_bloom
+
+        docs = _t(spark, sf, "documents")
+        keyed = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "/",
+                F.col("lang"),
+                F.col("source"),
+                (F.col("n_chars") % 50).cast("string"),
+            ).alias("key"),
+        )
+        return incremental_dedup_bloom(
+            keyed.filter(F.col("doc_id") >= 250),
+            keyed.filter(F.col("doc_id") < 250),
+            k=5,
+            m=1024,
+        )
+    q["d_bloom_incremental"] = d_bloom_incremental
+
     def g_pagerank(spark, sf):
         # link-graph centrality (operators/graph.py): exact fixed-point
         # PageRank, 10 iterations over a deterministic synthetic link
@@ -4673,6 +4702,41 @@ def oracle_sql() -> dict[str, str]:
                sum(same_role) = 0 AND sum(bad_start) = 0
                    AND sum(orphan_tool) = 0 AS valid
         FROM m GROUP BY conv_id
+    """
+
+    o["d_bloom_incremental"] = """
+        WITH kd AS (
+          SELECT doc_id,
+                 lang || '/' || source || '/'
+                      || CAST(n_chars % 50 AS VARCHAR) AS key
+          FROM documents
+        ),
+        h AS (SELECT key FROM kd WHERE doc_id < 250),
+        b AS (SELECT doc_id, key FROM kd WHERE doc_id >= 250),
+        bits AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5('bf' || CAST(i AS VARCHAR)
+                                 || ':' || key), 1, 12))::BIGINT
+                 % 1024 AS pos
+          FROM h, UNNEST(generate_series(0, 4)) AS s(i)
+        ),
+        pp AS (
+          SELECT key,
+                 ('0x' || substr(md5('bf' || CAST(i AS VARCHAR)
+                                 || ':' || key), 1, 12))::BIGINT
+                 % 1024 AS pos
+          FROM (SELECT DISTINCT key FROM b),
+               UNNEST(generate_series(0, 4)) AS s(i)
+        ),
+        cand AS (
+          SELECT pp.key, count(bits.pos) = 5 AS bloom_candidate
+          FROM pp LEFT JOIN bits USING (pos) GROUP BY pp.key
+        ),
+        hk AS (SELECT DISTINCT key FROM h)
+        SELECT b.doc_id, b.key, c.bloom_candidate,
+               c.bloom_candidate AND hk.key IS NOT NULL AS is_dup,
+               NOT (c.bloom_candidate AND hk.key IS NOT NULL) AS kept
+        FROM b JOIN cand c USING (key) LEFT JOIN hk USING (key)
     """
 
     # PageRank: the all-integer recurrence (operators/graph.py) unrolled

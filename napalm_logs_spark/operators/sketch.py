@@ -1,9 +1,10 @@
-"""Count-Min sketch: fixed-size frequency estimation.
+"""Fixed-size sketches: Count-Min frequencies and Bloom membership.
 
-The third member of the engine's sketch family — HLL++ for distinct
-counts (``q_sketch_distinct``), space-saving for streaming heavy
-hitters (:mod:`streaming.stateful`), and this for point frequency
-queries.  The reference keeps exact per-error counters per device
+The engine's sketch family — HLL++ for distinct counts
+(``q_sketch_distinct``), space-saving for streaming heavy hitters
+(:mod:`streaming.stateful`), Count-Min for point frequency queries,
+and a Bloom filter (as a set-bit position table) for membership /
+incremental dedup.  The reference keeps exact per-error counters per device
 (`/root/reference/napalm_logs/device.py:250-299`); at 10^12 turns an
 exact per-key count table is itself a large dataset, while a CM sketch
 (Cormode & Muthukrishnan 2005) answers "how often did key X occur"
@@ -102,6 +103,114 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def bloom_positions(key: Column, *, k: int = 5, m: int = 1 << 18) -> Column:
+    """The ``k`` bit positions of a key: seed-prefixed md5, first 12 hex
+    digits (48 bits — exact in BIGINT on any engine) mod ``m``."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "key", *, k: int = 5, m: int = 1 << 18
+) -> DataFrame:
+    """Build the filter as its set-bit position table (≤ min(k·|keys|, m)
+    rows).  A position table IS the sketch: union-mergeable (distinct of
+    a union), broadcastable (≤ m longs), and SQL-replayable — the
+    engine-portable representation of the classic bit array."""
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(key_col), k=k, m=m)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_candidates(
+    bits: DataFrame,
+    df: DataFrame,
+    key_col: str = "key",
+    *,
+    k: int = 5,
+    m: int = 1 << 18,
+) -> DataFrame:
+    """Per distinct key: ``bloom_candidate`` = all ``k`` positions set.
+
+    No false negatives by construction (a present key's positions are
+    all set); false positives at the classic ``(1 - e^{-kn/m})^k`` rate.
+    The bits table broadcasts; the probe side never shuffles."""
+    probes = df.select(key_col).distinct()
+    pos = probes.select(
+        key_col, F.explode(bloom_positions(F.col(key_col), k=k, m=m)).alias("pos")
+    )
+    return (
+        pos.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("_hit") == k).alias("bloom_candidate"))
+    )
+
+
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str = "key",
+    *,
+    k: int = 5,
+    m: int = 1 << 18,
+) -> DataFrame:
+    """Dedup a new batch against history WITHOUT joining the history
+    for definite-new rows — the incremental-crawl dedup shape.
+
+    At 10^12-key history an exact anti-join shuffles both sides every
+    batch; here history is scanned once into its position table
+    (mergeable across batches — union+distinct, so it maintains
+    incrementally like the streaming near-dup index), the batch probes
+    the broadcast bits, and ONLY candidate keys (true dups + the
+    ``(1-e^{-kn/m})^k`` false positives) pay the verify semi-join.
+    Sizing ``m ≈ 16·|history|`` holds FP ≈ 0.05% at k=5 — the verify
+    join is then dup-sized, not batch-sized.
+
+    Output per batch row: ``bloom_candidate``, ``is_dup`` (verified),
+    ``kept = NOT is_dup``.  ``is_dup ⇒ bloom_candidate`` always (no
+    false negatives), tested.
+    """
+    bits = bloom_build(history, key_col, k=k, m=m)
+    cand = bloom_candidates(bits, batch, key_col, k=k, m=m)
+    hist_keys = history.select(key_col).distinct().withColumn(
+        "_in_hist", F.lit(True)
+    )
+    verified = (
+        cand.filter(F.col("bloom_candidate"))
+        .join(hist_keys, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("_in_hist"), F.lit(False)).alias("is_dup"),
+        )
+    )
+    return (
+        batch.join(cand, key_col, "left")
+        .join(verified, key_col, "left")
+        .select(
+            *batch.columns,
+            F.coalesce(F.col("bloom_candidate"), F.lit(False)).alias(
+                "bloom_candidate"
+            ),
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+            (~F.coalesce(F.col("is_dup"), F.lit(False))).alias("kept"),
+        )
     )
 
 

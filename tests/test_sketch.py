@@ -69,3 +69,49 @@ def test_partitioning_invariance(spark):
     s1 = count_min_sketch(df.repartition(1), depth=4, width=128)
     s7 = count_min_sketch(df.repartition(7), depth=4, width=128)
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s7.collect()))
+
+
+def test_bloom_no_false_negatives(spark):
+    from napalm_logs_spark.operators.sketch import bloom_build, bloom_candidates
+
+    hist = _keys(spark, [f"h{i}" for i in range(300)])
+    bits = bloom_build(hist, k=5, m=4096)
+    got = {
+        r["key"]: r["bloom_candidate"]
+        for r in bloom_candidates(bits, hist, k=5, m=4096).collect()
+    }
+    assert all(got.values())  # every present key is a candidate — always
+
+
+def test_bloom_incremental_dedup_matches_exact_semantics(spark):
+    from napalm_logs_spark.operators.sketch import incremental_dedup_bloom
+
+    hist = _keys(spark, [f"k{i}" for i in range(100)])
+    batch = _keys(spark, [f"k{i}" for i in range(80, 140)])
+    # deliberately tiny m: false positives guaranteed, verify must fix them
+    rows = incremental_dedup_bloom(batch, hist, k=4, m=64).collect()
+    assert len(rows) == 60
+    for r in rows:
+        truth = int(r["key"][1:]) < 100
+        assert r["is_dup"] is truth          # verify join corrects every FP
+        assert r["kept"] is (not truth)
+        if r["is_dup"]:
+            assert r["bloom_candidate"]      # no false negatives
+    assert any(r["bloom_candidate"] and not r["is_dup"] for r in rows), \
+        "tiny m must produce false positives for this test to bite"
+
+
+def test_bloom_bits_mergeable(spark):
+    from napalm_logs_spark.operators.sketch import bloom_build
+
+    a = _keys(spark, ["x", "y"])
+    b = _keys(spark, ["y", "z"])
+    whole = sorted(r["pos"] for r in bloom_build(a.unionAll(b), k=3, m=512).collect())
+    merged = sorted(
+        r["pos"]
+        for r in bloom_build(a, k=3, m=512)
+        .unionAll(bloom_build(b, k=3, m=512))
+        .distinct()
+        .collect()
+    )
+    assert whole == merged
