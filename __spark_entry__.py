@@ -1740,6 +1740,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_jl_projection"] = s_jl_projection
 
+    def s_diversity(spark, sf):
+        # per-label mean pairwise cosine WITHOUT the n^2 pair join
+        # (operators/similarity.py corpus_diversity): the closed form
+        # (||sum(u)||^2 - n) / (n(n-1)) over quantized unit vectors —
+        # the dedup-effect dashboard metric at O(n*dim).  ss (the exact
+        # DECIMAL ||sum||^2) rides as a string so the gate is exact;
+        # mean_cos_q is the 6dp derived metric.
+        from napalm_logs_spark.operators.similarity import corpus_diversity
+
+        d = corpus_diversity(_t(spark, sf, "embeddings"), by="label")
+        return d.select(
+            "label", "n", F.col("ss").cast("string").alias("ss"), "mean_cos_q"
+        )
+    q["s_diversity"] = s_diversity
+
     def s_ann_lsh(spark, sf):
         from napalm_logs_spark.operators.similarity import lsh_cosine_topk
 
@@ -3972,6 +3987,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                {_p_cols}
         FROM p GROUP BY vec_id
+    """
+
+    # corpus diversity: every float-chain input is integer first
+    # (floor-2^20 elements, exact integer norm^2), so the unit
+    # quantization is one IEEE op chain — bit-identical; 2^60 = Q^2
+    o["s_diversity"] = """
+        WITH a AS (
+          SELECT label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1048576) AS BIGINT)) AS av
+          FROM embeddings
+        ), nq AS (
+          SELECT label, av,
+                 list_aggregate(list_transform(av, v -> v * v), 'sum') AS nq
+          FROM a
+        ), u AS (
+          SELECT label,
+                 list_transform(av, v -> CAST(floor(CAST(v AS DOUBLE)
+                     * 1073741824 / sqrt(nq)) AS BIGINT)) AS wv
+          FROM nq WHERE nq > 0
+        ), pe AS (
+          SELECT label, i AS pos, wv[i + 1] AS v
+          FROM u, UNNEST(generate_series(0, len(wv) - 1)) AS s(i)
+        ), sums AS (
+          SELECT label, pos, sum(v) AS s FROM pe GROUP BY label, pos
+        ), ss AS (
+          SELECT label,
+                 sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+                     AS ss
+          FROM sums GROUP BY label
+        ), nb AS (
+          SELECT label, count(*) AS n FROM u GROUP BY label
+        )
+        SELECT nb.label, nb.n,
+               CAST(CAST(ss.ss AS DECIMAL(38,0)) AS VARCHAR) AS ss,
+               CASE WHEN nb.n > 1 THEN
+                 round((CAST(ss.ss AS DOUBLE) / 1152921504606846976.0
+                        - nb.n) / (nb.n * (nb.n - 1)), 6)
+               END AS mean_cos_q
+        FROM nb JOIN ss USING (label)
     """
 
     o["s_quantize_int8"] = """

@@ -166,6 +166,75 @@ def random_projection(
     return df.withColumn("_w", w).select(F.col(id_col), *out)
 
 
+def corpus_diversity(
+    df: DataFrame,
+    by: str = "label",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean pairwise cosine — WITHOUT the n² pair join.
+
+    The curation dashboard metric (how self-similar is each source /
+    cluster; does dedup actually lower it?) via the closed form over
+    unit vectors: ``mean_{i≠j} cos(u_i,u_j) = (‖Σu‖² − n)/(n(n−1))``.
+    Cost is one narrow posexplode pass + two map-side-combined
+    aggregates (shuffle = partitions·groups·dim rows) — corpus-level
+    similarity in O(n·dim) where the naive join is O(n²·dim).
+
+    Exactness contract: every float-chain input is first made integer
+    (``a_j = floor(x_j·2^20)``, norm² = Σa_j² an exact long), so the
+    per-element unit value ``floor(a_j·2^30 / sqrt(norm²))`` is one
+    IEEE-defined op chain — bit-identical on any engine — and the
+    cross-row sums are integer (order-free).  ‖Σ‖² accumulates in
+    DECIMAL(38,0) (S_d² can exceed BIGINT).  ``mean_cos_q`` is the
+    metric at quantized precision (error O(2^-30·dim), far below the
+    6dp rounding).  Zero vectors are excluded (cosine undefined);
+    single-vector groups emit NULL.
+    """
+    a = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(1 << 20))).cast("long"),
+    )
+    df2 = df.select(F.col(by).alias("grp"), a.alias("_a")).withColumn(
+        "_nq",
+        F.aggregate(
+            F.transform(F.col("_a"), lambda v: v * v), F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    ).filter(F.col("_nq") > 0)
+    w = F.transform(
+        F.col("_a"),
+        lambda v: F.floor(
+            v.cast("double") * F.lit(float(1 << 30)) / F.sqrt(F.col("_nq"))
+        ).cast("long"),
+    )
+    pe = df2.select("grp", F.posexplode(w).alias("pos", "wv"))
+    sums = pe.groupBy("grp", "pos").agg(F.sum("wv").alias("s"))
+    ss = sums.groupBy("grp").agg(
+        F.sum(
+            F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        ).alias("ss")
+    )
+    n_by = df2.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    q2 = float(1 << 30) ** 2
+    return (
+        n_by.join(ss, "grp")
+        .select(
+            F.col("grp").alias(by),
+            "n",
+            F.col("ss").cast("decimal(38,0)").alias("ss"),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("ss").cast("double") / F.lit(q2) - F.col("n"))
+                    / (F.col("n") * (F.col("n") - 1)),
+                    6,
+                ),
+            ).alias("mean_cos_q"),
+        )
+    )
+
+
 def _random_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype("float64")

@@ -651,3 +651,60 @@ def test_jl_projection_zero_shuffle(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = random_projection(emb, in_dim=64, out_dim=8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_diversity_matches_bruteforce(spark):
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import corpus_diversity
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(30, 8).astype(np.float32)
+    labels = [i % 3 for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, labels[i], [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["label"]: r for r in corpus_diversity(df, by="label").collect()}
+    U = V.astype(np.float64)
+    U = U / np.linalg.norm(U, axis=1, keepdims=True)
+    for lbl in (0, 1, 2):
+        idx = [i for i in range(30) if labels[i] == lbl]
+        G = U[idx] @ U[idx].T
+        n = len(idx)
+        brute = (G.sum() - n) / (n * (n - 1))
+        assert got[lbl]["n"] == n
+        # quantization error O(dim * 2^-30) — far inside 1e-4
+        assert abs(float(got[lbl]["mean_cos_q"]) - brute) < 1e-4
+
+
+def test_corpus_diversity_edge_cases(spark):
+    from napalm_logs_spark.operators.similarity import corpus_diversity
+
+    df = spark.createDataFrame(
+        [
+            (0, "solo", [1.0, 0.0]),
+            (1, "zeros", [0.0, 0.0]),      # excluded: cosine undefined
+            (2, "pair", [1.0, 0.0]),
+            (3, "pair", [1.0, 0.0]),       # identical: mean cos ~ 1
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    got = {r["label"]: r for r in corpus_diversity(df, by="label").collect()}
+    assert "zeros" not in got
+    assert got["solo"]["n"] == 1 and got["solo"]["mean_cos_q"] is None
+    assert abs(float(got["pair"]["mean_cos_q"]) - 1.0) < 1e-6
+
+
+def test_corpus_diversity_partitioning_invariance(spark):
+    import numpy as np
+
+    from napalm_logs_spark.operators.similarity import corpus_diversity
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(50, 6).astype(np.float32)
+    rows = [(i, i % 2, [float(x) for x in V[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    a = sorted(map(tuple, corpus_diversity(df.repartition(1)).collect()))
+    b = sorted(map(tuple, corpus_diversity(df.repartition(7)).collect()))
+    assert a == b
