@@ -1740,6 +1740,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_jl_projection"] = s_jl_projection
 
+    def t_readability(spark, sf):
+        # Flesch Reading Ease / FK grade (operators/text.py
+        # readability_scores): the classic readability gate next to the
+        # Gopher/C4 rules — vowel-group syllable heuristic, zero
+        # shuffle, pure JVM regex
+        from napalm_logs_spark.operators.text import readability_scores
+
+        return readability_scores(_t(spark, sf, "documents")).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_words"),
+            "n_sentences",
+            "n_syllables",
+            "flesch_ease",
+            "fk_grade",
+        )
+    q["t_readability"] = t_readability
+
     def s_diversity(spark, sf):
         # per-label mean pairwise cosine WITHOUT the n^2 pair join
         # (operators/similarity.py corpus_diversity): the closed form
@@ -3987,6 +4004,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id,
                {_p_cols}
         FROM p GROUP BY vec_id
+    """
+
+    o["t_readability"] = r"""
+        WITH b AS (
+          SELECT doc_id, lower(text) AS low, trim(text) AS tt,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 CASE WHEN length(tt) = 0 THEN 0 ELSE len(toks) END
+                     AS n_words,
+                 greatest(len(regexp_extract_all(low, '[.!?]+')), 1)
+                     AS n_sentences,
+                 len(regexp_extract_all(low, '[aeiouy]+'))
+                   + len(list_filter(toks,
+                         x -> NOT regexp_matches(lower(x), '[aeiouy]')))
+                     AS n_syllables
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 round(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+               END AS flesch_ease,
+               CASE WHEN n_words > 0 THEN
+                 round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59, 6)
+               END AS fk_grade
+        FROM c
     """
 
     # corpus diversity: every float-chain input is integer first

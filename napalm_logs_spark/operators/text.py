@@ -76,6 +76,57 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document.
+
+    The classic readability gate (used alongside Gopher/C4 rules to
+    drop boilerplate-ish or gibberish pages).  Deterministic heuristic
+    counts, all JVM built-ins, zero shuffle:
+
+    * words — whitespace tokens,
+    * sentences — runs of ``[.!?]`` (min 1),
+    * syllables — vowel groups ``[aeiouy]+`` in the lowercased text
+      (whitespace breaks groups, so this equals the per-word sum), plus
+      1 for each vowel-less word (every word counts ≥ 1 syllable).
+
+    FRE = 206.835 − 1.015·(words/sent) − 84.6·(syll/words); FK grade =
+    0.39·(words/sent) + 11.8·(syll/words) − 15.59; both rounded 6dp.
+    Empty documents emit NULL scores rather than fake readability.
+    """
+    df = with_tokens(df, text_col)
+    low = F.lower(F.col(text_col))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    vowel_groups = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    no_vowel_words = F.size(
+        F.filter(F.col("tokens"), lambda t: ~F.lower(t).rlike("[aeiouy]"))
+    )
+    syllables = vowel_groups + no_vowel_words
+    words = F.col("n_tokens").cast("double")
+    wps = words / sentences.cast("double")
+    spw = syllables.cast("double") / words
+    return (
+        df.withColumn("n_sentences", sentences.cast("long"))
+        .withColumn("n_syllables", syllables.cast("long"))
+        .withColumn(
+            "flesch_ease",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6),
+            ),
+        )
+        .withColumn(
+            "fk_grade",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6),
+            ),
+        )
+        .drop("tokens")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: per language, the fraction of
     tokens in that language's stopword list; argmax wins (ties broken

@@ -770,3 +770,40 @@ def test_pack_histogram_caps_and_empties(spark):
     assert got[1].length == 16             # long doc capped at budget
     assert got[2].length == 3
     assert got[1].pack_id != got[2].pack_id
+
+
+def test_readability_hand_computed(spark):
+    from napalm_logs_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            # "the cat sat." -> 3 words, 1 sentence, syllables:
+            # the(1) cat(1) sat.(1) = 3
+            (1, "the cat sat."),
+            # two sentences, a vowel-less "word" (counts 1 syllable)
+            (2, "xyz! go now."),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability_scores(df).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    wps, spw = 3.0 / 1.0, 3.0 / 3.0
+    assert abs(r1["flesch_ease"] - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+    assert abs(r1["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 6)) < 1e-9
+    r2 = got[2]
+    # xyz has no vowel group -> +1; go(1) now(1) -> 3 syllables, 2 sentences
+    assert (r2["n_tokens"], r2["n_sentences"], r2["n_syllables"]) == (3, 2, 3)
+    # empty/whitespace docs: no fake readability
+    for k in (3, 4):
+        assert got[k]["flesch_ease"] is None and got[k]["fk_grade"] is None
+
+
+def test_readability_zero_shuffle(spark):
+    from napalm_logs_spark.operators.text import readability_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = readability_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
