@@ -2366,6 +2366,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_bloom_incremental"] = d_bloom_incremental
 
+    def cv_pii_scrub(spark, sf):
+        # per-turn PII redaction over the transcript view — the scrub
+        # every SFT corpus runs before render/training (composition of
+        # the driver-gated pii_scrub with transcripts_from_events; one
+        # new plan, no new code path).  The synthetic turns carry no
+        # PII, so a deterministic contact block is planted per
+        # (conv, turn) — replayed verbatim in the oracle.
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.text import pii_scrub
+
+        t = transcripts_from_events(_t(spark, sf, "events"))
+        ti = F.col("turn_idx").cast("string")
+        planted = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.lit("mail"),
+            F.concat(F.lit("u"), ti, F.lit("@example.com")),
+            F.lit("ip"),
+            F.concat(F.lit("10."), (F.col("turn_idx") % 256).cast("string"), F.lit(".0.1")),
+            F.lit("tel"),
+            F.concat(F.lit("+1 555 "), F.lpad((F.col("turn_idx") % 10000).cast("string"), 4, "0")),
+            F.lit("sid"),
+            F.concat(F.lit("9"), F.lpad(((F.col("turn_idx") * 13) % 1000000).cast("string"), 9, "0")),
+        )
+        return pii_scrub(
+            t.withColumn("pii_text", planted), text_col="pii_text"
+        ).select(
+            "conv_id", "turn_idx", "n_email", "n_ipv4", "n_phone", "n_id",
+            "redacted",
+        )
+    q["cv_pii_scrub"] = cv_pii_scrub
+
     def g_pagerank(spark, sf):
         # link-graph centrality (operators/graph.py): exact fixed-point
         # PageRank, 10 iterations over a deterministic synthetic link
@@ -4844,6 +4876,40 @@ def oracle_sql() -> dict[str, str]:
                NOT (c.bloom_candidate AND hk.key IS NOT NULL) AS kept
         FROM b JOIN cand c USING (key) LEFT JOIN hk USING (key)
     """
+
+    o["cv_pii_scrub"] = (
+        "WITH t AS (" + _TRANS + ")" + r"""
+        , p AS (
+          SELECT conv_id, turn_idx,
+                 concat_ws(' ', text,
+                   'mail', 'u' || CAST(turn_idx AS VARCHAR) || '@example.com',
+                   'ip', '10.' || CAST(turn_idx % 256 AS VARCHAR) || '.0.1',
+                   'tel', '+1 555 ' || lpad(CAST(turn_idx % 10000 AS VARCHAR), 4, '0'),
+                   'sid', '9' || lpad(CAST((turn_idx * 13) % 1000000 AS VARCHAR), 9, '0')
+                 ) AS pii_text
+          FROM t
+        ), r1 AS (
+          SELECT conv_id, turn_idx,
+                 CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                 regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+          FROM p
+        ), r2 AS (
+          SELECT conv_id, turn_idx, n_email,
+                 CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                 regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+          FROM r1
+        ), r3 AS (
+          SELECT conv_id, turn_idx, n_email, n_ipv4,
+                 CAST(len(regexp_extract_all(s, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b')) AS BIGINT) AS n_phone,
+                 regexp_replace(s, '\+\d{1,3}[- ]\d{3}[- ]\d{3,4}\b', '<PHONE>', 'g') AS s
+          FROM r2
+        )
+        SELECT conv_id, turn_idx, n_email, n_ipv4, n_phone,
+               CAST(len(regexp_extract_all(s, '\b\d{9,}\b')) AS BIGINT) AS n_id,
+               regexp_replace(s, '\b\d{9,}\b', '<ID>', 'g') AS redacted
+        FROM r3
+    """
+    )
 
     # PageRank: the all-integer recurrence (operators/graph.py) unrolled
     # as chained CTEs — `//` is BIGINT floor division, matching Spark's
