@@ -1757,6 +1757,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_readability"] = t_readability
 
+    def t_char_entropy(spark, sf):
+        # character-level Shannon entropy (operators/text.py
+        # char_entropy): the compressibility gate — degenerate
+        # repetition scores ~0 bits/char, binary junk scores high.
+        # Sorted distinct-char fold order is part of the contract so
+        # the oracle sums identical doubles identically.
+        from napalm_logs_spark.operators.text import char_entropy
+
+        return char_entropy(_t(spark, sf, "documents")).select(
+            "doc_id", "n_distinct_chars", "char_entropy"
+        )
+    q["t_char_entropy"] = t_char_entropy
+
     def s_diversity(spark, sf):
         # per-label mean pairwise cosine WITHOUT the n^2 pair join
         # (operators/similarity.py corpus_diversity): the closed form
@@ -4070,6 +4083,32 @@ def oracle_sql() -> dict[str, str]:
                        - 15.59, 6)
                END AS fk_grade
         FROM c
+    """
+
+    # char entropy: same sorted-distinct fold order as the engine, so
+    # the double sum is term-for-term identical before the 6dp round
+    o["t_char_entropy"] = """
+        WITH cs AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, ''),
+                             x -> length(x) > 0) AS cs
+          FROM documents
+        ), d AS (
+          SELECT doc_id, cs,
+                 list_sort(list_distinct(cs)) AS dch,
+                 CAST(len(cs) AS DOUBLE) AS n
+          FROM cs
+        )
+        SELECT doc_id,
+               CAST(len(dch) AS BIGINT) AS n_distinct_chars,
+               CASE WHEN len(cs) > 0 THEN
+                 round(list_aggregate(
+                   list_transform(dch, c ->
+                     -(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+                      * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n)
+                   ), 'sum'), 6)
+               END AS char_entropy
+        FROM d
     """
 
     # corpus diversity: every float-chain input is integer first

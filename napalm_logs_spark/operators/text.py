@@ -127,6 +127,49 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char).
+
+    The compressibility gate: near-zero entropy flags degenerate
+    repetition (``aaaa…``), unusually high entropy flags binary junk /
+    encoded blobs that survived text extraction — both dropped before
+    training.  Complements :func:`repetition_scores` (token-level) and
+    the CCNet/bigram LM surprisal (corpus-model level) with a
+    model-free per-document signal.
+
+    Row-local and zero-shuffle: per document, distinct characters in
+    sorted order (the fold order is part of the contract so a SQL
+    replay sums identical doubles identically), count via one
+    ``filter`` per distinct char — O(distinct·len) JVM ops, scan-bound
+    at scale like every other row-local gate.  Empty documents emit
+    NULL.  ``n_distinct_chars`` rides along (the cheap alphabet-size
+    signal).
+    """
+    cs = F.filter(F.split(F.col(text_col), ""), lambda x: F.length(x) > 0)
+    df2 = df.withColumn("_cs", cs).withColumn(
+        "_dch", F.sort_array(F.array_distinct(F.col("_cs")))
+    )
+    n = F.size(F.col("_cs")).cast("double")
+    terms = F.transform(
+        F.col("_dch"),
+        lambda c: -(
+            F.size(F.filter(F.col("_cs"), lambda x: x == c)).cast("double") / n
+        )
+        * F.log2(
+            F.size(F.filter(F.col("_cs"), lambda x: x == c)).cast("double") / n
+        ),
+    )
+    ent = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        df2.withColumn("n_distinct_chars", F.size(F.col("_dch")).cast("long"))
+        .withColumn(
+            "char_entropy",
+            F.when(F.size(F.col("_cs")) > 0, F.round(ent, 6)),
+        )
+        .drop("_cs", "_dch")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: per language, the fraction of
     tokens in that language's stopword list; argmax wins (ties broken

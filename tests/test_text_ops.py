@@ -807,3 +807,35 @@ def test_readability_zero_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = readability_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_char_entropy_hand_computed(spark):
+    from napalm_logs_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),     # one symbol -> 0 bits
+            (2, "abab"),     # two equiprobable -> 1 bit
+            (3, "abcd"),     # four equiprobable -> 2 bits
+            (4, ""),
+            (5, "aab"),      # 2/3,1/3 -> 0.918296 bits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert abs(got[2]["char_entropy"] - 1.0) < 1e-9
+    assert abs(got[3]["char_entropy"] - 2.0) < 1e-9
+    assert got[4]["char_entropy"] is None and got[4]["n_distinct_chars"] == 0
+    import math
+
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[5]["char_entropy"] - round(h, 6)) < 1e-9
+
+
+def test_char_entropy_zero_shuffle(spark):
+    from napalm_logs_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
