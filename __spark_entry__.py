@@ -2379,6 +2379,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_bloom_incremental"] = d_bloom_incremental
 
+    def d_hll_distinct(spark, sf):
+        # HyperLogLog register sketch (operators/sketch.py) — completes
+        # the fixed-size-summary trio (Count-Min freq / Bloom member /
+        # HLL distinct): distinct event ids per event family from a
+        # 256-register table that never grows, the dedup-health gauge a
+        # 10^12-turn stream keeps instead of an exact per-key table.
+        # All-integer registers (string-length bit_length, BIGINT
+        # shifts) + one shared-literal division make the estimate
+        # exactly replayable in the oracle — same portable md5
+        # convention as q_sketch_cms / d_bloom_incremental.
+        from napalm_logs_spark.operators.sketch import hll_vs_exact
+
+        return hll_vs_exact(
+            _t(spark, sf, "events"), "event_id", ("event_type",), p=8
+        )
+    q["d_hll_distinct"] = d_hll_distinct
+
     def cv_pii_scrub(spark, sf):
         # per-turn PII redaction over the transcript view — the scrub
         # every SFT corpus runs before render/training (composition of
@@ -2484,7 +2501,11 @@ _PRIORITY_50 = [
     # t_mix_temperature rotates out (t_sample_mix keeps the mixing
     # family represented) for the composed-pipeline flagship:
     "d_pipeline_e2e",           # new session 3: clean->gate->dedup->pack
-    "t_fix_text",               # new session 3: encoding repair chain
+    # t_fix_text rotates out (mirror-gated; the t_ family keeps 11
+    # driver rows) for the sketch family's FIRST driver row — the
+    # exactly-replayable HLL register sketch (Count-Min and Bloom stay
+    # mirror-gated alongside it):
+    "d_hll_distinct",           # new session 8: HLL distinct sketch
     # s_embedding_norms rotates out (mirror-gated; s_knn_cosine keeps
     # the exact-similarity family represented) for the new iterative
     # link-graph family's first driver row — exact fixed-point PageRank:
@@ -4914,6 +4935,44 @@ def oracle_sql() -> dict[str, str]:
                c.bloom_candidate AND hk.key IS NOT NULL AS is_dup,
                NOT (c.bloom_candidate AND hk.key IS NOT NULL) AS kept
         FROM b JOIN cand c USING (key) LEFT JOIN hk USING (key)
+    """
+
+    # exact replay of the HLL register sketch: same seed-prefixed md5,
+    # 2-hex-digit bucket, 12-hex-digit (48-bit) rank word, string-length
+    # bit_length, BIGINT shifts; the only float op is the final division
+    # by the shared alpha*m^2*2^49 literal (IEEE-rounded identically).
+    from napalm_logs_spark.operators.sketch import hll_alpha_factor
+
+    o["d_hll_distinct"] = f"""
+        WITH keys AS (
+          SELECT event_type,
+                 md5('hll:' || CAST(event_id AS VARCHAR)) AS h
+          FROM events
+        ), br AS (
+          SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 ('0x' || substr(h, 3, 12))::BIGINT AS w
+          FROM keys
+        ), regs AS (
+          SELECT event_type, bucket,
+                 max(CASE WHEN w = 0 THEN 49
+                          ELSE 49 - length(bin(w)) END) AS max_rank
+          FROM br GROUP BY 1, 2
+        ), agg AS (
+          SELECT event_type, count(*) AS _nb,
+                 sum(1::BIGINT << (49 - max_rank)) AS _sp
+          FROM regs GROUP BY 1
+        ), fin AS (
+          SELECT event_type, 256 AS m,
+                 CAST(256 - _nb AS BIGINT) AS v_empty,
+                 CAST(_sp + (256 - _nb) * (1::BIGINT << 49) AS BIGINT)
+                     AS s_scaled
+          FROM agg
+        )
+        SELECT e.event_type, e.exact_distinct, f.m, f.v_empty, f.s_scaled,
+               round({hll_alpha_factor(8)!r} / s_scaled, 4) AS est_distinct
+        FROM (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
+              FROM events GROUP BY 1) e
+        JOIN fin f USING (event_type)
     """
 
     o["cv_pii_scrub"] = (

@@ -115,3 +115,68 @@ def test_bloom_bits_mergeable(spark):
         .collect()
     )
     assert whole == merged
+
+
+def test_hll_registers_merge_and_partitioning_invariance(spark):
+    # registers(A ∪ B) == max-merge of registers(A), registers(B), and
+    # the register table is invariant to input partitioning
+    from napalm_logs_spark.operators.sketch import hll_registers
+
+    a = _keys(spark, [f"k{i}" for i in range(300)])
+    b = _keys(spark, [f"k{i}" for i in range(200, 500)])
+    whole = hll_registers(a.unionAll(b), p=8)
+    merged = (
+        hll_registers(a, p=8)
+        .unionAll(hll_registers(b, p=8))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    w = {(r["bucket"]): r["max_rank"] for r in whole.collect()}
+    m = {(r["bucket"]): r["max_rank"] for r in merged.collect()}
+    assert w == m
+    rep = hll_registers(a.unionAll(b).repartition(13), p=8)
+    assert {(r["bucket"]): r["max_rank"] for r in rep.collect()} == w
+
+
+def test_hll_estimate_accuracy_and_duplicate_blindness(spark):
+    # raw estimator regime (n >> 2.5m): within ~5 sigma of truth, and
+    # duplicates do not move the estimate (the dedup-health property)
+    from napalm_logs_spark.operators.sketch import hll_vs_exact
+
+    n = 20000
+    uniq = _keys(spark, [f"u{i}" for i in range(n)])
+    row = hll_vs_exact(uniq, p=8).collect()[0]
+    m = row["m"]
+    assert m == 256 and row["exact_distinct"] == n
+    sigma = 1.04 / (m ** 0.5)
+    assert abs(row["est_distinct"] - n) / n < 5 * sigma
+    dup = uniq.unionAll(uniq).unionAll(uniq)
+    row2 = hll_vs_exact(dup, p=8).collect()[0]
+    assert row2["est_distinct"] == row["est_distinct"]
+    assert row2["s_scaled"] == row["s_scaled"]
+
+
+def test_hll_small_range_discloses_v_empty(spark):
+    # tiny cardinality: v_empty is most of m, the signal a caller uses
+    # to switch to linear counting client-side (documented contract)
+    from napalm_logs_spark.operators.sketch import hll_vs_exact
+
+    row = hll_vs_exact(_keys(spark, [f"x{i}" for i in range(10)]), p=8).collect()[0]
+    assert row["exact_distinct"] == 10
+    assert row["v_empty"] >= 246  # ≥ m − 10
+    assert row["s_scaled"] > 0
+
+
+def test_hll_grouped_matches_per_group_run(spark):
+    from napalm_logs_spark.operators.sketch import hll_vs_exact
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"k{i}") for i in range(900)], "grp string, key string"
+    )
+    grouped = {
+        r["grp"]: (r["s_scaled"], r["est_distinct"])
+        for r in hll_vs_exact(df, "key", ("grp",), p=8).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = hll_vs_exact(df.filter(F.col("grp") == g), "key", p=8).collect()[0]
+        assert grouped[g] == (solo["s_scaled"], solo["est_distinct"])
