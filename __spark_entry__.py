@@ -341,6 +341,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c9_sequence"] = c9_sequence
 
+    def c16_funnel(spark, sf):
+        """Windowed funnel (C16): deepest view→click→purchase step per
+        user under earliest-anchor greedy matching, 1 h window anchored
+        at the first view — one map-combined shuffle, HOF chain."""
+        from napalm_logs_spark.operators.cep import windowed_funnel
+
+        ev = _t(spark, sf, "events")
+        return windowed_funnel(
+            ev,
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            window_seconds=3600,
+            key="user_id",
+        )
+    q["c16_funnel"] = c16_funnel
+
     def q_rollup_counts(spark, sf):
         return (
             _t(spark, sf, "events")
@@ -2514,8 +2533,12 @@ _PRIORITY_50 = [
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
     "s_ann_pq",                 # new session 3: product-quantization ADC
     # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
-    # mm_frame_plan's slot — the frame-plan explode stays mirror-gated
-    "mm_features", "mm_real_features", "mm_jpeg_fidelity",
+    # mm_frame_plan's slot — the frame-plan explode stays mirror-gated.
+    # mm_features (hash-stub path) rotates out for the windowed-funnel
+    # CEP operator's first driver row; the mm family keeps 3 rows via
+    # the real-codec paths:
+    "c16_funnel",               # new session 9: ClickHouse-style funnel
+    "mm_real_features", "mm_jpeg_fidelity",
     "mm_mp4_demux",             # new session 3: ISO-BMFF box-walk demux
     "c2_alarm_gauge",           # VERDICT r2 item 8
     "e_props_json",             # r02's one red row — oracle cast fixed
@@ -2772,6 +2795,41 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.user_id < 100
           AND a.event_type = 'view' AND b.event_type = 'click'
           AND c.event_type = 'purchase'
+    """
+
+    o["c16_funnel"] = """
+        WITH s1 AS (
+          SELECT user_id, min(epoch_us(ts)) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(e.ts) >= s1.t1
+            AND epoch_us(e.ts) <= s1.t1 + CAST(3600 AS BIGINT) * 1000000
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+          FROM events e
+          JOIN s1 ON s1.user_id = e.user_id
+          JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= s2.t2
+            AND epoch_us(e.ts) <= s1.t1 + CAST(3600 AS BIGINT) * 1000000
+          GROUP BY e.user_id
+        )
+        SELECT b.user_id,
+               s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us,
+               CAST(CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END
+                  AS INTEGER) AS level
+        FROM (SELECT DISTINCT user_id FROM events) b
+        LEFT JOIN s1 ON s1.user_id = b.user_id
+        LEFT JOIN s2 ON s2.user_id = b.user_id
+        LEFT JOIN s3 ON s3.user_id = b.user_id
     """
 
     o["c8_asof_join"] = """

@@ -552,3 +552,109 @@ def rate_anomaly(
         .cast("int")
         .alias("anomaly"),
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    steps: Sequence,
+    window_seconds: int = 3600,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key windowed funnel (C16): the deepest step each key reaches
+    under earliest-anchor greedy matching — ClickHouse-``windowFunnel``
+    style conversion tracking, the CEP shape C9's sequence join cannot
+    give cheaply (C9 enumerates every matching combination; a funnel
+    wants one verdict per key).
+
+    Semantics (all-integer, on epoch **microseconds**): ``t1`` is the
+    key's earliest event satisfying ``steps[0]``; ``t_{i+1}`` is the
+    earliest event satisfying ``steps[i]`` with ``t_{i+1} >= t_i`` and
+    ``t_{i+1} <= t1 + window`` (the window anchors at the FIRST step,
+    not per-hop).  Ties on the same microsecond are allowed to chain
+    (``>=``) — the semantics depend only on timestamp VALUES, never on
+    intra-timestamp event order, which is what makes the fold exactly
+    replayable by chained ``min`` aggregates in any SQL engine.
+    ``level`` = number of steps reached; unreached steps emit NULL.
+
+    Scale shape: ONE map-side-combined shuffle on ``key``.  Each step's
+    candidate timestamps are collected per key as a sorted array (the
+    per-key candidate count is bounded by the key's own event count —
+    conversations/users, not the corpus, set the bound), then the chain
+    of ``array_min(filter(...))`` expressions resolves the funnel
+    JVM-side with zero additional exchanges — compare the K-1 interval
+    joins of :func:`pattern_sequence`, which this replaces when only
+    first-match depth is wanted.  The reference has no funnel; this is
+    the escalation analytics its per-error counters feed
+    (`/root/reference/napalm_logs/transport/prometheus.py:29-96`).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    # TIMESTAMP_NTZ-safe: cast through TIMESTAMP (UTC session) first
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    arrs = [
+        F.sort_array(
+            F.collect_list(F.when(pred, us))
+        ).alias(f"_a{i}")
+        for i, pred in enumerate(steps)
+    ]
+    per_key = events.groupBy(key).agg(*arrs)
+    t = [F.try_element_at(F.col("_a0"), F.lit(1))]
+    hi = t[0] + F.lit(int(window_seconds) * 1_000_000)
+
+    def _in_range(lo, hi):
+        return lambda x: (x >= lo) & (x <= hi)
+
+    for i in range(1, len(steps)):
+        t.append(
+            F.array_min(
+                F.filter(F.col(f"_a{i}"), _in_range(t[i - 1], hi))
+            )
+        )
+    level = sum(
+        (ti.isNotNull().cast("int") for ti in t), F.lit(0)
+    ).cast("int")
+    return per_key.select(
+        key,
+        *[ti.alias(f"t{i + 1}_us") for i, ti in enumerate(t)],
+        level.alias("level"),
+    )
+
+
+def funnel_counts(levels: DataFrame, n_steps: int) -> DataFrame:
+    """Funnel summary over :func:`windowed_funnel` output: per step,
+    how many keys reached it, conversion vs the previous step and vs
+    step 1 (round-6 doubles of exact integer ratios — replayable).
+    One global aggregate (a handful of longs), then a tiny explode —
+    driver-safe at any corpus size."""
+    sums = levels.agg(
+        *[
+            F.sum((F.col("level") >= i).cast("long")).alias(f"_n{i}")
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.coalesce(F.col(f"_n{i}"), F.lit(0)).alias("n_keys"),
+                F.coalesce(
+                    F.col(f"_n{i - 1}") if i > 1 else F.col("_n1"),
+                    F.lit(0),
+                ).alias("_prev"),
+                F.coalesce(F.col("_n1"), F.lit(0)).alias("_first"),
+            )
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    ex = sums.select(F.explode(rows).alias("r")).select("r.*")
+    conv = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den), 6),
+    )
+    return ex.select(
+        "step",
+        "n_keys",
+        conv("n_keys", "_prev").alias("conv_from_prev"),
+        conv("n_keys", "_first").alias("conv_from_first"),
+    )

@@ -515,3 +515,91 @@ def test_rate_anomaly_flat_baseline_first_deviation(spark):
     t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
     r = out[t0 + 3 * 3600]
     assert r.n == 5 and r.mu == 2.0 and r.z is None and r.anomaly == 1
+
+
+def _funnel_events(spark, rows):
+    # rows: (key, event_type, seconds-offset)
+    return spark.createDataFrame(
+        [
+            (k, e, BASE + datetime.timedelta(seconds=off))
+            for k, e, off in rows
+        ],
+        "user_id string, event_type string, ts timestamp",
+    )
+
+
+def _steps():
+    return [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+
+
+def test_windowed_funnel_levels_and_window_anchor(spark):
+    from napalm_logs_spark.operators.cep import windowed_funnel
+
+    df = _funnel_events(spark, [
+        # u1: full conversion inside the window
+        ("u1", "view", 0), ("u1", "click", 10), ("u1", "purchase", 20),
+        # u2: click/purchase before the first view — must not count;
+        # the only click >= t1(view@5) is click@9, then no purchase>=9
+        ("u2", "click", 0), ("u2", "view", 5), ("u2", "purchase", 8),
+        ("u2", "click", 9),
+        # u3: purchase outside the ANCHOR window (anchor at view@0,
+        # window 30 s): click@25 ok, purchase@40 too late
+        ("u3", "view", 0), ("u3", "click", 25), ("u3", "purchase", 40),
+        # u4: never starts the funnel
+        ("u4", "purchase", 3), ("u4", "click", 4),
+    ])
+    out = {
+        r["user_id"]: r
+        for r in windowed_funnel(
+            df, _steps(), window_seconds=30, key="user_id"
+        ).collect()
+    }
+    assert out["u1"]["level"] == 3
+    assert out["u2"]["level"] == 2 and out["u2"]["t3_us"] is None
+    assert out["u3"]["level"] == 2 and out["u3"]["t3_us"] is None
+    assert out["u4"]["level"] == 0 and out["u4"]["t1_us"] is None
+
+
+def test_windowed_funnel_tie_chain_and_greedy_anchor(spark):
+    from napalm_logs_spark.operators.cep import windowed_funnel
+
+    df = _funnel_events(spark, [
+        # same-microsecond tie chains (>= semantics)
+        ("t1", "view", 0), ("t1", "click", 0), ("t1", "purchase", 0),
+        # greedy anchor: earliest view@0 anchors the window even though
+        # a later view@100 would have allowed the purchase@110
+        ("g1", "view", 0), ("g1", "view", 100),
+        ("g1", "click", 101), ("g1", "purchase", 110),
+    ])
+    out = {
+        r["user_id"]: r
+        for r in windowed_funnel(
+            df, _steps(), window_seconds=30, key="user_id"
+        ).collect()
+    }
+    assert out["t1"]["level"] == 3
+    assert out["t1"]["t1_us"] == out["t1"]["t3_us"]
+    assert out["g1"]["level"] == 1  # documented greedy-anchor semantics
+
+
+def test_funnel_counts_conversions(spark):
+    from napalm_logs_spark.operators.cep import (
+        funnel_counts, windowed_funnel,
+    )
+
+    df = _funnel_events(spark, [
+        ("a", "view", 0), ("a", "click", 1), ("a", "purchase", 2),
+        ("b", "view", 0), ("b", "click", 1),
+        ("c", "view", 0),
+        ("d", "error", 0),
+    ])
+    lv = windowed_funnel(df, _steps(), window_seconds=60, key="user_id")
+    rows = {r["step"]: r for r in funnel_counts(lv, 3).collect()}
+    assert [rows[i]["n_keys"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1]["conv_from_prev"] == 1.0
+    assert rows[2]["conv_from_prev"] == round(2 / 3, 6)
+    assert rows[3]["conv_from_first"] == round(1 / 3, 6)
