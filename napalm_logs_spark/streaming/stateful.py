@@ -17,6 +17,10 @@ Exact-semantics operators the built-in primitives can't express:
 * :func:`rate_anomaly_stream` — adaptive-threshold rate alerting:
   O(baseline) trailing window counts per key, verdicts emitted as
   windows close (by a later event or the watermark timeout).
+* :func:`funnel_stream` — cross-batch windowed funnel: per-key
+  deepest-step verdicts, state pruned to one anchor window, emitted
+  when the watermark closes the window (or an idle timeout for
+  never-anchored keys).
 
 All are keyed by their natural state key, so Spark hash-partitions the
 stream once and the state store shards with it; hot conversations are
@@ -415,6 +419,151 @@ def rate_anomaly_stream(
 
     return df.groupBy(key).applyInPandasWithState(
         ra,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: Sequence,
+    window_seconds: int = 3600,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    key_type: str = "long",
+    idle_windows: int = 1,
+) -> DataFrame:
+    """Streaming form of :func:`operators.cep.windowed_funnel`: per-key
+    deepest-step conversion verdicts across micro-batches, emitted
+    exactly when the funnel is FINAL — when the event-time watermark
+    passes the anchor window's end (``t1 + window``), or, for keys that
+    never anchor, after ``idle_windows`` windows of event-time silence
+    (a level-0 verdict).  Add ``withWatermark`` upstream
+    (EventTimeTimeout requires it).
+
+    Exactness under reorder: ``t1`` can only DECREASE while the
+    watermark is below it (no event older than the watermark arrives),
+    and every later-step candidate that could become eligible under a
+    lower anchor is retained until the anchor is final — so the chained
+    min-fold resolved at emission equals the batch operator's fold over
+    the same on-time rows.  State per key = the anchor plus per-step
+    candidate timestamps pruned to the live window: bounded by the
+    key's own event count inside ONE window (the batch operator's
+    per-key bound), not by stream length.  Pre-anchor candidates below
+    the watermark are pruned too (no future anchor can reach them).
+
+    Divergence from batch (documented): a key active again AFTER its
+    verdict re-enters as a fresh funnel anchored at its next matching
+    event — on an infinite stream "the key's global first event" is
+    unknowable; batch answers it only because its corpus is closed.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    n = len(steps)
+    W_us = int(window_seconds) * 1_000_000
+    idle_us = int(idle_windows) * W_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    proj = df.select(
+        F.col(key),
+        F.col(ts_col),
+        us.alias("_us"),
+        *[p.cast("boolean").alias(f"_s{i}") for i, p in enumerate(steps)],
+    )
+    out_cols = [key] + [f"t{i}_us" for i in range(1, n + 1)] + ["level"]
+    out_schema = T.StructType(
+        [T.StructField(key, T._parse_datatype_string(key_type))]
+        + [T.StructField(f"t{i}_us", T.LongType()) for i in range(1, n + 1)]
+        + [T.StructField("level", T.IntegerType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("t1", T.LongType()), T.StructField("last_seen", T.LongType())]
+        + [
+            T.StructField(f"a{i}", T.ArrayType(T.LongType()))
+            for i in range(1, n)
+        ]
+    )
+
+    def fn(key_vals, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        kv = key_vals[0]
+        if state.exists:
+            vals = state.get
+            t1, last_seen = vals[0], vals[1]
+            cands = [list(vals[2 + i]) for i in range(n - 1)]
+        else:
+            t1, last_seen, cands = None, None, [[] for _ in range(n - 1)]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        def resolve():
+            # the batch operator's chained-min fold, on ≤ one window of
+            # per-key candidates — value-only semantics, order-free
+            t = [t1]
+            hi = None if t1 is None else t1 + W_us
+            for i in range(1, n):
+                prev = t[-1]
+                if prev is None:
+                    t.append(None)
+                    continue
+                elig = [c for c in cands[i - 1] if prev <= c <= hi]
+                t.append(min(elig) if elig else None)
+            level = sum(1 for x in t if x is not None)
+            return t, level
+
+        def verdict_row():
+            t, level = resolve()
+            state.remove()
+            return pd.DataFrame([(kv, *t, level)], columns=out_cols)
+
+        if state.hasTimedOut:
+            yield verdict_row()
+            return
+        for pdf in pdf_iter:
+            uss = pdf["_us"].dropna()
+            if not len(uss):
+                continue
+            mx = int(uss.max())
+            last_seen = mx if last_seen is None else max(last_seen, mx)
+            for i in range(n):
+                flag = pdf[f"_s{i}"].fillna(False).astype(bool)
+                hit = pdf["_us"][flag].dropna()
+                if not len(hit):
+                    continue
+                if i == 0:
+                    mn = int(hit.min())
+                    if t1 is None or mn < t1:
+                        t1 = mn
+                else:
+                    cands[i - 1].extend(int(v) for v in hit)
+        if t1 is not None:
+            hi = t1 + W_us
+            # anchor is final once the watermark passes it — candidates
+            # below it can never chain; above-window ones never could
+            lo = t1 if wm_us >= t1 else None
+            for i in range(n - 1):
+                cands[i] = [
+                    c for c in cands[i]
+                    if c <= hi and (lo is None or c >= lo)
+                ]
+            if wm_us >= hi:
+                yield verdict_row()
+                return
+            fire_ms = hi // 1000 + 1
+        else:
+            # no anchor yet: a future anchor is >= the watermark, so
+            # pre-watermark candidates are dead; idle keys get their
+            # level-0 verdict after idle_windows of event-time silence
+            for i in range(n - 1):
+                cands[i] = [c for c in cands[i] if c >= wm_us]
+            if last_seen is None:
+                state.remove()
+                return
+            fire_ms = (last_seen + idle_us) // 1000 + 1
+        state.update((t1, last_seen, *cands))
+        state.setTimeoutTimestamp(fire_ms)
+
+    return proj.groupBy(key).applyInPandasWithState(
+        fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

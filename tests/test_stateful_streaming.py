@@ -616,3 +616,126 @@ def test_rate_anomaly_stream_out_of_order_across_arrow_chunks(spark, tmp_path):
         assert set(got.values()) == {20}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def _funnel_steps():
+    return [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Cross-batch funnel verdicts must equal the batch operator's fold
+    over the same rows: anchors discovered in batch 1, later steps in
+    batch 2, verdicts closed by the sentinel-advanced watermark (and the
+    no-view key by the idle timeout)."""
+    from napalm_logs_spark.operators.cep import windowed_funnel
+    from napalm_logs_spark.streaming.stateful import funnel_stream
+
+    schema = "user_id long, event_type string, ts timestamp"
+    W = 60
+    sec = lambda s: BASE + datetime.timedelta(seconds=s)  # noqa: E731
+    # u1 converts across the two batches; u2's purchase lands outside
+    # the anchor window; u3 never views (level 0 via idle timeout);
+    # u4's batch-2 view is EARLIER than its batch-1 view — the anchor
+    # must move down and the pre-anchor click become eligible
+    b1 = [
+        (1, "view", 0), (1, "click", 10),
+        (2, "view", 0), (2, "click", 50),
+        (3, "click", 5), (3, "purchase", 6),
+        (4, "view", 30), (4, "click", 12),
+    ]
+    b2 = [
+        (1, "purchase", 20),
+        (2, "purchase", 80),
+        (4, "view", 8),
+        (99, "view", 100000),  # sentinel: closes every real window
+    ]
+    mk = lambda rows: [(u, e, sec(o)) for u, e, o in rows]  # noqa: E731
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(mk(b1), schema).coalesce(1).write.parquet(src + "/b=1")
+    spark.createDataFrame(mk(b2), schema).coalesce(1).write.parquet(src + "/b=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = funnel_stream(
+        stream.withWatermark("ts", "0 seconds"),
+        _funnel_steps(), window_seconds=W, key="user_id",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("funnel_stream")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r
+        for r in spark.sql("select * from funnel_stream").collect()
+        if r.user_id != 99
+    }
+
+    batch = spark.createDataFrame(mk(b1 + b2[:-1]), schema)
+    expected = {
+        r.user_id: r
+        for r in windowed_funnel(
+            batch, _funnel_steps(), window_seconds=W, key="user_id"
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert (g.t1_us, g.t2_us, g.t3_us, g.level) == (
+            e.t1_us, e.t2_us, e.t3_us, e.level
+        ), k
+    # sanity on the scenario itself
+    assert got[1].level == 3
+    assert got[2].level == 2          # purchase@80 > view@0 + 60
+    assert got[3].level == 0          # never anchored
+    assert got[4].level == 2          # anchor moved to view@8, click@12
+
+
+def test_funnel_stream_prunes_state_to_one_window(spark, tmp_path):
+    """Candidate state is pruned to the live anchor window: a key with
+    many clicks far beyond t1+W must carry none of them, and its verdict
+    still matches batch."""
+    from napalm_logs_spark.operators.cep import windowed_funnel
+    from napalm_logs_spark.streaming.stateful import funnel_stream
+
+    schema = "user_id long, event_type string, ts timestamp"
+    W = 60
+    sec = lambda s: BASE + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [(7, "view", 0), (7, "click", 10)]
+    rows += [(7, "click", 1000 + i) for i in range(200)]  # all > t1+W
+    rows += [(99, "view", 100000)]
+    df = [(u, e, sec(o)) for u, e, o in rows]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(df, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = funnel_stream(
+        stream.withWatermark("ts", "0 seconds"),
+        _funnel_steps(), window_seconds=W, key="user_id",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("funnel_prune")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r
+        for r in spark.sql("select * from funnel_prune").collect()
+        if r.user_id != 99
+    }
+    exp = {
+        r.user_id: r
+        for r in windowed_funnel(
+            spark.createDataFrame(df[:-1], schema),
+            _funnel_steps(), window_seconds=W, key="user_id",
+        ).collect()
+    }
+    assert got[7].level == exp[7].level == 2
+    assert got[7].t2_us == exp[7].t2_us
