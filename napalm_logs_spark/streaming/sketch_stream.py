@@ -1,13 +1,14 @@
-"""Streaming Count-Min sketch: per-batch slices, merge-on-read.
+"""Streaming sketches: per-batch slices, merge-on-read.
 
-The mergeability that defines the CM sketch (counter-wise sum) is what
-makes it a streaming citizen: each micro-batch reduces to its own
-≤ depth·width-row sketch, written as an idempotent ``_batch_id=<n>``
-parquet slice (the engine's exactly-once sink recipe — a replayed
-batch overwrites its own slice and nothing else), and the live sketch
-is the counter-wise sum over committed slices.  No state store is
-needed at all: the "state" is the lakehouse table itself, resumable
-from checkpoint, compactable like any other slice table.
+The mergeability that defines these sketches — counter-wise SUM for
+Count-Min, register-wise MAX for HyperLogLog — is what makes them
+streaming citizens: each micro-batch reduces to its own fixed-size
+sketch, written as an idempotent ``_batch_id=<n>`` parquet slice (the
+engine's exactly-once sink recipe — a replayed batch overwrites its
+own slice and nothing else), and the live sketch is the merge over
+committed slices.  No state store is needed at all: the "state" is
+the lakehouse table itself, resumable from checkpoint, compactable
+like any other slice table.
 
 At 10^12 turns this is the frequency-tracking shape that works: the
 per-batch shuffle is counter-sized (not key-sized), the merged sketch
@@ -75,6 +76,66 @@ def run_cms_stream_once(
         .foreachBatch(
             cms_batch_sink(sketch_dir, key_col, depth=depth, width=width)
         )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog on the stream — same slice recipe, MAX merge instead of SUM
+
+
+def hll_batch_sink(sketch_dir: str, key_col: str = "key", *, p: int = 8):
+    """foreachBatch function: reduce the micro-batch to its HLL register
+    table and overwrite this batch's slice (idempotent under replay).
+
+    Register max-merge is bit-identical to sketching the unioned input
+    (operators.sketch.hll_registers), so the merged stream sketch IS
+    the batch sketch of everything drained so far — exact replay, no
+    state store, ≤ 2^p rows per slice whatever the key cardinality.
+    """
+    from ..operators.sketch import hll_registers
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, key_col, p=p)
+        regs.write.mode("overwrite").parquet(
+            f"{sketch_dir}/_batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def read_merged_hll(spark, sketch_dir: str) -> DataFrame:
+    """Register-wise MAX over all committed batch slices — by HLL
+    mergeability this equals the register table of the whole stream."""
+    df = spark.read.option("basePath", sketch_dir).parquet(
+        f"{sketch_dir}/_batch_id=*"
+    )
+    return df.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def run_hll_stream_once(
+    spark,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "key",
+    *,
+    p: int = 8,
+    timeout_s: float | None = 600,
+) -> None:
+    """Drain all available source files into per-batch HLL register
+    slices (availableNow trigger), exactly-once under replay."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(hll_batch_sink(sketch_dir, key_col, p=p))
         .trigger(availableNow=True)
         .start()
     )

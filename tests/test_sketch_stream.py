@@ -80,3 +80,64 @@ def test_merged_sketch_bounded_rows(spark, dirs):
     )
     # 3000 distinct keys, but the sketch stays <= depth*width rows
     assert read_merged_sketch(spark, dirs["sk"]).count() <= 4 * 64
+
+def test_hll_merged_slices_equal_whole_stream_registers(spark, dirs):
+    from napalm_logs_spark.operators.sketch import hll_estimate, hll_registers
+    from napalm_logs_spark.streaming.sketch_stream import (
+        read_merged_hll,
+        run_hll_stream_once,
+    )
+
+    b1 = [f"u{i}" for i in range(400)]
+    b2 = [f"u{i}" for i in range(200, 700)]  # overlaps b1
+    _write(spark, dirs["src"], b1)
+    run_hll_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, p=8
+    )
+    _write(spark, dirs["src"], b2)
+    run_hll_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, p=8
+    )
+    merged = read_merged_hll(spark, dirs["sk"])
+    whole = hll_registers(
+        spark.createDataFrame([(k,) for k in b1 + b2], SCHEMA), p=8
+    )
+    assert sorted(
+        (r["bucket"], r["max_rank"]) for r in merged.collect()
+    ) == sorted((r["bucket"], r["max_rank"]) for r in whole.collect())
+    # the merged-stream estimate IS the batch estimate (same registers)
+    est = hll_estimate(merged, p=8).collect()[0]["est_distinct"]
+    n = len(set(b1 + b2))
+    assert abs(est - n) / n < 0.25  # ~1.04/sqrt(256) expected error
+
+
+def test_hll_replayed_batch_overwrites_its_slice(spark, dirs):
+    from napalm_logs_spark.streaming.sketch_stream import (
+        hll_batch_sink,
+        read_merged_hll,
+        run_hll_stream_once,
+    )
+
+    keys = ["a", "b", "a", "c"]
+    _write(spark, dirs["src"], keys)
+    run_hll_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, p=8
+    )
+    before = sorted(map(tuple, read_merged_hll(spark, dirs["sk"]).collect()))
+    bdf = spark.createDataFrame([(k,) for k in keys], SCHEMA)
+    hll_batch_sink(dirs["sk"], p=8)(bdf, 0)
+    after = sorted(map(tuple, read_merged_hll(spark, dirs["sk"]).collect()))
+    assert before == after
+
+
+def test_hll_merged_registers_bounded_rows(spark, dirs):
+    from napalm_logs_spark.streaming.sketch_stream import (
+        read_merged_hll,
+        run_hll_stream_once,
+    )
+
+    _write(spark, dirs["src"], [f"v{i}" for i in range(5000)])
+    run_hll_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, p=8
+    )
+    assert read_merged_hll(spark, dirs["sk"]).count() <= 256
