@@ -360,6 +360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c16_funnel"] = c16_funnel
 
+    def c16_funnel_rates(spark, sf):
+        """Funnel summary: per step, keys reached + conversion vs the
+        previous step and vs step 1 — one global aggregate."""
+        from napalm_logs_spark.operators.cep import funnel_counts
+
+        return funnel_counts(c16_funnel(spark, sf), 3)
+    q["c16_funnel_rates"] = c16_funnel_rates
+
     def q_rollup_counts(spark, sf):
         return (
             _t(spark, sf, "events")
@@ -1415,6 +1423,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return gopher_rules(_t(spark, sf, "documents"))
     q["t_gopher_rules"] = t_gopher_rules
+
+    def t_gate_agreement(spark, sf):
+        # filter-QA: Cohen's kappa + keep-set Jaccard between the
+        # Gopher gate and a stopword/punct heuristic gate — are the
+        # two filters redundant or complementary?
+        from napalm_logs_spark.operators.text import (
+            gate_agreement, gopher_rules, quality_scores,
+        )
+
+        docs = _t(spark, sf, "documents")
+        a = gopher_rules(docs).select("doc_id", F.col("keep").alias("keep_a"))
+        b = quality_scores(docs).select(
+            "doc_id",
+            (
+                (F.col("stopword_ratio") >= 0.08)
+                & (F.col("punct_ratio") <= 0.2)
+            ).alias("keep_b"),
+        )
+        return gate_agreement(a.join(b, "doc_id"), "keep_a", "keep_b")
+    q["t_gate_agreement"] = t_gate_agreement
 
     def t_dsir_weights(spark, sf):
         # DSIR importance weights toward a deterministic "in-domain"
@@ -2832,6 +2860,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s3 ON s3.user_id = b.user_id
     """
 
+    # composes the c16 level query: per-step reach + conversion ratios
+    o["c16_funnel_rates"] = f"""
+        WITH lv AS ({o["c16_funnel"]}),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN level >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN level >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN level >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+          FROM lv
+        )
+        SELECT 1 AS step, n1 AS n_keys,
+               CASE WHEN n1 > 0 THEN round(CAST(n1 AS DOUBLE) / n1, 6) END AS conv_from_prev,
+               CASE WHEN n1 > 0 THEN round(CAST(n1 AS DOUBLE) / n1, 6) END AS conv_from_first
+        FROM agg
+        UNION ALL
+        SELECT 2, n2,
+               CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END,
+               CASE WHEN n1 > 0 THEN round(CAST(n2 AS DOUBLE) / n1, 6) END
+        FROM agg
+        UNION ALL
+        SELECT 3, n3,
+               CASE WHEN n2 > 0 THEN round(CAST(n3 AS DOUBLE) / n2, 6) END,
+               CASE WHEN n1 > 0 THEN round(CAST(n3 AS DOUBLE) / n1, 6) END
+        FROM agg
+    """
+
     o["c8_asof_join"] = """
         WITH w AS (
           SELECT event_id, user_id, event_type,
@@ -3911,6 +3964,59 @@ def oracle_sql() -> dict[str, str]:
 
     # Gopher rule gates (Rae et al. 2021 Table A1 analogs): word-count /
     # mean-word-length / alphabetic-fraction / distinct-stopword rules
+    o["t_gate_agreement"] = r"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM documents
+        ), ga AS (
+          SELECT doc_id,
+                 (len(t) BETWEEN 50 AND 100000)
+                 AND (round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                      / nullif(len(t), 0), 6) BETWEEN 3.0 AND 10.0)
+                 AND (round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                      / nullif(len(t), 0), 6) >= 0.8)
+                 AND (len(list_intersect(list_transform(t, x -> lower(x)),
+                      ['the','be','to','of','and','that','have','with','a','in'])) >= 2)
+                 AS keep_a
+          FROM toks
+        ), gb AS (
+          SELECT b.doc_id,
+                 (round(CAST(len(list_filter(b.toks, x -> lower(x) IN
+                    ('the','a','and','of','to','in','is','that','it','for'))) AS DOUBLE)
+                    / greatest(len(b.toks), 1), 6) >= 0.08)
+                 AND (round(CAST(length(regexp_replace(b.text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                    / greatest(length(b.text), 1), 6) <= 0.2)
+                 AS keep_b
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents) b
+        ), m AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN COALESCE(keep_a, false) AND COALESCE(keep_b, false) THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(sum(CASE WHEN COALESCE(keep_a, false) AND NOT COALESCE(keep_b, false) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(sum(CASE WHEN NOT COALESCE(keep_a, false) AND COALESCE(keep_b, false) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(sum(CASE WHEN NOT COALESCE(keep_a, false) AND NOT COALESCE(keep_b, false) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM ga JOIN gb USING (doc_id)
+        )
+        SELECT n, n11, n10, n01, n00,
+               round((n11 + n00) / CAST(n AS DOUBLE), 6) AS p_observed,
+               round(((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+                     + (1.0 - (n11 + n10) / CAST(n AS DOUBLE)) * (1.0 - (n11 + n01) / CAST(n AS DOUBLE)), 6) AS p_expected,
+               round(CASE WHEN ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+                     + (1.0 - (n11 + n10) / CAST(n AS DOUBLE)) * (1.0 - (n11 + n01) / CAST(n AS DOUBLE)) <> 1.0
+                     THEN ((n11 + n00) / CAST(n AS DOUBLE)
+                           - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+                              + (1.0 - (n11 + n10) / CAST(n AS DOUBLE)) * (1.0 - (n11 + n01) / CAST(n AS DOUBLE))))
+                          / (1.0 - (((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+                              + (1.0 - (n11 + n10) / CAST(n AS DOUBLE)) * (1.0 - (n11 + n01) / CAST(n AS DOUBLE))))
+                     END, 6) AS kappa,
+               round(CASE WHEN n11 + n10 + n01 > 0
+                     THEN CAST(n11 AS DOUBLE) / (n11 + n10 + n01) END, 6) AS jaccard_keep
+        FROM m
+    """
+
     o["t_gopher_rules"] = r"""
         WITH toks AS (
           SELECT doc_id,

@@ -1524,3 +1524,51 @@ def pack_histogram(
         (F.col("pack_base") + F.floor(inst)).cast("long").alias("pack_id"),
         ((F.col("rank") - F.col("off")) % F.col("mult")).cast("int").alias("slot"),
     )
+
+
+def gate_agreement(
+    df: DataFrame,
+    gate_a: str,
+    gate_b: str,
+) -> DataFrame:
+    """Inter-gate agreement for quality-filter QA: Cohen's kappa and
+    keep-set Jaccard between two boolean document gates (e.g. Gopher
+    rules vs a stopword/punctuation heuristic).  The pipeline question
+    this answers: are two filters redundant (kappa ≈ 1, drop one), or
+    complementary (kappa ≈ 0, compose them)?  NULL verdicts count as
+    reject (a gate that can't score a document doesn't keep it).
+
+    Scale shape: ONE global aggregate of four integer cells (the 2×2
+    confusion matrix) — a handful of longs through one exchange at any
+    corpus size; the kappa/Jaccard arithmetic is a fixed expression
+    tree over those exact integers (plain IEEE divisions, same doubles
+    on any engine), so the whole output is exactly SQL-replayable.
+    ``kappa`` is NULL when expected agreement is 1 (a constant gate —
+    chance-corrected agreement undefined); ``jaccard_keep`` is NULL
+    when both keep-sets are empty.
+    """
+    a = F.coalesce(F.col(gate_a).cast("boolean"), F.lit(False))
+    b = F.coalesce(F.col(gate_b).cast("boolean"), F.lit(False))
+    cell = lambda p: F.sum(p.cast("long"))  # noqa: E731
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(a & b).alias("n11"),
+        cell(a & ~b).alias("n10"),
+        cell(~a & b).alias("n01"),
+        cell(~a & ~b).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa = (F.col("n11") + F.col("n10")) / n
+    pb = (F.col("n11") + F.col("n01")) / n
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe))
+    union = F.col("n11") + F.col("n10") + F.col("n01")
+    jac = F.when(union > 0, F.col("n11").cast("double") / union)
+    return m.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+        F.round(jac, 6).alias("jaccard_keep"),
+    )

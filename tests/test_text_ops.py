@@ -839,3 +839,54 @@ def test_char_entropy_zero_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gate agreement (Cohen's kappa between two boolean quality gates)
+
+
+def test_gate_agreement_kappa_known_matrix(spark):
+    from napalm_logs_spark.operators.text import gate_agreement
+
+    # confusion matrix n11=4 n10=1 n01=1 n00=4 over n=10:
+    # po=0.8, pa=pb=0.5 -> pe=0.5, kappa=0.6, jaccard=4/6
+    rows = (
+        [(True, True)] * 4 + [(True, False)] + [(False, True)]
+        + [(False, False)] * 4
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = gate_agreement(df, "a", "b").collect()[0]
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (10, 4, 1, 1, 4)
+    assert r.p_observed == 0.8 and r.p_expected == 0.5
+    assert r.kappa == 0.6
+    assert r.jaccard_keep == round(4 / 6, 6)
+
+
+def test_gate_agreement_constant_gate_kappa_null(spark):
+    from napalm_logs_spark.operators.text import gate_agreement
+
+    # both gates constant-true: pe=1 -> kappa undefined (NULL), not 0/0
+    df = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    r = gate_agreement(df, "a", "b").collect()[0]
+    assert r.kappa is None and r.p_expected == 1.0 and r.jaccard_keep == 1.0
+
+
+def test_gate_agreement_null_verdict_counts_as_reject(spark):
+    from napalm_logs_spark.operators.text import gate_agreement
+
+    df = spark.createDataFrame(
+        [(True, None), (None, None), (True, True)], "a boolean, b boolean"
+    )
+    r = gate_agreement(df, "a", "b").collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (1, 1, 0, 1)
+
+
+def test_gate_agreement_disjoint_keeps(spark):
+    from napalm_logs_spark.operators.text import gate_agreement
+
+    df = spark.createDataFrame(
+        [(True, False)] * 3 + [(False, True)] * 3, "a boolean, b boolean"
+    )
+    r = gate_agreement(df, "a", "b").collect()[0]
+    assert r.p_observed == 0.0 and r.jaccard_keep == 0.0
+    assert r.kappa == -1.0
