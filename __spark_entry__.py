@@ -1762,6 +1762,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_knn_cosine"] = s_knn_cosine
 
+    def s_decontaminate(spark, sf):
+        """Semantic benchmark decontamination: every corpus embedding
+        scored against the broadcast benchmark subset (vec_id % 37 = 0
+        — which includes itself for those rows: verbatim leakage shows
+        up as cosine 1.0 and must be flagged)."""
+        from napalm_logs_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        return semantic_decontaminate(
+            emb, emb.filter(F.col("vec_id") % 37 == 0), threshold=0.8
+        )
+    q["s_decontaminate"] = s_decontaminate
+
     def s_embedding_norms(spark, sf):
         emb = _t(spark, sf, "embeddings")
         sq = F.aggregate(
@@ -4180,6 +4195,31 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """
+
+    o["s_decontaminate"] = """
+        WITH b AS (
+          SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS be
+          FROM embeddings WHERE vec_id % 37 = 0
+        ), c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+        ), s AS (
+          SELECT c.vec_id, b.bid,
+                 CASE WHEN sqrt(list_sum(list_transform(c.ce, x -> x * x))) > 0
+                       AND sqrt(list_sum(list_transform(b.be, x -> x * x))) > 0
+                 THEN round(list_cosine_similarity(c.ce, b.be), 6)
+                 ELSE 0.0 END AS cos
+          FROM c, b
+        ), m AS (
+          SELECT vec_id, max(cos) AS max_cosine FROM s GROUP BY vec_id
+        ), n AS (
+          SELECT s.vec_id, min(s.bid) AS nearest_bench_id
+          FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.max_cosine
+          GROUP BY s.vec_id
+        )
+        SELECT m.vec_id, m.max_cosine, n.nearest_bench_id,
+               m.max_cosine >= 0.8 AS contaminated
+        FROM m JOIN n ON m.vec_id = n.vec_id
     """
 
     o["s_knn_cosine"] = """

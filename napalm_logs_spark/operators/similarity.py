@@ -1497,3 +1497,62 @@ def pca_reduce(
     """Fit-then-project composition (the one-call reducer)."""
     mean, comps, _ = pca_fit(df, n_components, emb_col=emb_col)
     return pca_project(df, mean, comps, id_col=id_col, emb_col=emb_col)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination — the
+    cosine analog of ``docdedup.decontaminate``'s n-gram overlap: a
+    corpus document is contaminated when ANY benchmark embedding's
+    cosine reaches ``threshold`` (catches paraphrased leakage the
+    n-gram pass misses; run both, union the verdicts).
+
+    Output per corpus row: ``max_cosine`` (rounded 6), the
+    ``nearest_bench_id`` achieving it (lowest id on rounded ties), and
+    the ``contaminated`` verdict.  Zero-norm vectors score 0 exactly
+    (never contaminated by fiat, same branch on any engine); an empty
+    benchmark yields NULL max/nearest and contaminated = false.
+
+    Scale shape: the benchmark side collapses to ONE broadcast row (an
+    array of (id, vec, norm) structs — benchmarks are thousands of
+    rows, not corpora), and each corpus row folds over it with an
+    array HOF: zero shuffles, zero Python, corpus never moves.  At
+    100 TB this runs at scan bandwidth like the quality gates; if the
+    benchmark ever outgrows a broadcast, pre-bucket both sides with
+    the LSH index (``lsh_topk``) and verify only candidates.
+    """
+    corpus = widen_if_narrow_scan(corpus)
+    b = benchmark.select(
+        F.col(id_col).alias("bid"),
+        F.col(emb_col).alias("be"),
+        _norm(F.col(emb_col)).alias("bn"),
+    )
+    barr = b.agg(F.collect_list(F.struct("bid", "be", "bn")).alias("_barr"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("_ce"),
+        _norm(F.col(emb_col)).alias("_cn"),
+    ).crossJoin(F.broadcast(barr))
+
+    def score(bs):
+        cos = F.when(
+            (F.col("_cn") > 0) & (bs["bn"] > 0),
+            F.round(_dot(F.col("_ce"), bs["be"]) / (F.col("_cn") * bs["bn"]), 6),
+        ).otherwise(F.lit(0.0))
+        # (cos, -bid): array_max picks highest cosine, then LOWEST id
+        return F.struct(cos.alias("cos"), (-bs["bid"]).alias("nbid"))
+
+    best = F.array_max(F.transform(F.col("_barr"), score))
+    return c.select(
+        id_col,
+        best["cos"].alias("max_cosine"),
+        (-best["nbid"]).alias("nearest_bench_id"),
+        F.coalesce(best["cos"] >= F.lit(threshold), F.lit(False)).alias(
+            "contaminated"
+        ),
+    )

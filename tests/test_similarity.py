@@ -708,3 +708,60 @@ def test_corpus_diversity_partitioning_invariance(spark):
     a = sorted(map(tuple, corpus_diversity(df.repartition(1)).collect()))
     b = sorted(map(tuple, corpus_diversity(df.repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+
+
+def test_semantic_decontaminate_planted(spark):
+    from napalm_logs_spark.operators.similarity import semantic_decontaminate
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # verbatim copy of bench 100
+        (1, [0.99, 0.14, 0.0]),  # near-paraphrase of bench 100
+        (2, [0.0, 0.0, 1.0]),    # orthogonal — clean
+        (3, [0.0, 0.0, 0.0]),    # zero vector — scores 0 by fiat
+        (4, [-1.0, 0.0, 0.0]),   # anti-parallel — clean
+    ]
+    bench = [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(bench, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, b, threshold=0.9).collect()
+    }
+    assert out[0].contaminated and out[0].max_cosine == 1.0
+    assert out[0].nearest_bench_id == 100
+    assert out[1].contaminated and out[1].max_cosine > 0.98
+    assert not out[2].contaminated and out[2].max_cosine == 0.0
+    assert not out[3].contaminated and out[3].max_cosine == 0.0
+    assert not out[4].contaminated and out[4].max_cosine == 0.0
+    # rounded tie (vec 2 scores 0.0 against both benches) -> lowest id
+    assert out[2].nearest_bench_id == 100
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    from napalm_logs_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    b = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    r = semantic_decontaminate(corpus, b).collect()[0]
+    assert r.max_cosine is None and r.contaminated is False
+
+
+def test_semantic_decontaminate_plan_no_shuffle_on_corpus(spark):
+    """The corpus side must reach the fold without an exchange: only
+    the one-row benchmark aggregate exchanges/broadcasts."""
+    from napalm_logs_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(7), F.rand(8)).cast("array<float>").alias("embedding"),
+    )
+    b = corpus.filter(F.col("vec_id") < 4)
+    plan = semantic_decontaminate(corpus, b)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

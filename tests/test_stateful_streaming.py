@@ -739,3 +739,49 @@ def test_funnel_stream_prunes_state_to_one_window(spark, tmp_path):
     }
     assert got[7].level == exp[7].level == 2
     assert got[7].t2_us == exp[7].t2_us
+
+
+def test_funnel_stream_state_survives_checkpoint_restart(spark, tmp_path):
+    """Run 1 sees the anchor (view); run 2 — a NEW query from the same
+    checkpoint — delivers the click/purchase and the sentinel: the
+    verdict must chain from state remembered across the restart."""
+    from napalm_logs_spark.streaming.stateful import funnel_stream
+
+    schema = "user_id long, event_type string, ts timestamp"
+    src, ckpt, out = (
+        str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    sec = lambda s: BASE + datetime.timedelta(seconds=s)  # noqa: E731
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            funnel_stream(
+                stream.withWatermark("ts", "0 seconds"),
+                _funnel_steps(), window_seconds=60, key="user_id",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, "view", sec(0)), (1, "click", sec(5))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        [(1, "purchase", sec(9)), (99, "view", sec(100000))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert got[1].level == 3
+    assert (
+        got[1].t1_us, got[1].t2_us, got[1].t3_us,
+    ) == tuple(
+        int(sec(s).replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+        for s in (0, 5, 9)
+    )
