@@ -368,6 +368,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return funnel_counts(c16_funnel(spark, sf), 3)
     q["c16_funnel_rates"] = c16_funnel_rates
 
+    def q_scd2_intervals(spark, sf):
+        """Type-2 dimension build from the event change log: per-user
+        event_type versions with valid_from/valid_to — one window
+        shuffle, no joins (operators/scd.py)."""
+        from napalm_logs_spark.operators.scd import scd2_intervals
+
+        return scd2_intervals(
+            _t(spark, sf, "events").filter(F.col("user_id") < 40),
+            "user_id", ("event_type",), order_cols=("event_id",),
+        )
+    q["q_scd2_intervals"] = q_scd2_intervals
+
+    def q_scd2_asof(spark, sf):
+        """Point-in-time probe against the SCD2 dimension: each error
+        event picks the event_type version valid at its timestamp."""
+        from napalm_logs_spark.operators.scd import (
+            asof_dimension_lookup, scd2_intervals,
+        )
+
+        ev = _t(spark, sf, "events").filter(F.col("user_id") < 40)
+        dim = scd2_intervals(
+            ev, "user_id", ("event_type",), order_cols=("event_id",)
+        ).withColumnRenamed("event_type", "dim_state")
+        facts = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "event_id", "ts"
+        )
+        return asof_dimension_lookup(facts, dim, "user_id").select(
+            "event_id", "user_id", "dim_state", "version"
+        )
+    q["q_scd2_asof"] = q_scd2_asof
+
     def q_rollup_counts(spark, sf):
         return (
             _t(spark, sf, "events")
@@ -2873,6 +2904,55 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s1 ON s1.user_id = b.user_id
         LEFT JOIN s2 ON s2.user_id = b.user_id
         LEFT JOIN s3 ON s3.user_id = b.user_id
+    """
+
+    o["q_scd2_intervals"] = """
+        WITH ch AS (
+          SELECT user_id, event_type, ts, event_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_et,
+                   lag(ts) OVER w AS prev_ts
+            FROM events WHERE user_id < 40
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          )
+          WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+        )
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               CAST(row_number() OVER w2 AS INTEGER) AS version,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM ch
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    o["q_scd2_asof"] = """
+        WITH ch AS (
+          SELECT user_id, event_type, ts, event_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_et,
+                   lag(ts) OVER w AS prev_ts
+            FROM events WHERE user_id < 40
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          )
+          WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+        ), dim AS (
+          SELECT user_id, event_type AS dim_state,
+                 ts AS valid_from,
+                 lead(ts) OVER w2 AS valid_to,
+                 CAST(row_number() OVER w2 AS INTEGER) AS version
+          FROM ch
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT f.event_id, f.user_id, d.dim_state, d.version
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE user_id < 40 AND event_type = 'error') f
+        LEFT JOIN dim d
+          ON d.user_id = f.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
     """
 
     # composes the c16 level query: per-step reach + conversion ratios
