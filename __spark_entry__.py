@@ -2489,6 +2489,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_hll_distinct"] = d_hll_distinct
 
+    def d_corpus_overlap(spark, sf):
+        # corpus-overlap estimation from MERGEABLE HLL sketches
+        # (operators/sketch.py hll_overlap): two "crawls" (subsets of
+        # documents keyed by content digest) each reduce to a 256-row
+        # register table; the union registers come from a MAX merge of
+        # the two tables — the corpora are never joined or co-read —
+        # and |A∩B| falls out by inclusion-exclusion.  The go/no-go
+        # gauge a pipeline reads BEFORE paying for a cross-corpus
+        # MinHash dedup.  All-integer register sums (the s_* hash-gate
+        # columns) + fixed-order divisions by the shared alpha literal
+        # make the estimates exactly SQL-replayable.
+        from napalm_logs_spark.operators.sketch import hll_overlap
+
+        docs = _t(spark, sf, "documents")
+        key = F.md5(F.col("text")).alias("key")
+        crawl_a = docs.filter(F.col("doc_id") % 3 != 0).select(key)
+        crawl_b = docs.filter(F.col("doc_id") % 2 == 0).select(key)
+        return hll_overlap(crawl_a, crawl_b, "key", p=8)
+    q["d_corpus_overlap"] = d_corpus_overlap
+
+    def q_cdc_apply(spark, sf):
+        # CDC changelog apply (operators/scd.cdc_apply): latest-wins
+        # upserts + equality deletes — the merge-on-read half of an
+        # Iceberg/Delta MERGE INTO, as ONE window shuffle on the key
+        # (row_number and the n_versions count share the partitioning).
+        # The changelog is derived deterministically from events: ~997
+        # keys × ~10 versions each, every 10th event a delete.
+        from napalm_logs_spark.operators.scd import cdc_apply
+
+        log = _t(spark, sf, "events").select(
+            (F.col("event_id") % 997).cast("long").alias("key"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        return cdc_apply(log, ("key",), ("ts", "event_id")).select(
+            "key", "value", "ts", "event_id", "n_versions"
+        )
+    q["q_cdc_apply"] = q_cdc_apply
+
     def cv_pii_scrub(spark, sf):
         # per-turn PII redaction over the transcript view — the scrub
         # every SFT corpus runs before render/training (composition of
@@ -5257,6 +5300,75 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_type, count(DISTINCT event_id) AS exact_distinct
               FROM events GROUP BY 1) e
         JOIN fin f USING (event_type)
+    """
+
+    # hll_overlap replay: the union registers are computed straight over
+    # the unioned key set — per bucket max(A ∪ B) = max(max A, max B),
+    # i.e. exactly what hll_merge's MAX-merge of the two register tables
+    # produces.  Estimate chain order matches the operator: alpha/s is
+    # one IEEE division; overlap = (a + b) - u left-to-right.
+    _hll_regs = """
+          SELECT ('0x' || substr(h, 1, 2))::BIGINT AS bucket,
+                 max(CASE WHEN ('0x' || substr(h, 3, 12))::BIGINT = 0 THEN 49
+                          ELSE 49 - length(bin(('0x' || substr(h, 3, 12))::BIGINT)) END)
+                     AS max_rank
+          FROM {src} GROUP BY 1
+    """
+    _hll_scaled = """
+          SELECT CAST(sum(1::BIGINT << (49 - max_rank))
+                      + (256 - count(*)) * (1::BIGINT << 49) AS BIGINT) AS {name}
+          FROM {regs}
+    """
+    _alpha = f"{hll_alpha_factor(8)!r}"
+    o["d_corpus_overlap"] = (
+        """
+        WITH crawl_a AS (
+          SELECT md5('hll:' || md5(text)) AS h FROM documents WHERE doc_id % 3 <> 0
+        ), crawl_b AS (
+          SELECT md5('hll:' || md5(text)) AS h FROM documents WHERE doc_id % 2 = 0
+        ), crawl_u AS (
+          SELECT h FROM crawl_a UNION ALL SELECT h FROM crawl_b
+        ), regs_a AS ("""
+        + _hll_regs.format(src="crawl_a")
+        + "), regs_b AS ("
+        + _hll_regs.format(src="crawl_b")
+        + "), regs_u AS ("
+        + _hll_regs.format(src="crawl_u")
+        + "), sa AS ("
+        + _hll_scaled.format(regs="regs_a", name="s_a")
+        + "), sb AS ("
+        + _hll_scaled.format(regs="regs_b", name="s_b")
+        + "), su AS ("
+        + _hll_scaled.format(regs="regs_u", name="s_u")
+        + f"""
+        )
+        SELECT 256 AS m, s_a, s_b, s_u,
+               round({_alpha} / s_a, 4) AS est_a,
+               round({_alpha} / s_b, 4) AS est_b,
+               round({_alpha} / s_u, 4) AS est_union,
+               round({_alpha} / s_a + {_alpha} / s_b - {_alpha} / s_u, 4)
+                   AS est_overlap,
+               round(({_alpha} / s_a + {_alpha} / s_b - {_alpha} / s_u)
+                     / ({_alpha} / s_u), 4) AS est_jaccard
+        FROM sa, sb, su
+    """
+    )
+
+    o["q_cdc_apply"] = """
+        WITH log AS (
+          SELECT CAST(event_id % 997 AS BIGINT) AS key,
+                 CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                 value, ts, event_id
+          FROM events
+        ), v AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY key) AS n_versions
+          FROM log
+        )
+        SELECT key, value, ts, event_id, CAST(n_versions AS BIGINT) AS n_versions
+        FROM v WHERE rn = 1 AND op <> 'D'
     """
 
     o["cv_pii_scrub"] = (

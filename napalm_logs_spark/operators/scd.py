@@ -70,6 +70,43 @@ def scd2_intervals(
     )
 
 
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: tuple,
+    order_cols: tuple,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to produce the current snapshot — the
+    merge-on-read half of an Iceberg/Delta ``MERGE INTO`` (equality
+    deletes + latest-wins upserts), expressed as a plain relational
+    plan instead of a mutable table.
+
+    Each key keeps its LAST row by ``order_cols`` (give (ts, seq) —
+    ties must be broken deterministically); a key whose last operation
+    is ``delete_op`` disappears from the snapshot.  Inserts and updates
+    are not distinguished (both mean "this is the row now"), matching
+    upsert semantics.  ``n_versions`` reports the key's changelog depth
+    — the compaction-pressure signal a table-maintenance job reads.
+
+    Scale shape: ONE hash shuffle on ``key_cols`` — the row_number and
+    the count ride the same window partitioning, so Catalyst plans a
+    single Exchange and AQE's skew-join handling covers hot keys.  No
+    join against a base snapshot is needed: at 100 TB the "base" is
+    itself the compacted prefix of the same log (see
+    streaming/maintenance.py), so apply-over-log IS the read path.
+    """
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*[c.desc() for c in order])
+    wc = Window.partitionBy(*key_cols)
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )
+
+
 def asof_dimension_lookup(
     facts: DataFrame,
     dim: DataFrame,

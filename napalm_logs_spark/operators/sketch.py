@@ -346,6 +346,94 @@ def hll_estimate(
     )
 
 
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """MAX-merge two register tables (same ``p``) into the UNION's
+    registers — bit-identical to sketching the unioned input, because
+    ``max(max(A), max(B)) = max(A ∪ B)`` per bucket.  One small groupBy
+    over at most ``2·m`` rows; the corpora themselves are never
+    re-read or joined — this is the whole point of the sketch at
+    100 TB."""
+    return (
+        regs_a.select("bucket", "max_rank")
+        .unionAll(regs_b.select("bucket", "max_rank"))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str = "key",
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Corpus-overlap estimation from mergeable HLL sketches — the
+    inclusion–exclusion shape (|A∩B| ≈ |A| + |B| − |A∪B|) every crawl
+    pipeline runs BEFORE committing to a cross-corpus dedup: two crawls
+    that barely overlap don't justify the full MinHash join.  At
+    100 TB the two corpora live in different tables (or different
+    snapshots of one table) and are never joined or even co-read — each
+    side reduces to ≤ 2^p register rows, the union comes from
+    :func:`hll_merge`, and estimation is driver-trivial.
+
+    Output is ONE row carrying, per set (a / b / union), the exact
+    integer register sums (``s_a``/``s_b``/``s_u`` — the hash-gate
+    columns) and the rounded raw-HLL estimates, plus the derived
+    ``est_overlap`` and ``est_jaccard``.  Every float op is a division
+    by the shared :func:`hll_alpha_factor` literal or a fixed-order
+    sum of those divisions, so an ANSI-SQL oracle replays the numbers
+    bit-for-bit (same contract as :func:`hll_estimate`); estimates are
+    raw HLL (no ``ln`` corrections — cross-engine bit-parity), so treat
+    small-set numbers as the validation regime, not production ones.
+    """
+    m = 1 << p
+    alpha = hll_alpha_factor(p)
+
+    def _scaled(regs: DataFrame, name: str) -> DataFrame:
+        gb = regs.groupBy().agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 49 - max_rank)")
+            ).alias("_sp"),
+        )
+        return gb.select(
+            (
+                F.col("_sp")
+                + (F.lit(m) - F.col("_nb")).cast("long") * F.lit(1 << 49)
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    ra = hll_registers(df_a, key_col, p=p)
+    rb = hll_registers(df_b, key_col, p=p)
+    sa = _scaled(ra, "s_a")
+    sb = _scaled(rb, "s_b")
+    su = _scaled(hll_merge(ra, rb), "s_u")
+    est_a = F.lit(alpha) / F.col("s_a")
+    est_b = F.lit(alpha) / F.col("s_b")
+    est_u = F.lit(alpha) / F.col("s_u")
+    # fixed evaluation order (a + b) - u, then / u: both engines chain
+    # the same IEEE ops on the same doubles
+    overlap = est_a + est_b - est_u
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .select(
+            F.lit(m).alias("m"),
+            "s_a",
+            "s_b",
+            "s_u",
+            F.round(est_a, 4).alias("est_a"),
+            F.round(est_b, 4).alias("est_b"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(overlap, 4).alias("est_overlap"),
+            F.round(overlap / est_u, 4).alias("est_jaccard"),
+        )
+    )
+
+
 def hll_vs_exact(
     df: DataFrame,
     key_col: str = "key",

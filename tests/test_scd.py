@@ -86,3 +86,45 @@ def test_asof_dimension_lookup(spark):
     assert out[4].state == "y"           # open current version
     assert out[5].state is None          # unknown key survives (left join)
     assert len(out) == 6                 # never fans out
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from napalm_logs_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            # key a: insert, update, update — last wins
+            ("a", "U", 1, _ts(0), 0),
+            ("a", "U", 2, _ts(5), 1),
+            ("a", "U", 3, _ts(9), 2),
+            # key b: upserted then deleted — absent from the snapshot
+            ("b", "U", 7, _ts(1), 3),
+            ("b", "D", 0, _ts(4), 4),
+            # key c: deleted then re-inserted — present
+            ("c", "D", 0, _ts(2), 5),
+            ("c", "U", 9, _ts(6), 6),
+            # key d: same-ts tie broken by seq
+            ("d", "U", 1, _ts(3), 7),
+            ("d", "U", 2, _ts(3), 8),
+        ],
+        "key string, op string, value int, ts timestamp, seq long",
+    )
+    snap = {r.key: r for r in cdc_apply(log, ("key",), ("ts", "seq")).collect()}
+    assert set(snap) == {"a", "c", "d"}
+    assert snap["a"].value == 3 and snap["a"].n_versions == 3
+    assert snap["c"].value == 9 and snap["c"].n_versions == 2
+    assert snap["d"].value == 2 and snap["d"].n_versions == 2
+
+
+def test_cdc_apply_single_exchange_plan(spark):
+    from napalm_logs_spark.operators.scd import cdc_apply
+
+    log = _log(spark, [("a", "x", 0), ("a", "y", 5), ("b", "z", 1)]).withColumn(
+        "op", F.lit("U")
+    )
+    plan = (
+        cdc_apply(log, ("dev",), ("ts", "seq"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # row_number and the n_versions count share one hash partitioning
+    assert plan.count("Exchange") == 1, plan

@@ -180,3 +180,45 @@ def test_hll_grouped_matches_per_group_run(spark):
     for g in ("g0", "g1", "g2"):
         solo = hll_vs_exact(df.filter(F.col("grp") == g), "key", p=8).collect()[0]
         assert grouped[g] == (solo["s_scaled"], solo["est_distinct"])
+
+
+def test_hll_overlap_inclusion_exclusion(spark):
+    from napalm_logs_spark.operators.sketch import hll_overlap
+
+    # A = 0..1999, B = 1000..2999 — truth: |A|=|B|=2000, |A∪B|=3000,
+    # |A∩B|=1000, J=1/3.  Raw-HLL at p=8 is a few-percent estimator.
+    a = _keys(spark, [f"k{i}" for i in range(2000)])
+    b = _keys(spark, [f"k{i}" for i in range(1000, 3000)])
+    row = hll_overlap(a, b, "key", p=8).collect()[0]
+    assert row.m == 256
+    for est, truth in [
+        (row.est_a, 2000), (row.est_b, 2000), (row.est_union, 3000),
+        (row.est_overlap, 1000),
+    ]:
+        assert abs(est - truth) / truth < 0.25, (est, truth)
+    assert abs(row.est_jaccard - 1 / 3) < 0.15
+    # disjoint sets: overlap estimate is near zero relative to the sets
+    c = _keys(spark, [f"z{i}" for i in range(2000)])
+    row2 = hll_overlap(a, c, "key", p=8).collect()[0]
+    assert abs(row2.est_overlap) < 0.2 * row2.est_union
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from napalm_logs_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = _keys(spark, [f"k{i}" for i in range(500)])
+    b = _keys(spark, [f"k{i}" for i in range(300, 900)])
+    merged = {
+        (r.bucket, r.max_rank)
+        for r in hll_merge(
+            hll_registers(a, "key", p=8), hll_registers(b, "key", p=8)
+        ).collect()
+    }
+    direct = {
+        (r.bucket, r.max_rank)
+        for r in hll_registers(a.unionAll(b), "key", p=8).collect()
+    }
+    assert merged == direct
