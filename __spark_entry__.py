@@ -2117,6 +2117,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return demux_mp4_samples(media, every_ms=30)
     q["mm_mp4_demux"] = mm_mp4_demux  # oracled: pre-encoding-array golden
 
+    def mm_phash_dedup(spark, sf):
+        # perceptual image dedup (operators/imagededup.py): decode →
+        # 64-bit dHash in one narrow Arrow pass, then the EXACT banded
+        # Hamming join (8×8-bit bands ⊇ every pair within Hamming 6 by
+        # pigeonhole, bit_count(xor) verify JVM-side).  The corpus
+        # plants container-swap (PNG/BMP same pixels), brightness-shift
+        # and ±noise near-duplicate families plus unrelated images; the
+        # golden brute-forces ALL pairs from the PRE-encoding arrays,
+        # so the gate proves encode→decode→hash→join exactness — the
+        # image analog of d_simhash / d_minhash_lsh.
+        from napalm_logs_spark.operators.imagededup import (
+            hamming_near_dup,
+            phash_images,
+            synth_phash_corpus_pandas,
+        )
+
+        corpus = spark.createDataFrame(
+            synth_phash_corpus_pandas(n_base=12, seed=11),
+            schema="media_id long, payload binary",
+        )
+        return hamming_near_dup(
+            phash_images(corpus), max_hamming=6, n_bands=8
+        )
+    q["mm_phash_dedup"] = mm_phash_dedup  # oracled: brute-force pair golden
+
+    def mm_audio_gates(spark, sf):
+        # audio curation gates (multimodal.audio_quality_gates): decode
+        # PCM WAV on executors, ALL-INTEGER signal stats (Σx², sign-bit
+        # zero crossings, isqrt fixed-point RMS) + silence/clipping
+        # verdicts — the ASR-corpus analog of t_gopher_rules.  Golden
+        # replays the synth RNG from the PRE-encoding int16 arrays with
+        # an independent pure-python replication, so the gate proves
+        # encode→decode→stat fidelity with zero float tolerance.
+        from napalm_logs_spark.operators.multimodal import (
+            audio_quality_gates,
+            synth_audio_corpus_pandas,
+        )
+
+        corpus = spark.createDataFrame(
+            synth_audio_corpus_pandas(n=24, seed=13),
+            schema="media_id long, payload binary",
+        )
+        return audio_quality_gates(corpus)
+    q["mm_audio_gates"] = mm_audio_gates  # oracled: pre-encoding-array golden
+
     def mm_frame_plan(spark, sf):
         # video frame-sampling explode (the JVM-side half of the decode
         # pipeline): one row per sampled frame offset
@@ -2646,7 +2691,11 @@ _PRIORITY_50 = [
     # the exact-similarity family represented) for the new iterative
     # link-graph family's first driver row — exact fixed-point PageRank:
     "g_pagerank",
-    "s_knn_cosine", "s_ann_lsh", "s_ann_ivf",
+    # s_ann_lsh rotates out (mirror-gated; the ANN family keeps
+    # knn/ivf/join/pq rows) for the image-dedup family's first driver
+    # row — the banded-Hamming perceptual-hash join:
+    "mm_phash_dedup",
+    "s_knn_cosine", "s_ann_ivf",
     "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
     "s_ann_pq",                 # new session 3: product-quantization ADC
     # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
@@ -4616,6 +4665,18 @@ def oracle_sql() -> dict[str, str]:
     o["mm_jpeg_fidelity"] = f"""
         SELECT media_id, kind, mime, TRUE AS ok
         FROM read_parquet('{gd}/mm_jpeg_fidelity_golden.parquet')
+    """
+
+    o["mm_phash_dedup"] = f"""
+        SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+        FROM read_parquet('{gd}/phash_pairs_golden.parquet')
+    """
+
+    o["mm_audio_gates"] = f"""
+        SELECT media_id, n_samples, CAST(rate AS INTEGER) AS rate,
+               CAST(peak AS INTEGER) AS peak, sum_sq, n_zero_cross,
+               rms_x1000, is_silence, is_clipped, keep
+        FROM read_parquet('{gd}/audio_gates_golden.parquet')
     """
 
     o["s_ann_ivfpq"] = f"""

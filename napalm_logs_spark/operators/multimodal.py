@@ -642,3 +642,117 @@ def demux_mp4_samples(df: DataFrame, every_ms: int = 200) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(_batch, schema=DEMUX_SCHEMA)
+
+
+# --- audio quality gates ---------------------------------------------------
+
+AUDIO_GATE_SCHEMA = (
+    "media_id long, n_samples long, rate int, peak int, sum_sq long, "
+    "n_zero_cross long, rms_x1000 long, is_silence boolean, "
+    "is_clipped boolean, keep boolean"
+)
+
+
+def audio_quality_gates(
+    df: DataFrame,
+    *,
+    silence_rms: int = 100,
+    clip_peak: int = 32600,
+    clip_per_mille: int = 1,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio curation gates — the ASR-corpus analog of the Gopher text
+    rules (`text.gopher_rule_gates`): decode each PCM WAV on the
+    executors and emit ALL-INTEGER signal statistics plus silence /
+    clipping verdicts, so a stored golden computed from the
+    PRE-encoding sample arrays gates encode→decode→stat fidelity
+    exactly (no float tolerance anywhere).
+
+    The integer contract (mirrored by ``tools/make_goldens.py``):
+
+    * ``peak``        = max(|x|) (0 for empty);
+    * ``sum_sq``      = Σ x² — exact in int64 up to ~2^33 samples of
+      full-scale int16 (hours of audio; a 100 TB shard is many files,
+      not one);
+    * ``n_zero_cross`` = count of sign-bit changes between neighbors;
+    * ``rms_x1000``   = isqrt((sum_sq · 10⁶) // n) — floor integer
+      sqrt of a floor division, deterministic on any platform;
+    * ``is_silence``  = rms_x1000 < silence_rms · 1000;
+    * ``is_clipped``  = (#samples with |x| ≥ clip_peak) · 1000 ≥
+      n · clip_per_mille, and at least one such sample;
+    * ``keep``        = n > 0 and neither gate fired.
+
+    One narrow Arrow ``mapInPandas`` pass; the audio bytes never
+    shuffle — downstream filters move ~60 bytes per file.
+    """
+    import math
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, rate = decode_wav(bytes(payload))
+                xi = x.astype(np.int64)
+                n = int(xi.size)
+                peak = int(np.abs(xi).max()) if n else 0
+                sum_sq = int((xi * xi).sum()) if n else 0
+                zc = (
+                    int(
+                        np.count_nonzero(
+                            np.signbit(xi[1:]) != np.signbit(xi[:-1])
+                        )
+                    )
+                    if n > 1
+                    else 0
+                )
+                rms = math.isqrt((sum_sq * 1_000_000) // n) if n else 0
+                n_clip = int(np.count_nonzero(np.abs(xi) >= clip_peak))
+                silence = rms < silence_rms * 1000
+                clipped = n_clip > 0 and n_clip * 1000 >= n * clip_per_mille
+                rows.append(
+                    (
+                        int(mid), n, int(rate), peak, sum_sq, zc, rms,
+                        bool(silence), bool(clipped),
+                        bool(n > 0 and not silence and not clipped),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "rate", "peak", "sum_sq",
+                    "n_zero_cross", "rms_x1000", "is_silence",
+                    "is_clipped", "keep",
+                ],
+            )
+
+    return df.mapInPandas(_batch, schema=AUDIO_GATE_SCHEMA)
+
+
+def synth_audio_corpus_pandas(n: int = 24, seed: int = 13) -> pd.DataFrame:
+    """Deterministic WAV corpus with planted gate-trippers: clean sine
+    rows (kept), near-silent noise rows (silence gate), hard-clipped
+    sine rows (clipping gate), and white-noise rows (kept).  The golden
+    replays this RNG stream from the PRE-encoding int16 arrays."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        rate = 8000
+        t = np.arange(int(rate * (0.05 + (i % 3) * 0.025)))
+        fam = i % 4
+        if fam == 0:  # clean sine
+            x = (4000 + 500 * (i % 5)) * np.sin(
+                2 * np.pi * (120 + 7 * i) * t / rate
+            )
+        elif fam == 1:  # near-silence: tiny noise floor
+            x = rng.randint(-40, 41, size=t.size)
+        elif fam == 2:  # hard-clipped loud sine
+            x = np.clip(
+                60000 * np.sin(2 * np.pi * (90 + 11 * i) * t / rate),
+                -32768, 32767,
+            )
+        else:  # white noise, healthy level
+            x = rng.randint(-9000, 9001, size=t.size)
+        samples = x.astype(np.int16)
+        rows.append((i, bytearray(encode_wav(samples, rate))))
+    return pd.DataFrame(rows, columns=["media_id", "payload"])

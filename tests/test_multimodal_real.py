@@ -117,3 +117,74 @@ def test_real_features_png_equal_bmp(spark):
     # and the PNG rows really are PNG
     mimes = {r.media_id: r.mime for r in b.select("media_id", "mime").collect()}
     assert "image/png" in set(mimes.values())
+
+
+def test_audio_gates_verdicts(spark):
+    import numpy as np
+    import pandas as pd
+
+    from napalm_logs_spark.operators.multimodal import (
+        audio_quality_gates,
+        encode_wav,
+        synth_audio_corpus_pandas,
+    )
+
+    corpus = spark.createDataFrame(
+        synth_audio_corpus_pandas(n=12, seed=13),
+        schema="media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_quality_gates(corpus).collect()}
+    # synth families: i%4 == 0 clean sine, 1 near-silence, 2 clipped, 3 noise
+    for i, r in rows.items():
+        fam = i % 4
+        assert r.is_silence == (fam == 1), (i, r)
+        assert r.is_clipped == (fam == 2), (i, r)
+        assert r.keep == (fam in (0, 3)), (i, r)
+        assert r.peak >= 0 and r.sum_sq >= 0 and r.n_zero_cross >= 0
+
+    # edge cases: empty audio and exact-zero (DC) audio
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [100, 101],
+                "payload": [
+                    bytearray(encode_wav(np.zeros(0, dtype=np.int16))),
+                    bytearray(encode_wav(np.zeros(400, dtype=np.int16))),
+                ],
+            }
+        ),
+        schema="media_id long, payload binary",
+    )
+    e = {r.media_id: r for r in audio_quality_gates(edge).collect()}
+    assert e[100].n_samples == 0 and not e[100].keep
+    assert e[101].is_silence and e[101].rms_x1000 == 0 and not e[101].keep
+
+
+def test_audio_gates_integer_contract(spark):
+    # rms_x1000 must be the floor integer sqrt of (sum_sq*1e6)//n —
+    # cross-check one row against direct math on the decoded samples
+    import math
+
+    import numpy as np
+
+    import pandas as pd
+
+    from napalm_logs_spark.operators.multimodal import (
+        audio_quality_gates,
+        decode_wav,
+        synth_audio_corpus_pandas,
+    )
+
+    pdf = synth_audio_corpus_pandas(n=4, seed=13)
+    x, _ = decode_wav(bytes(pdf.payload[0]))
+    s = x.astype(np.int64)
+    want = math.isqrt(int((s * s).sum()) * 1_000_000 // s.size)
+    got = (
+        audio_quality_gates(
+            spark.createDataFrame(pdf, schema="media_id long, payload binary")
+        )
+        .filter("media_id = 0")
+        .collect()[0]
+    )
+    assert got.rms_x1000 == want
+    assert got.sum_sq == int((s * s).sum())

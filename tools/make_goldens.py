@@ -1191,6 +1191,108 @@ def make_spfhp(budget: int = 128) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def make_mm_phash(n_base: int = 12, seed: int = 11, max_hamming: int = 6) -> pd.DataFrame:
+    """Golden for the perceptual-hash image dedup: replays
+    ``synth_phash_corpus_pandas``'s RNG stream from the PRE-encoding
+    arrays and applies the published dHash contract with its own math
+    (vectorized unsigned packing vs the operator's shift loop), then
+    brute-force popcount over ALL pairs — the banded join must
+    reproduce this set exactly (it is exact for max_hamming < n_bands).
+    """
+    rng = np.random.RandomState(seed)
+    arrays: list = []
+    mid = 0
+    for i in range(n_base):
+        h, w = 12 + (i % 3) * 4, 16 + (i % 4) * 4
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        noise = rng.randint(-12, 13, size=px.shape)
+        bright = np.clip(px.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+        noisy = np.clip(px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        arrays += [(mid, px), (mid + 1, px), (mid + 2, bright), (mid + 3, noisy)]
+        mid += 4
+    for _ in range(n_base):
+        arrays.append(
+            (mid, rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8))
+        )
+        mid += 1
+
+    def hsh(px: np.ndarray) -> int:
+        g = (
+            px[:, :, 0].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 2].astype(np.int64) * 114
+        ) // 1000
+        hh, ww = g.shape
+        rows = [(r * hh) // 8 for r in range(8)]
+        cols = [(c * ww) // 9 for c in range(9)]
+        s = g[rows][:, cols]
+        bits = (s[:, 1:] > s[:, :-1]).astype(np.uint64).reshape(64)
+        weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+        return int((bits * weights).sum(dtype=np.uint64))
+
+    hv = [(i, hsh(px)) for i, px in arrays]
+    out = []
+    for x in range(len(hv)):
+        for y in range(x + 1, len(hv)):
+            d = bin(hv[x][1] ^ hv[y][1]).count("1")
+            if d <= max_hamming:
+                out.append((hv[x][0], hv[y][0], d))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+    )
+
+
+def make_mm_audio_gates(n: int = 24, seed: int = 13) -> pd.DataFrame:
+    """Golden for the audio quality gates: replays
+    ``synth_audio_corpus_pandas``'s RNG stream from the PRE-encoding
+    int16 arrays and applies the published all-integer contract with
+    its own code (pure-python loops vs the operator's numpy path)."""
+    import math
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(n):
+        rate = 8000
+        t = np.arange(int(rate * (0.05 + (i % 3) * 0.025)))
+        fam = i % 4
+        if fam == 0:
+            x = (4000 + 500 * (i % 5)) * np.sin(2 * np.pi * (120 + 7 * i) * t / rate)
+        elif fam == 1:
+            x = rng.randint(-40, 41, size=t.size)
+        elif fam == 2:
+            x = np.clip(
+                60000 * np.sin(2 * np.pi * (90 + 11 * i) * t / rate), -32768, 32767
+            )
+        else:
+            x = rng.randint(-9000, 9001, size=t.size)
+        s = [int(v) for v in x.astype(np.int16)]
+        n_s = len(s)
+        peak = max((abs(v) for v in s), default=0)
+        sum_sq = sum(v * v for v in s)
+        zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+        rms = math.isqrt((sum_sq * 1_000_000) // n_s) if n_s else 0
+        n_clip = sum(1 for v in s if abs(v) >= 32600)
+        silence = rms < 100 * 1000
+        clipped = n_clip > 0 and n_clip * 1000 >= n_s * 1
+        out.append(
+            (i, n_s, rate, peak, sum_sq, zc, rms, silence, clipped,
+             n_s > 0 and not silence and not clipped)
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "media_id", "n_samples", "rate", "peak", "sum_sq",
+            "n_zero_cross", "rms_x1000", "is_silence", "is_clipped", "keep",
+        ],
+    ).astype(
+        {
+            "media_id": "int64", "n_samples": "int64", "rate": "int32",
+            "peak": "int32", "sum_sq": "int64", "n_zero_cross": "int64",
+            "rms_x1000": "int64",
+        }
+    )
+
+
 def numpy_softmax_train(M, y, k, iters, lr, l2=0.0):
     """The SINGLE numpy reference for operators/classifier.py's
     published spec: full-batch softmax regression from zero weights,
@@ -1316,6 +1418,12 @@ def main() -> None:
     sp = make_spfhp()
     sp.to_parquet(os.path.join(OUT, "spfhp_golden.parquet"), index=False)
     print(f"spfhp: {len(sp)} rows across {sp['scale_key'].nunique()} sfs")
+    ph = make_mm_phash()
+    ph.to_parquet(os.path.join(OUT, "phash_pairs_golden.parquet"), index=False)
+    print(f"mm_phash: {len(ph)} pair rows")
+    au = make_mm_audio_gates()
+    au.to_parquet(os.path.join(OUT, "audio_gates_golden.parquet"), index=False)
+    print(f"mm_audio_gates: {len(au)} rows")
 
 
 if __name__ == "__main__":
