@@ -2006,6 +2006,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("rank", F.col("rank").cast("long"))
     q["s_ann_join"] = s_ann_join  # oracled: stored numpy golden (deterministic IVF)
 
+    def s_bitext_mine(spark, sf):
+        # margin-based bitext mining (Artetxe & Schwenk 2019 — the
+        # CCMatrix/LASER parallel-corpus miner): per document, its best
+        # other-language match by the ratio margin cos/avg-kNN-cos,
+        # which normalizes away hub documents.  Composition of the
+        # shared-IVF hard_negatives join (lang = the label) with an
+        # all-integer margin chain (ci = round(cos·1e6); one IEEE
+        # division of exact integers) so the stored independent
+        # replication gates it value-exactly; `mutual` = each other's
+        # best = the paper's "intersection" strategy.
+        from napalm_logs_spark.operators.similarity import bitext_margin_mine
+
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % 2).cast("int").alias("lang"),
+        )
+        return bitext_margin_mine(
+            emb, k=4, threshold=1.0, n_clusters=32, nprobe=2
+        )
+    q["s_bitext_mine"] = s_bitext_mine  # oracled: stored numpy golden
+
     # ---- multimodal plumbing ----
     def mm_features(spark, sf):
         from napalm_logs_spark.operators.multimodal import (
@@ -2674,7 +2696,11 @@ _PRIORITY_50 = [
     "c15_rate_anomaly", "cv_pref_pairs", "t_pii_scrub", "t_ccnet_quality",
     # t_tfidf rotates out (mirror-gated; simplest of the weighting
     # family) for the SPFHP packer's first driver row:
-    "t_gopher_rules", "t_dsir_weights", "t_pack_chunks", "t_pack_spfhp",
+    # t_pack_chunks rotates out (mirror-gated; packing stays represented
+    # by the stronger SPFHP row) for the parallel-corpus miner's first
+    # driver row — the CCMatrix margin-mining composition:
+    "s_bitext_mine",
+    "t_gopher_rules", "t_dsir_weights", "t_pack_spfhp",
     # t_repetition rotates out (mirror-gated; the t_ family keeps 13
     # rows) for the new conversation-analytics family's first driver
     # row — the rollup over the BASELINE input_hint transcript shape:
@@ -4926,6 +4952,16 @@ def oracle_sql() -> dict[str, str]:
     o["s_ann_join"] = f"""
         SELECT query_id, neighbor_id, cosine, rank
         FROM read_parquet('{gd}/ann_join_golden.parquet')
+        WHERE scale_key = (
+            SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
+            FROM embeddings
+        )
+    """
+
+    o["s_bitext_mine"] = f"""
+        SELECT src_id, CAST(src_lang AS INTEGER) AS src_lang, tgt_id,
+               cosine, margin, mutual
+        FROM read_parquet('{gd}/bitext_golden.parquet')
         WHERE scale_key = (
             SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)
             FROM embeddings

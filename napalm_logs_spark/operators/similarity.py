@@ -864,6 +864,105 @@ def hard_negatives(
     )
 
 
+def bitext_margin_mine(
+    df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER parallel-corpus miner): for every document, its best
+    other-language match scored by the RATIO margin
+    ``cos(x,y) / ((avg_k cos(x, NN_k(x)) + avg_k cos(y, NN_k(y))) / 2)``
+    — the margin normalizes away "hubs" (documents that are near
+    everything), which plain cosine thresholds cannot.
+
+    Composition: the cross-language kNN is exactly
+    :func:`hard_negatives` with ``lang`` as the label (same shared-IVF
+    cluster-keyed shuffle join, C ≈ √(N·nprobe) — the 100 TB join
+    shape; both mining directions come out of the ONE join because
+    every row is a query).  Per-row denominators are one map-side
+    combined groupBy over the k·N candidate rows; margins then need
+    only two hash joins of that skinny table back onto the pairs.
+
+    Determinism contract (what lets a stored independent golden gate
+    it): cosines are HALF_UP-rounded to 6 dp by the join, so
+    ``ci = round(cos·10⁶)`` is an exact integer; with ``D = Σ ci`` and
+    ``κ = |NN|`` per row, ``margin = 2·ci·κ_x·κ_y / (D_x·κ_y + D_y·κ_x)``
+    is ONE IEEE division of exact integers — bit-identical on any
+    engine/partitioning — then HALF_UP-rounded to 6 dp.  Best match per
+    query breaks margin ties on the lowest neighbor id; ``mutual``
+    marks pairs that are each other's best (the Artetxe & Schwenk
+    "intersection" strategy) and is judged BEFORE the threshold filter.
+    Rows whose neighbor earned zero candidates, or whose margin
+    denominator is ≤ 0 (only happens on pathological negative-cosine
+    neighborhoods), drop out.
+    """
+    knn = hard_negatives(
+        df, k=k, n_clusters=n_clusters, nprobe=nprobe, seed=seed,
+        sample_cap=sample_cap, id_col=id_col, emb_col=emb_col,
+        label_col=lang_col,
+    )
+    scored = knn.select(
+        "query_id", "query_label", "neighbor_id", "cosine",
+        F.round(F.col("cosine") * 1e6, 0).cast("long").alias("ci"),
+    )
+    den = scored.groupBy("query_id").agg(
+        F.sum("ci").alias("d"), F.count(F.lit(1)).alias("kk")
+    )
+    qd = den.select("query_id", F.col("d").alias("q_d"), F.col("kk").alias("q_k"))
+    nd = den.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("d").alias("n_d"),
+        F.col("kk").alias("n_k"),
+    )
+    denom = F.col("q_d") * F.col("n_k") + F.col("n_d") * F.col("q_k")
+    pairs = (
+        scored.join(qd, "query_id")
+        .join(nd, "neighbor_id")
+        .filter(denom > 0)
+        .withColumn(
+            "margin",
+            F.round((2 * F.col("ci") * F.col("q_k") * F.col("n_k")) / denom, 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("neighbor_id")
+    )
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rev = best.select(
+        F.col("query_id").alias("_ry"), F.col("neighbor_id").alias("_rx")
+    )
+    out = (
+        best.join(
+            rev,
+            (best["query_id"] == rev["_rx"])
+            & (best["neighbor_id"] == rev["_ry"]),
+            "left",
+        )
+        .withColumn("mutual", F.col("_ry").isNotNull())
+        .drop("_rx", "_ry")
+    )
+    return out.filter(F.col("margin") >= threshold).select(
+        F.col("query_id").alias("src_id"),
+        F.col("query_label").cast("int").alias("src_lang"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cosine",
+        "margin",
+        "mutual",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search") — the 100 TB embedding-search memory story:

@@ -765,3 +765,67 @@ def test_semantic_decontaminate_plan_no_shuffle_on_corpus(spark):
     plan = semantic_decontaminate(corpus, b)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- margin-based bitext mining -------------------------------------------
+
+
+def _bitext_corpus(spark):
+    # two "languages" with planted translation pairs: lang-1 vector
+    # 100+i is a tiny perturbation of lang-0 vector i (ids: even=lang0
+    # input uses explicit lang col).  A hub (id 98) sits near MANY
+    # lang-1 vectors but is nobody's unambiguous match.
+    rng = np.random.RandomState(4)
+    rows = []
+    base = rng.randn(6, 16)
+    for i in range(6):
+        rows.append((i, 0, (base[i] / np.linalg.norm(base[i])).tolist()))
+        v = base[i] + 0.01 * rng.randn(16)
+        rows.append((100 + i, 1, (v / np.linalg.norm(v)).tolist()))
+    hub = base.mean(axis=0)
+    rows.append((98, 0, (hub / np.linalg.norm(hub)).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id long, lang int, embedding array<double>"
+    )
+
+
+def test_bitext_mine_finds_planted_pairs(spark):
+    from napalm_logs_spark.operators.similarity import bitext_margin_mine
+
+    df = _bitext_corpus(spark)
+    out = bitext_margin_mine(
+        df, k=3, threshold=1.0, n_clusters=2, nprobe=2, sample_cap=64
+    )
+    got = {r.src_id: r for r in out.collect()}
+    # every planted pair is each other's best match and mutual
+    for i in range(6):
+        assert got[i].tgt_id == 100 + i, got[i]
+        assert got[100 + i].tgt_id == i
+        assert got[i].mutual and got[100 + i].mutual
+        assert got[i].margin > 1.0
+    # margin is symmetric by construction for mutual pairs
+    for i in range(6):
+        assert got[i].margin == got[100 + i].margin
+    # the hub either mines nothing or a NON-mutual, lower-margin match
+    if 98 in got:
+        assert not got[98].mutual
+        assert got[98].margin < min(got[i].margin for i in range(6))
+
+
+def test_bitext_mine_partitioning_invariance(spark):
+    from napalm_logs_spark.operators.similarity import bitext_margin_mine
+
+    df = _bitext_corpus(spark)
+    outs = []
+    for n_part in (1, 5):
+        out = bitext_margin_mine(
+            df.repartition(n_part), k=3, threshold=1.0, n_clusters=2,
+            nprobe=2, sample_cap=64,
+        )
+        outs.append(
+            sorted(
+                (r.src_id, r.tgt_id, r.cosine, r.margin, r.mutual)
+                for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) > 0

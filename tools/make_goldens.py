@@ -683,6 +683,68 @@ def make_hard_negatives(
     })
 
 
+def make_bitext(
+    k: int = 4, threshold: float = 1.0, n_clusters: int = 32,
+    nprobe: int = 2, seed: int = 42, sample_cap: int = 4096,
+) -> pd.DataFrame:
+    """Expected ``bitext_margin_mine`` output per scale: the
+    hard-negatives spec with lang = vec_id % 2, then the published
+    integer-margin contract (ci = round(cos·1e6); margin =
+    2·ci·κx·κy / (Dx·κy + Dy·κx) as one double division, HALF_UP 6 dp;
+    best per query by (rounded margin desc, neighbor id); mutual =
+    each other's best, judged before the threshold filter)."""
+    frames = []
+    for sf in SFS:
+        path = os.path.join(TESTDATA, sf, "embeddings.parquet")
+        if not os.path.isfile(path):
+            continue
+        emb = pd.read_parquet(path).sort_values("vec_id", kind="stable")
+        ids = emb["vec_id"].to_numpy()
+        labels = (ids % 2).astype("int64")
+        M = np.array([np.asarray(v, dtype="float64") for v in emb["embedding"]])
+        cent = _numpy_ivf_centroids(M, n_clusters, seed, sample_cap)
+        rows = _numpy_ivf_topk_rows(
+            M, ids, cent, nprobe, k, range(len(M)), labels=labels
+        )
+        D: dict = {}
+        K: dict = {}
+        for qid, _ql, _nid, _nl, cos, _r in rows:
+            ci = int(np.floor(cos * 1e6 + 0.5))
+            D[qid] = D.get(qid, 0) + ci
+            K[qid] = K.get(qid, 0) + 1
+        best: dict = {}
+        for qid, ql, nid, _nl, cos, _r in rows:
+            if nid not in K:
+                continue
+            ci = int(np.floor(cos * 1e6 + 0.5))
+            denom = D[qid] * K[nid] + D[nid] * K[qid]
+            if denom <= 0:
+                continue
+            margin = (2 * ci * K[qid] * K[nid]) / denom
+            margin = float(np.floor(margin * 1e6 + 0.5) / 1e6)
+            cur = best.get(qid)
+            if cur is None or (margin, -nid) > (cur[0], -cur[1]):
+                best[qid] = (margin, nid, cos, ql)
+        out_rows = []
+        for qid, (m, nid, cos, ql) in best.items():
+            mutual = nid in best and best[nid][1] == qid
+            if m >= threshold:
+                out_rows.append((qid, int(ql), nid, cos, m, mutual))
+        scale_key = int(np.floor(M[:, 0] * 1000).astype(np.int64).sum())
+        frames.append(
+            pd.DataFrame(
+                out_rows,
+                columns=["src_id", "src_lang", "tgt_id", "cosine",
+                         "margin", "mutual"],
+            ).assign(scale_key=scale_key)
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.astype({
+        "src_id": "int64", "src_lang": "int32", "tgt_id": "int64",
+        "scale_key": "int64",
+    })
+
+
 def make_ann_lsh(
     dim: int = 64, k: int = 5, n_planes: int = 4, n_tables: int = 8,
     seed: int = 42, n_queries: int = 5,
@@ -1424,6 +1486,9 @@ def main() -> None:
     au = make_mm_audio_gates()
     au.to_parquet(os.path.join(OUT, "audio_gates_golden.parquet"), index=False)
     print(f"mm_audio_gates: {len(au)} rows")
+    bx = make_bitext()
+    bx.to_parquet(os.path.join(OUT, "bitext_golden.parquet"), index=False)
+    print(f"bitext: {len(bx)} rows across {bx['scale_key'].nunique()} sfs")
 
 
 if __name__ == "__main__":
