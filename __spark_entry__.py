@@ -2459,6 +2459,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return preference_pairs(t, scores, prompt_text_col="ptext")
     q["cv_pref_pairs"] = cv_pref_pairs
 
+    def cv_best_of_n(spark, sf):
+        # rejection sampling / Best-of-N (WebGPT, Llama-2 §3.2.2): the
+        # OTHER standard RLHF write-side — per shared prompt keep the
+        # top-scoring conversation (BoN winners = an SFT distillation
+        # corpus), with n_candidates and winner-vs-runner-up score_gap
+        # as selection-quality signals.  Same prompt fingerprint and
+        # single prompt_fp exchange as cv_pref_pairs.
+        from napalm_logs_spark.operators.convstats import transcripts_from_events
+        from napalm_logs_spark.operators.sft import best_of_n
+
+        t = transcripts_from_events(_t(spark, sf, "events")).withColumn(
+            "ptext", F.split(F.col("text"), " ")[0]
+        )
+        scores = (
+            t.filter(F.col("role") == "agent")
+            .groupBy("conv_id")
+            .agg(F.sum(F.length("text")).cast("double").alias("score"))
+        )
+        return best_of_n(t, scores, prompt_text_col="ptext", min_candidates=2)
+    q["cv_best_of_n"] = cv_best_of_n
+
     def cv_truncate(spark, sf):
         from napalm_logs_spark.operators.convstats import transcripts_from_events
         from napalm_logs_spark.operators.sft import truncate_to_budget
@@ -5206,6 +5227,44 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN w ON b.prompt_fp = w.prompt_fp
         WHERE b.rn = 1 AND w.rn = 1
           AND chosen_score - rejected_score > 0
+    """
+
+    o["cv_best_of_n"] = f"""
+        WITH t AS ({_TRANS}),
+        fl AS (
+          SELECT conv_id,
+                 min(CASE WHEN role = 'agent' THEN turn_idx END) AS fl
+          FROM t GROUP BY conv_id
+        ),
+        fp AS (
+          SELECT t.conv_id,
+                 md5(string_agg(string_split(t.text, ' ')[1], chr(31)
+                                ORDER BY t.turn_idx)) AS prompt_fp
+          FROM t JOIN fl ON t.conv_id = fl.conv_id
+          WHERE fl.fl IS NOT NULL AND t.turn_idx < least(fl.fl, 1024)
+          GROUP BY t.conv_id
+        ),
+        sc AS (
+          SELECT conv_id, CAST(sum(length(text)) AS DOUBLE) AS score
+          FROM t WHERE role = 'agent' GROUP BY conv_id
+        ),
+        s AS (
+          SELECT fp.prompt_fp, fp.conv_id, sc.score
+          FROM fp JOIN sc ON fp.conv_id = sc.conv_id
+        ),
+        r AS (
+          SELECT prompt_fp, conv_id, score,
+                 row_number() OVER (PARTITION BY prompt_fp
+                                    ORDER BY score DESC, conv_id ASC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY prompt_fp) AS BIGINT)
+                     AS n_candidates,
+                 round(score - lead(score) OVER (
+                     PARTITION BY prompt_fp
+                     ORDER BY score DESC, conv_id ASC), 6) AS score_gap
+          FROM s
+        )
+        SELECT prompt_fp, conv_id, score, n_candidates, score_gap
+        FROM r WHERE rn = 1 AND n_candidates >= 2
     """
 
     o["cv_truncate"] = rf"""

@@ -92,6 +92,89 @@ def sft_spans(tdf: DataFrame) -> DataFrame:
     )
 
 
+def _prompt_fingerprints(
+    tdf: DataFrame, prompt_text_col: str, max_prompt_turns: int
+) -> DataFrame:
+    """(conv_id, prompt_fp) — md5 of the ordered pre-first-agent-turn
+    texts (the shared fingerprint stage of :func:`preference_pairs` and
+    :func:`best_of_n`); conversations with no loss-role turn drop."""
+    is_loss = F.col("role").isin(*LOSS_ROLES)
+    w_conv = Window.partitionBy("conv_id")
+    first_loss = F.min(F.when(is_loss, F.col("turn_idx"))).over(w_conv)
+    marked = tdf.select(
+        "conv_id", "turn_idx", F.col(prompt_text_col).alias("_pt"),
+        first_loss.alias("_fl"),
+    ).filter(F.col("_fl").isNotNull())
+    prompt_turns = marked.filter(F.col("turn_idx") < F.col("_fl"))
+    return prompt_turns.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                US,
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(F.struct("turn_idx", "_pt"))
+                        ),
+                        1,
+                        max_prompt_turns,
+                    ),
+                    lambda s: s["_pt"],
+                ),
+            )
+        ).alias("prompt_fp")
+    )
+
+
+def best_of_n(
+    tdf: DataFrame,
+    scores: DataFrame,
+    *,
+    prompt_text_col: str = "text",
+    max_prompt_turns: int = 1024,
+    min_candidates: int = 1,
+) -> DataFrame:
+    """Rejection sampling / Best-of-N selection (WebGPT, Llama-2
+    §3.2.2): per shared prompt, keep the single highest-scoring
+    conversation among its N candidates — the other standard RLHF
+    write-side next to :func:`preference_pairs` (DPO pairs train a
+    policy; BoN winners make an SFT distillation corpus).
+
+    Same prompt fingerprint as the pair builder (md5 of the ordered
+    pre-first-agent-turn texts over ``prompt_text_col``); within a
+    group the winner is max score, tie-break min ``conv_id``.
+    ``n_candidates`` (group size) and ``score_gap`` (winner minus
+    runner-up, NULL for singleton groups) ride along as the selection-
+    quality signals; ``min_candidates`` drops prompts with too few
+    alternatives (2 = require a real contest).
+
+    Scale: identical to the pair builder — one ``prompt_fp`` exchange;
+    the rank, the group count, and the runner-up ``lead`` all share
+    that window partitioning, so a million-candidate hot prompt costs
+    one reducer sort and emits one row.
+    """
+    scored = _prompt_fingerprints(tdf, prompt_text_col, max_prompt_turns).join(
+        scores.select("conv_id", "score"), "conv_id"
+    )
+    w = Window.partitionBy("prompt_fp").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc()
+    )
+    wc = Window.partitionBy("prompt_fp")
+    return (
+        scored.select(
+            "prompt_fp",
+            "conv_id",
+            "score",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("n_candidates"),
+            F.round(F.col("score") - F.lead("score").over(w), 6).alias(
+                "score_gap"
+            ),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("n_candidates") >= min_candidates))
+        .drop("_rn")
+    )
+
+
 def preference_pairs(
     tdf: DataFrame,
     scores: DataFrame,
@@ -129,32 +212,9 @@ def preference_pairs(
     (`/root/reference/napalm_logs/device.py:336-351`); the
     preference pair is the transcript-payload training envelope.
     """
-    is_loss = F.col("role").isin(*LOSS_ROLES)
-    w_conv = Window.partitionBy("conv_id")
-    first_loss = F.min(F.when(is_loss, F.col("turn_idx"))).over(w_conv)
-    marked = tdf.select(
-        "conv_id", "turn_idx", F.col(prompt_text_col).alias("_pt"),
-        first_loss.alias("_fl"),
-    ).filter(F.col("_fl").isNotNull())
-    prompt_turns = marked.filter(F.col("turn_idx") < F.col("_fl"))
-    fp = prompt_turns.groupBy("conv_id").agg(
-        F.md5(
-            F.concat_ws(
-                US,
-                F.transform(
-                    F.slice(
-                        F.sort_array(
-                            F.collect_list(F.struct("turn_idx", "_pt"))
-                        ),
-                        1,
-                        max_prompt_turns,
-                    ),
-                    lambda s: s["_pt"],
-                ),
-            )
-        ).alias("prompt_fp")
+    scored = _prompt_fingerprints(tdf, prompt_text_col, max_prompt_turns).join(
+        scores.select("conv_id", "score"), "conv_id"
     )
-    scored = fp.join(scores.select("conv_id", "score"), "conv_id")
     # both rank-1 selections ride ONE prompt_fp exchange: two window
     # passes back-to-back on the same partitioning (sort-only between
     # them), then a conditional aggregate stitches chosen + rejected

@@ -282,3 +282,58 @@ def test_render_composes_with_foreachbatch(spark, tmp_path, pref_tdf):
     q.awaitTermination()
     got = {r["conv_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_best_of_n_selection_and_gap(spark):
+    from napalm_logs_spark.operators.sft import best_of_n
+
+    def _ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    # two prompt groups: "hi" (3 candidates) and "yo" (1 candidate)
+    rows = []
+    for cid, prompt, resp in [
+        (1, "hi", "aaa"), (2, "hi", "bbbbb"), (3, "hi", "cc"),
+        (4, "yo", "dddd"),
+    ]:
+        rows += [(f"c{cid}", 0, "user", prompt, None, _ts(0)),
+                 (f"c{cid}", 1, "agent", resp, None, _ts(1))]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    scores = spark.createDataFrame(
+        [(f"c{c}", float(s)) for c, s in [(1, 3), (2, 5), (3, 2), (4, 4)]],
+        "conv_id string, score double",
+    )
+    out = {r.conv_id: r for r in best_of_n(tdf, scores).collect()}
+    # group "hi": winner c2 (score 5), runner-up 3 -> gap 2; group "yo":
+    # singleton winner with NULL gap
+    assert set(out) == {"c2", "c4"}
+    assert out["c2"].n_candidates == 3 and out["c2"].score_gap == 2.0
+    assert out["c4"].n_candidates == 1 and out["c4"].score_gap is None
+    # min_candidates=2 drops the singleton prompt
+    out2 = {r.conv_id for r in best_of_n(tdf, scores, min_candidates=2).collect()}
+    assert out2 == {"c2"}
+
+
+def test_best_of_n_tie_breaks_to_lowest_conv_id(spark):
+    from napalm_logs_spark.operators.sft import best_of_n
+
+    def _ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    rows = []
+    for cid in ("b", "a", "c"):
+        rows += [(cid, 0, "user", "same", None, _ts(0)),
+                 (cid, 1, "agent", "r", None, _ts(1))]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    scores = spark.createDataFrame(
+        [(c, 7.0) for c in ("a", "b", "c")], "conv_id string, score double"
+    )
+    got = best_of_n(tdf, scores).collect()
+    assert len(got) == 1 and got[0].conv_id == "a"
+    assert got[0].score_gap == 0.0  # tie: winner minus runner-up
