@@ -69,6 +69,10 @@ HEADLINE = [
     # + loss-mask spans is the write-side of the SFT pipeline (one
     # conv_id exchange end-to-end)
     "cv_sft_render",
+    # session 10: the CCMatrix margin miner (shared-IVF join + margin
+    # chain) and the exact banded Hamming image-dedup join
+    "s_bitext_mine",
+    "mm_phash_dedup",
 ]
 
 
