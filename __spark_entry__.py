@@ -2671,6 +2671,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["g_pagerank"] = g_pagerank
 
+    def g_triangles(spark, sf):
+        # exact triangle counts + local clustering coefficient
+        # (operators/graph.py triangle_counts): degree-oriented wedge
+        # join (Suri & Vassilvitskii 2011) over the synthetic link
+        # graph plus a planted triangle strip on every 5th doc (the
+        # bare synth graph is triangle-free; the strip makes the gate
+        # non-trivial and the union exercises dedup of reversed /
+        # duplicate edges).  All-integer counts + one IEEE division
+        # for lcc = exact value-match oracle.
+        from napalm_logs_spark.operators.graph import (
+            synth_link_graph,
+            triangle_counts,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        n = docs.count()
+        i = F.col("doc_id").cast("long")
+        planted = (
+            docs.filter(i % 5 == 0)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(i.alias("src"), ((i + 1) % n).alias("dst")),
+                        F.struct(
+                            ((i + 1) % n).alias("src"),
+                            ((i + 2) % n).alias("dst"),
+                        ),
+                        F.struct(i.alias("src"), ((i + 2) % n).alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
+        return triangle_counts(synth_link_graph(docs, n).unionAll(planted))
+    q["g_triangles"] = g_triangles
+
     return _priority_order(q)
 
 
@@ -5610,6 +5646,68 @@ def oracle_sql() -> dict[str, str]:
                FROM nodes CROSS JOIN consts cs),
         {",".join(_pr)}
         SELECT node, rank FROM {_prev}
+    """
+
+    o["g_triangles"] = """
+        WITH consts AS (SELECT count(*) AS n FROM documents),
+        base_edges AS (
+          SELECT src, dst FROM (
+            SELECT doc_id AS src,
+                   UNNEST([(17 * doc_id + 1) % cs.n,
+                           (29 * doc_id + 3) % cs.n,
+                           CASE WHEN doc_id % 3 = 0
+                                THEN (13 * doc_id + 7) % cs.n END]) AS dst
+            FROM documents CROSS JOIN consts cs
+          ) WHERE dst IS NOT NULL AND src % 7 <> 0
+        ),
+        planted AS (
+          SELECT doc_id AS src, (doc_id + 1) % cs.n AS dst
+          FROM documents CROSS JOIN consts cs WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT (doc_id + 1) % cs.n, (doc_id + 2) % cs.n
+          FROM documents CROSS JOIN consts cs WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, (doc_id + 2) % cs.n
+          FROM documents CROSS JOIN consts cs WHERE doc_id % 5 = 0
+        ),
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM (SELECT * FROM base_edges UNION ALL SELECT * FROM planted)
+          WHERE src <> dst
+        ),
+        deg AS MATERIALIZED (
+          SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+          ) GROUP BY node
+        ),
+        oriented AS MATERIALIZED (
+          SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN u ELSE v END AS a,
+                 CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN v ELSE u END AS b,
+                 CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                      THEN dv.deg ELSE du.deg END AS db
+          FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+        ),
+        tris AS (
+          SELECT o1.a AS a, o1.b AS b, o2.b AS c
+          FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+           AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))
+          JOIN oriented o3 ON o3.a = o1.b AND o3.b = o2.b
+        ),
+        per_node AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+          ) GROUP BY node
+        )
+        SELECT d.node AS node, d.deg AS deg,
+               coalesce(p.triangles, 0) AS triangles,
+               CASE WHEN d.deg >= 2 THEN
+                 CAST(coalesce(p.triangles, 0) * 2 AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
+        FROM deg d LEFT JOIN per_node p USING (node)
     """
 
     return _priority_order(o)

@@ -146,3 +146,95 @@ def synth_link_graph(docs: DataFrame, n: int) -> DataFrame:
         e.select("src", F.explode("dsts").alias("dst"))
         .filter(F.col("dst").isNotNull() & (F.col("src") % 7 != 0))
     )
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient.
+
+    Triangle counting is the standard structure probe on crawl link
+    graphs (community density for quality weighting, spam-farm
+    detection — dense bipartite cores have pathological clustering).
+    The reference has no graph analytics; this extends the engine's
+    link-graph family (pagerank) with the second classic.
+
+    Algorithm — *degree orientation* (Chiba–Nishizeki / the MapReduce
+    formulation of Suri & Vassilvitskii 2011):
+
+    1. Canonicalize to undirected simple edges ``(u < v)``, distinct.
+    2. Orient every edge from the endpoint with the smaller
+       ``(degree, node)`` rank to the larger.  Each node's *oriented*
+       out-degree is then ≤ O(√(2m)) amortized — a hub of degree 10⁷
+       emits almost nothing; its low-degree neighbours own the edges.
+    3. Wedges: self-join oriented edges on the source — fan-out per
+       node is oriented-outdeg², bounded by (2).  This is THE reason
+       the naive neighbour-join (fan-out deg², 10¹⁴ for one hub) is
+       replaced; orientation is the 100 TB dial, no freq_cap needed.
+    4. Close each wedge ``a→b, a→c (rank b < rank c)`` against the
+       oriented edge ``b→c`` — every triangle is found exactly once,
+       at its lowest-rank vertex.
+
+    All counts are integers (bit-identical under any partitioning);
+    the local clustering coefficient ``2·T_v / (deg_v·(deg_v−1))`` is
+    ONE IEEE division of exact integers — deterministic across
+    engines, so the SQL oracle value-matches with no tolerance.
+
+    Returns ``(node, deg, triangles, lcc)`` for every node of the
+    canonical graph (``lcc`` NULL when ``deg < 2``).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    # orient low (deg, node) -> high; carry the destination's rank so
+    # the wedge join needs no extra degree lookup
+    ranked = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist()
+    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
+    o2 = oriented.select(
+        F.col("a").alias("a2"), F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = o1.join(o2, F.col("a") == F.col("a2")).filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                (F.coalesce("triangles", F.lit(0)) * F.lit(2)).cast("double")
+                / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+            ).alias("lcc"),
+        )
+    )

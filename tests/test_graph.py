@@ -2,6 +2,8 @@
 independent pure-python replication of the integer recurrence,
 dangling-mass redistribution, partitioning invariance, mass bounds."""
 
+from pyspark.sql import functions as F
+
 from napalm_logs_spark.operators.graph import SCALE, pagerank, synth_link_graph
 
 
@@ -81,3 +83,79 @@ def test_default_nodes_from_edges(spark):
     assert sorted(r["node"] for r in got) == [7, 9]
     # symmetric 2-cycle: equal ranks
     assert len({r["rank"] for r in got}) == 1
+
+
+# ---- triangle_counts ------------------------------------------------
+
+from napalm_logs_spark.operators.graph import triangle_counts
+
+
+def _py_triangles(edges):
+    """Independent replication: brute-force triangle enumeration."""
+    es = set()
+    for s, d in edges:
+        if s != d:
+            es.add((min(s, d), max(s, d)))
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = set()
+    for u, v in es:
+        for w in adj[u] & adj[v]:
+            tris.add(tuple(sorted((u, v, w))))
+    out = {v: [len(adj[v]), 0] for v in adj}
+    for t in tris:
+        for v in t:
+            out[v][1] += 1
+    return out
+
+
+def test_triangles_parity_with_bruteforce(spark):
+    # two overlapping triangles + a pendant + an isolated edge
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3), (3, 4), (8, 9),
+             (1, 0)]  # duplicate/reversed edge must not double-count
+    got = {
+        r["node"]: (r["deg"], r["triangles"], r["lcc"])
+        for r in triangle_counts(_edges_df(spark, edges)).collect()
+    }
+    exp = _py_triangles(edges)
+    assert set(got) == set(exp)
+    for v, (d, t) in exp.items():
+        assert got[v][0] == d and got[v][1] == t, (v, got[v], (d, t))
+        if d >= 2:
+            assert got[v][2] == 2.0 * t / (d * (d - 1))
+        else:
+            assert got[v][2] is None
+
+
+def test_triangles_self_loop_ignored(spark):
+    got = triangle_counts(_edges_df(spark, [(5, 5), (0, 1), (1, 2), (2, 0)]))
+    rows = {r["node"]: r["triangles"] for r in got.collect()}
+    assert rows == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_partitioning_invariance(spark):
+    docs = spark.range(90).withColumnRenamed("id", "doc_id")
+    base = synth_link_graph(docs, 90)
+    i = F.col("doc_id").cast("long")
+    planted = (
+        docs.filter(i % 5 == 0)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(i.alias("src"), ((i + 1) % 90).alias("dst")),
+                    F.struct(((i + 1) % 90).alias("src"), ((i + 2) % 90).alias("dst")),
+                    F.struct(i.alias("src"), ((i + 2) % 90).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    e = base.unionAll(planted)
+    r1 = triangle_counts(e.repartition(1))
+    r7 = triangle_counts(e.repartition(7))
+    a = sorted(map(tuple, r1.collect()))
+    b = sorted(map(tuple, r7.collect()))
+    assert a == b
+    assert sum(r[2] for r in a) >= 18 * 3  # planted strip found
