@@ -2707,6 +2707,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_counts(synth_link_graph(docs, n).unionAll(planted))
     q["g_triangles"] = g_triangles
 
+    def t_bm25(spark, sf):
+        # BM25 lexical retrieval (operators/text.py bm25_topk): the
+        # lexical baseline next to the dense ANN family — queries are
+        # the first 4 tokens of every 97th document (deterministic,
+        # replayed verbatim in the oracle), scored against the whole
+        # corpus with Lucene-form idf and floor-fixed-point per-term
+        # quantization so the score sum is an exact integer.
+        from napalm_logs_spark.operators.text import bm25_topk
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        qs = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 4), " "
+            ).alias("qtext"),
+        )
+        return bm25_topk(docs, qs, k=10)
+    q["t_bm25"] = t_bm25
+
     return _priority_order(q)
 
 
@@ -5708,6 +5727,50 @@ def oracle_sql() -> dict[str, str]:
                  CAST(coalesce(p.triangles, 0) * 2 AS DOUBLE)
                  / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
         FROM deg d LEFT JOIN per_node p USING (node)
+    """
+
+    o["t_bm25"] = r"""
+        WITH terms AS MATERIALIZED (
+          SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+          ) WHERE length(term) > 0
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM terms GROUP BY doc_id, term),
+        dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl
+                            FROM terms GROUP BY doc_id),
+        stats AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                           AS avgdl,
+                         CAST(count(*) AS DOUBLE) AS n
+                  FROM dl),
+        docfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM terms GROUP BY term),
+        qterms AS (
+          SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')[1:4])
+                     AS term
+            FROM documents WHERE doc_id % 97 = 0
+          ) WHERE length(term) > 0
+        ),
+        scored AS (
+          SELECT q.query_id, tf.doc_id, count(*) AS n_hit,
+                 sum(CAST(floor(
+                   ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((tf.tf * 2.2) /
+                      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+                   * 1000000.0) AS BIGINT)) AS score_fp
+          FROM tf JOIN qterms q USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN docfreq d USING (term) CROSS JOIN stats st
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT query_id, doc_id, n_hit, score_fp,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_fp DESC, doc_id) AS rnk
+        FROM scored QUALIFY rnk <= 10
     """
 
     return _priority_order(o)

@@ -1572,3 +1572,104 @@ def gate_agreement(
         F.round(kappa, 6).alias("kappa"),
         F.round(jac, 6).alias("jaccard_keep"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    query_col: str = "qtext",
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query.
+
+    The lexical baseline every RAG / retrieval-training pipeline runs
+    next to the dense ANN family (s_knn/s_ann_*): BM25 (Robertson &
+    Zaragoza 2009) with the Lucene idf form ``ln(1 + (N−df+0.5)/(df+0.5))``
+    (always positive) and ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    saturation.  Query term frequency is ignored (distinct query
+    terms), the standard short-query setting.
+
+    Determinism: every per-(query,doc,term) contribution is floored to
+    fixed point (``floor(idf·tfn·fp_scale)``) BEFORE the sum, so the
+    per-pair score is an exact integer sum — bit-identical under any
+    partitioning and value-matched by the SQL oracle (the one
+    float chain per term is the same op sequence on both engines).
+    ``avgdl`` is ``Σdl / N_withterms`` as one explicit division, not
+    ``avg()`` (whose accumulation order is engine-internal).
+
+    Scale shape (the 100 TB corpus / small query-set setting):
+
+    * postings = one token-sized explode + one (doc,term) hash agg —
+      the classic inverted-index build, map-side combined;
+    * df/avgdl/N are term- and single-row aggregates broadcast back;
+    * the retrieval join broadcasts the *query* terms (queries ≪
+      corpus always holds in retrieval); only postings whose term
+      appears in some query survive the join — the scan is pruned by
+      the broadcast hash, nothing corpus-sized shuffles;
+    * per-query top-k is a window over candidate rows only.
+
+    Returns ``(query_id, doc_id, n_hit, score_fp, rnk)`` — ``score_fp``
+    the fixed-point integer score, ``n_hit`` matched query terms.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT)
+    terms = docs.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    docfreq = (
+        terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avgdl"
+        ),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    qtoks = F.split(F.trim(F.lower(F.col(query_col))), TOKEN_SPLIT)
+    qterms = (
+        queries.select("query_id", F.explode(qtoks).alias("term"))
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    # df is vocabulary-sized — prune it to the query vocabulary BEFORE
+    # broadcasting (query vocab is small by the retrieval premise; the
+    # full df table at web scale is billions of terms and must never
+    # broadcast)
+    docfreq_q = docfreq.join(F.broadcast(qterms.select("term").distinct()), "term")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(docfreq_q.join(F.broadcast(stats))), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.floor(idf * tfn * F.lit(float(fp_scale)))).alias(
+                "score_fp"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "n_hit", "score_fp", "rnk")
+    )

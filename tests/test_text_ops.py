@@ -890,3 +890,94 @@ def test_gate_agreement_disjoint_keeps(spark):
     r = gate_agreement(df, "a", "b").collect()[0]
     assert r.p_observed == 0.0 and r.jaccard_keep == 0.0
     assert r.kappa == -1.0
+
+
+# ---- bm25_topk ------------------------------------------------------
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75, fp=10**6):
+    """Independent replication: dict-based BM25 with the same
+    floor-fixed-point per-term quantization."""
+    import math
+
+    toks = lambda t: [w for w in t.strip().lower().split() if w]
+    dtoks = {d: toks(t) for d, t in docs}
+    dl = {d: len(ts) for d, ts in dtoks.items() if ts}
+    n = len(dl)
+    avgdl = sum(dl.values()) / float(n)
+    df = {}
+    for d, ts in dtoks.items():
+        for w in set(ts):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        scores = {}
+        for w in set(toks(qt)):
+            if w not in df:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            for d, ts in dtoks.items():
+                tf = ts.count(w)
+                if not tf:
+                    continue
+                tfn = (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * dl[d] / avgdl)
+                )
+                hit, s = scores.get((qid, d), (0, 0))
+                scores[(qid, d)] = (hit + 1, s + math.floor(idf * tfn * fp))
+        out.update(scores)
+    return out
+
+
+def test_bm25_parity_with_replication(spark):
+    from napalm_logs_spark.operators.text import bm25_topk
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick red fox"),
+        (2, "lazy dog sleeps all day the dog"),
+        (3, "entirely unrelated words here"),
+        (4, ""),  # empty doc: no postings, excluded from avgdl
+    ]
+    queries = [(100, "quick fox"), (101, "lazy dog"), (102, "zzz missing")]
+    got = {
+        (r.query_id, r.doc_id): (r.n_hit, r.score_fp)
+        for r in bm25_topk(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(queries, "query_id long, qtext string"),
+            k=10,
+        ).collect()
+    }
+    assert got == _py_bm25(docs, queries)
+
+
+def test_bm25_topk_rank_and_cap(spark):
+    from napalm_logs_spark.operators.text import bm25_topk
+
+    docs = [(i, "common term" + (" rare" if i == 7 else "")) for i in range(20)]
+    queries = [(1, "rare common")]
+    rows = bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(queries, "query_id long, qtext string"),
+        k=5,
+    ).collect()
+    assert len(rows) == 5
+    by_rnk = sorted(rows, key=lambda r: r.rnk)
+    assert by_rnk[0].doc_id == 7 and by_rnk[0].n_hit == 2  # rare term wins
+    # ties below rank 1 broken by doc_id ascending
+    assert [r.doc_id for r in by_rnk[1:]] == [0, 1, 2, 3]
+
+
+def test_bm25_partitioning_invariance(spark):
+    from napalm_logs_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} filler") for i in range(60)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "tok1 tok2"), (1, "tok4 filler")], "query_id long, qtext string"
+    )
+    a = sorted(map(tuple, bm25_topk(docs.repartition(1), qs, k=8).collect()))
+    c = sorted(map(tuple, bm25_topk(docs.repartition(13), qs, k=8).collect()))
+    assert a == c
