@@ -2726,6 +2726,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bm25_topk(docs, qs, k=10)
     q["t_bm25"] = t_bm25
 
+    def t_bleu_stats(spark, sf):
+        # BLEU sufficient statistics (operators/text.py
+        # ngram_overlap_stats): each document scored against its
+        # successor (doc (i+1) % n — deterministic pairing, replayed
+        # as a self-join in the oracle); clipped n-gram matches and
+        # totals for n=1..4 are exact integers, the distributed form
+        # of corpus BLEU (Papineni et al. 2002).
+        from napalm_logs_spark.operators.text import ngram_overlap_stats
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        n = docs.count()
+        pairs = (
+            docs.alias("a")
+            .join(
+                docs.select(
+                    F.col("doc_id").alias("_rid"), F.col("text").alias("ref")
+                ).alias("b"),
+                (F.col("a.doc_id") + 1) % n == F.col("_rid"),
+            )
+            .select(F.col("a.doc_id"), F.col("a.text").alias("cand"), "ref")
+        )
+        return ngram_overlap_stats(pairs)
+    q["t_bleu_stats"] = t_bleu_stats
+
     return _priority_order(q)
 
 
@@ -5771,6 +5795,52 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY score_fp DESC, doc_id) AS rnk
         FROM scored QUALIFY rnk <= 10
+    """
+
+    _bleu_ctes, _bleu_cols = [], []
+    for _n in range(1, 5):
+        for _side, _src in (("c", "ctoks"), ("r", "rtoks")):
+            _bleu_ctes.append(f"""
+        {_side}g{_n} AS (
+          SELECT doc_id, array_to_string(t[i:i+{_n - 1}], chr(31)) AS g,
+                 count(*) AS c
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - {_n} + 2)) AS i
+                FROM {_src} WHERE len(t) >= {_n})
+          GROUP BY doc_id, g)""")
+        _bleu_ctes.append(f"""
+        mm{_n} AS (
+          SELECT c.doc_id, sum(least(c.c, r.c)) AS m
+          FROM cg{_n} c JOIN rg{_n} r ON c.doc_id = r.doc_id AND c.g = r.g
+          GROUP BY c.doc_id)""")
+        _bleu_cols.append(
+            f"coalesce(mm{_n}.m, 0) AS m{_n}, "
+            f"greatest(len(ct.t) - {_n - 1}, 0) AS t{_n}"
+        )
+    _bleu_joins = "".join(
+        f" LEFT JOIN mm{_n} ON mm{_n}.doc_id = ct.doc_id" for _n in range(1, 5)
+    )
+    o["t_bleu_stats"] = rf"""
+        WITH consts AS (SELECT count(*) AS n FROM documents),
+        pairs AS MATERIALIZED (
+          SELECT a.doc_id AS doc_id, a.text AS cand, b.text AS ref
+          FROM documents a CROSS JOIN consts cs
+          JOIN documents b ON b.doc_id = (a.doc_id + 1) % cs.n
+        ),
+        ctoks AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(cand)), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM pairs),
+        rtoks AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(ref)), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM pairs),
+        {",".join(_bleu_ctes)}
+        SELECT ct.doc_id AS doc_id,
+               len(ct.t) AS cand_len, len(rt.t) AS ref_len,
+               {", ".join(_bleu_cols)}
+        FROM ctoks ct JOIN rtoks rt ON rt.doc_id = ct.doc_id{_bleu_joins}
     """
 
     return _priority_order(o)

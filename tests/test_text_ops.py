@@ -981,3 +981,50 @@ def test_bm25_partitioning_invariance(spark):
     a = sorted(map(tuple, bm25_topk(docs.repartition(1), qs, k=8).collect()))
     c = sorted(map(tuple, bm25_topk(docs.repartition(13), qs, k=8).collect()))
     assert a == c
+
+
+# ---- ngram_overlap_stats (BLEU sufficient statistics) ---------------
+
+
+def _py_bleu_stats(cand, ref, n_max=4):
+    ct = [w for w in cand.strip().lower().split() if w]
+    rt = [w for w in ref.strip().lower().split() if w]
+    out = [len(ct), len(rt)]
+    for n in range(1, n_max + 1):
+        cg = [tuple(ct[i:i + n]) for i in range(len(ct) - n + 1)]
+        rg = [tuple(rt[i:i + n]) for i in range(len(rt) - n + 1)]
+        m = sum(min(cg.count(g), rg.count(g)) for g in set(cg))
+        out += [m, len(cg)]
+    return tuple(out)
+
+
+def test_bleu_stats_parity(spark):
+    from napalm_logs_spark.operators.text import ngram_overlap_stats
+
+    pairs = [
+        (0, "the cat sat on the mat", "the cat sat on the mat"),
+        (1, "the the the the", "the cat"),        # clipping matters
+        (2, "a b c d e", "e d c b a"),            # unigrams match, bigrams don't
+        (3, "", "anything here"),                 # empty candidate
+        (4, "short", ""),                         # empty reference
+        (5, "x y", "x y z"),                      # cand shorter than ref
+    ]
+    df = spark.createDataFrame(pairs, "doc_id long, cand string, ref string")
+    got = {
+        r.doc_id: (r.cand_len, r.ref_len, r.m1, r.t1, r.m2, r.t2,
+                   r.m3, r.t3, r.m4, r.t4)
+        for r in ngram_overlap_stats(df).collect()
+    }
+    for i, c, r in pairs:
+        assert got[i] == _py_bleu_stats(c, r), (i, got[i], _py_bleu_stats(c, r))
+
+
+def test_bleu_stats_perfect_match_gives_unit_precision(spark):
+    from napalm_logs_spark.operators.text import ngram_overlap_stats
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "alpha beta gamma delta")],
+        "doc_id long, cand string, ref string",
+    )
+    r = ngram_overlap_stats(df).collect()[0]
+    assert (r.m1, r.t1, r.m4, r.t4) == (4, 4, 1, 1)
