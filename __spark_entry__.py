@@ -2750,6 +2750,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_overlap_stats(pairs)
     q["t_bleu_stats"] = t_bleu_stats
 
+    def t_chi2_drift(spark, sf):
+        # chi-square drift monitor (operators/text.py chi2_drift):
+        # language distribution compared between two deterministic
+        # corpus snapshots (doc_id parity — the replayable analog of
+        # consecutive crawl refreshes).  Exact-integer marginals + a
+        # fixed IEEE chain for e/contrib = value-match oracle.
+        from napalm_logs_spark.operators.text import chi2_drift
+
+        docs = _t(spark, sf, "documents").select(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("snap"),
+        )
+        return chi2_drift(docs, "lang", "snap")
+    q["t_chi2_drift"] = t_chi2_drift
+
     return _priority_order(q)
 
 
@@ -5841,6 +5858,27 @@ def oracle_sql() -> dict[str, str]:
                len(ct.t) AS cand_len, len(rt.t) AS ref_len,
                {", ".join(_bleu_cols)}
         FROM ctoks ct JOIN rtoks rt ON rt.doc_id = ct.doc_id{_bleu_joins}
+    """
+
+    o["t_chi2_drift"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT lang AS bucket,
+                 CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS split,
+                 count(*) AS o
+          FROM documents GROUP BY 1, 2
+        ),
+        row_tot AS (SELECT bucket, sum(o) AS rt FROM cells GROUP BY bucket),
+        col_tot AS (SELECT split, sum(o) AS ct FROM cells GROUP BY split),
+        grand AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells)
+        SELECT c.bucket AS bucket, c.split AS split, c.o AS o,
+               CAST(r.rt * t.ct AS DOUBLE) / g.n AS e,
+               (c.o - CAST(r.rt * t.ct AS DOUBLE) / g.n)
+                 * (c.o - CAST(r.rt * t.ct AS DOUBLE) / g.n)
+                 / (CAST(r.rt * t.ct AS DOUBLE) / g.n) AS contrib
+        FROM cells c
+        JOIN row_tot r USING (bucket)
+        JOIN col_tot t USING (split)
+        CROSS JOIN grand g
     """
 
     return _priority_order(o)

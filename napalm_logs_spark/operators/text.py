@@ -1754,3 +1754,52 @@ def ngram_overlap_stats(
     for n in range(1, n_max + 1):
         stats += [F.col(f"m{n}"), F.col(f"t{n}")]
     return out.select(*keep, *stats)
+
+
+def chi2_drift(
+    df: DataFrame, bucket_col: str, split_col: str
+) -> DataFrame:
+    """Chi-square homogeneity table between corpus snapshots.
+
+    The drift monitor a continuously-ingested training corpus runs
+    between refreshes: does the distribution over a categorical
+    ``bucket_col`` (language, source domain, tool, error code) differ
+    between snapshots (``split_col``)?  Emits the full contingency
+    table with expected counts and per-cell chi-square contributions —
+    Σ contrib is the test statistic; the largest cells name *where*
+    the drift is (the per-bucket attribution PSI users actually read).
+
+    Exactness: observed/row/column/grand totals are integer
+    aggregates; ``e = (row_tot · col_tot) / N`` and
+    ``contrib = (o − e)² / e`` are a fixed short IEEE chain on exact
+    integers — deterministic across engines, value-matched oracle.
+
+    Scale: one map-side-combined groupBy over the corpus produces the
+    cell table (≤ buckets × splits rows); everything downstream is
+    cell-table-sized with the two marginal tables broadcast back.
+    """
+    cells = (
+        df.groupBy(
+            F.col(bucket_col).alias("bucket"), F.col(split_col).alias("split")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    row_tot = cells.groupBy("bucket").agg(F.sum("o").alias("_rt"))
+    col_tot = cells.groupBy("split").agg(F.sum("o").alias("_ct"))
+    grand = cells.agg(F.sum("o").cast("double").alias("_n"))
+    e = (F.col("_rt") * F.col("_ct")).cast("double") / F.col("_n")
+    return (
+        cells.join(F.broadcast(row_tot), "bucket")
+        .join(F.broadcast(col_tot), "split")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "bucket",
+            "split",
+            "o",
+            e.alias("e"),
+            (
+                (F.col("o") - e) * (F.col("o") - e) / e
+            ).alias("contrib"),
+        )
+    )

@@ -1028,3 +1028,41 @@ def test_bleu_stats_perfect_match_gives_unit_precision(spark):
     )
     r = ngram_overlap_stats(df).collect()[0]
     assert (r.m1, r.t1, r.m4, r.t4) == (4, 4, 1, 1)
+
+
+# ---- chi2_drift ------------------------------------------------------
+
+
+def test_chi2_drift_matches_scipy_free_reference(spark):
+    from napalm_logs_spark.operators.text import chi2_drift
+
+    # 2x2 with known chi2: [[10, 20], [30, 40]]
+    rows = (
+        [("en", "a")] * 10 + [("en", "b")] * 20
+        + [("fr", "a")] * 30 + [("fr", "b")] * 40
+    )
+    df = spark.createDataFrame(rows, "lang string, snap string")
+    got = {(r.bucket, r.split): r for r in chi2_drift(df, "lang", "snap").collect()}
+    n = 100.0
+    exp = {
+        ("en", "a"): 30 * 40 / n, ("en", "b"): 30 * 60 / n,
+        ("fr", "a"): 70 * 40 / n, ("fr", "b"): 70 * 60 / n,
+    }
+    obs = {("en", "a"): 10, ("en", "b"): 20, ("fr", "a"): 30, ("fr", "b"): 40}
+    assert set(got) == set(exp)
+    tot = 0.0
+    for k in exp:
+        assert got[k].o == obs[k] and got[k].e == exp[k]
+        c = (obs[k] - exp[k]) ** 2 / exp[k]
+        assert abs(got[k].contrib - c) < 1e-12
+        tot += got[k].contrib
+    # hand-computed chi2 for this table
+    assert abs(tot - (100 * (10 * 40 - 20 * 30) ** 2) / (30 * 70 * 40 * 60)) < 1e-9
+
+
+def test_chi2_drift_no_drift_zero_statistic(spark):
+    from napalm_logs_spark.operators.text import chi2_drift
+
+    rows = [("x", "a")] * 5 + [("x", "b")] * 5 + [("y", "a")] * 3 + [("y", "b")] * 3
+    df = spark.createDataFrame(rows, "b string, s string")
+    assert all(r.contrib == 0.0 for r in chi2_drift(df, "b", "s").collect())
