@@ -2767,6 +2767,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chi2_drift(docs, "lang", "snap")
     q["t_chi2_drift"] = t_chi2_drift
 
+    def t_doremi(spark, sf):
+        # DoReMi-style domain reweighting (operators/text.py
+        # doremi_weights): exact multiplicative-weights iteration over
+        # per-domain mean losses — losses synthesized deterministically
+        # per doc (replayed verbatim in the oracle), 8 steps unrolled
+        # as CTEs on the oracle side, 128-bit normalization.
+        from napalm_logs_spark.operators.text import doremi_weights
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("source").alias("domain"),
+            (
+                (F.col("doc_id") * 7919 + F.col("n_chars") * 131) % 1000001
+            ).cast("long").alias("loss_fp"),
+        )
+        return doremi_weights(docs, steps=8)
+    q["t_doremi"] = t_doremi
+
     return _priority_order(q)
 
 
@@ -5879,6 +5896,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN row_tot r USING (bucket)
         JOIN col_tot t USING (split)
         CROSS JOIN grand g
+    """
+
+    _dm_ctes = []
+    _dm_prev = "w0"
+    for _t_ in range(1, 9):
+        _dm_ctes.append(f"""
+        u{_t_} AS (SELECT domain, mu_fp,
+                          (w * (1000000 + (1 * mu_fp) // 4)) // 1000000 AS wu,
+                          acc
+                   FROM {_dm_prev}),
+        n{_t_} AS (SELECT domain, mu_fp,
+                          CAST((CAST(wu AS HUGEINT) * 1000000000000)
+                               // (SELECT sum(wu) FROM u{_t_}) AS BIGINT) AS wn,
+                          acc
+                   FROM u{_t_}),
+        w{_t_} AS (SELECT domain, mu_fp, wn AS w, acc + wn AS acc FROM n{_t_})""")
+        _dm_prev = f"w{_t_}"
+    o["t_doremi"] = f"""
+        WITH losses AS (
+          SELECT source AS domain,
+                 (doc_id * 7919 + n_chars * 131) % 1000001 AS loss
+          FROM documents
+        ),
+        mu AS MATERIALIZED (
+          SELECT domain, sum(loss) // count(*) AS mu_fp
+          FROM losses GROUP BY domain
+        ),
+        kk AS (SELECT count(*) AS k FROM mu),
+        w0 AS (SELECT domain, mu_fp, 1000000000000 // kk.k AS w,
+                      CAST(0 AS BIGINT) AS acc
+               FROM mu CROSS JOIN kk),
+        {",".join(_dm_ctes)}
+        SELECT domain, mu_fp, w, acc // 8 AS w_bar FROM {_dm_prev}
     """
 
     return _priority_order(o)

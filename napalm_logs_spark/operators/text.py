@@ -1803,3 +1803,67 @@ def chi2_drift(
             ).alias("contrib"),
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "domain",
+    loss_col: str = "loss_fp",
+    *,
+    steps: int = 8,
+    eta_num: int = 1,
+    eta_den: int = 4,
+    scale: int = 10**12,
+    mu_scale: int = 10**6,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023), exact form.
+
+    Data-mixture optimization: domains whose (excess) loss is high get
+    up-weighted multiplicatively each step; the *averaged* iterate is
+    the mixture used for the big run.  DoReMi's exp(η·λ) update is
+    replaced by the linearized multiplicative-weights rule
+    ``w ← w · (1 + η·μ_d)`` (the classic MW variant — same regret
+    bound family), because it is exact in fixed point: with per-doc
+    losses as integers in [0, mu_scale] every update, normalization
+    (128-bit intermediate) and the running average are integer ops —
+    bit-identical under any partitioning and replayable by the SQL
+    oracle as unrolled CTEs (the pagerank/k-means determinism
+    contract).
+
+    Scale shape: the corpus contributes ONE map-side-combined
+    groupBy(domain) — sums and counts; the iteration itself runs on
+    the k-domain table driver-side (k is tens-to-thousands; the same
+    bounded-driver-state rule as the k-means k×dim collect).
+
+    Input: per-document rows ``(domain_col, loss_col)`` with
+    ``loss_col`` an integer loss at ``mu_scale`` fixed point (loss in
+    [0, 1]).  Returns ``(domain, mu_fp, w, w_bar)`` — the domain mean
+    loss, final weight, and the averaged (output) weight, weights at
+    ``scale`` fixed point.
+    """
+    mu_rows = sorted(
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.expr(f"sum({loss_col}) div count(1)").alias("mu_fp")
+        )
+        .collect()
+    )
+    k = len(mu_rows)
+    mu = {r["domain"]: int(r["mu_fp"]) for r in mu_rows}
+    w = {d: scale // k for d in mu}
+    acc = {d: 0 for d in mu}
+    for _ in range(steps):
+        wu = {
+            d: (w[d] * (mu_scale + (eta_num * mu[d]) // eta_den)) // mu_scale
+            for d in mu
+        }
+        tot = sum(wu.values())
+        w = {d: (wu[d] * scale) // tot for d in mu}  # python bigint = exact
+        for d in mu:
+            acc[d] += w[d]
+    out = [
+        (d, mu[d], w[d], acc[d] // steps) for d in sorted(mu)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "domain string, mu_fp long, w long, w_bar long"
+    )

@@ -1066,3 +1066,48 @@ def test_chi2_drift_no_drift_zero_statistic(spark):
     rows = [("x", "a")] * 5 + [("x", "b")] * 5 + [("y", "a")] * 3 + [("y", "b")] * 3
     df = spark.createDataFrame(rows, "b string, s string")
     assert all(r.contrib == 0.0 for r in chi2_drift(df, "b", "s").collect())
+
+
+# ---- doremi_weights --------------------------------------------------
+
+
+def test_doremi_hand_computed_two_domains(spark):
+    from napalm_logs_spark.operators.text import doremi_weights
+
+    # domain a: loss 0.5 (500000 fp), domain b: loss 0.0
+    df = spark.createDataFrame(
+        [("a", 500000), ("a", 500000), ("b", 0)], "domain string, loss_fp long"
+    )
+    got = {r.domain: r for r in doremi_weights(df, steps=1).collect()}
+    S, M = 10**12, 10**6
+    w0 = S // 2
+    wu_a = (w0 * (M + 500000 // 4)) // M
+    wu_b = (w0 * (M + 0)) // M
+    tot = wu_a + wu_b
+    wa, wb = (wu_a * S) // tot, (wu_b * S) // tot
+    assert got["a"].mu_fp == 500000 and got["b"].mu_fp == 0
+    assert (got["a"].w, got["b"].w) == (wa, wb)
+    assert (got["a"].w_bar, got["b"].w_bar) == (wa, wb)  # steps=1: avg = last
+
+
+def test_doremi_upweights_lossy_domain_and_conserves_mass(spark):
+    from napalm_logs_spark.operators.text import doremi_weights
+
+    rows = [("hard", (i * 37) % 1000001) for i in range(200)] + [
+        ("easy", (i * 3) % 1000) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "domain string, loss_fp long")
+    got = {r.domain: r for r in doremi_weights(df, steps=8).collect()}
+    assert got["hard"].w_bar > got["easy"].w_bar
+    assert got["hard"].w_bar + got["easy"].w_bar <= 10**12
+    assert got["hard"].w_bar + got["easy"].w_bar >= 10**12 - 20  # floor loss
+
+
+def test_doremi_partitioning_invariance(spark):
+    from napalm_logs_spark.operators.text import doremi_weights
+
+    rows = [(f"d{i % 5}", (i * 7919) % 1000001) for i in range(500)]
+    df = spark.createDataFrame(rows, "domain string, loss_fp long")
+    a = sorted(map(tuple, doremi_weights(df.repartition(1)).collect()))
+    b = sorted(map(tuple, doremi_weights(df.repartition(17)).collect()))
+    assert a == b
