@@ -2784,6 +2784,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doremi_weights(docs, steps=8)
     q["t_doremi"] = t_doremi
 
+    def e_hist_quantiles(spark, sf):
+        # mergeable fixed-bin histogram quantiles (operators/sketch.py
+        # histogram_bins/histogram_quantiles — the batch form of the
+        # streaming/sketch_stream.py hist slices): event values in
+        # exact centi-units, 5-unit bins, p50/p90/p99 as the first bin
+        # reaching ceil(q·N/100) — all-integer, exact oracle.
+        from napalm_logs_spark.operators.sketch import histogram_quantiles
+
+        ev = _t(spark, sf, "events").select(
+            F.expr("CAST(rint(value * 100) AS BIGINT)").alias("v_fp")
+        )
+        return histogram_quantiles(ev, "v_fp", bin_width=500, qs=(50, 90, 99))
+    q["e_hist_quantiles"] = e_hist_quantiles
+
     return _priority_order(q)
 
 
@@ -5929,6 +5943,28 @@ def oracle_sql() -> dict[str, str]:
                FROM mu CROSS JOIN kk),
         {",".join(_dm_ctes)}
         SELECT domain, mu_fp, w, acc // 8 AS w_bar FROM {_dm_prev}
+    """
+
+    o["e_hist_quantiles"] = """
+        WITH vals AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+        ),
+        hist AS MATERIALIZED (
+          SELECT v // 500 AS bin, count(*) AS cnt
+          FROM vals WHERE v >= 0 GROUP BY 1
+        ),
+        cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+        nn AS (SELECT sum(cnt) AS n FROM hist),
+        specs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct)
+        SELECT q_pct, rank, min(bin) AS bin,
+               min(bin) * 500 AS lo, (min(bin) + 1) * 500 - 1 AS hi
+        FROM (
+          SELECT s.q_pct AS q_pct,
+                 CAST((s.q_pct * nn.n + 99) // 100 AS BIGINT) AS rank,
+                 c.bin AS bin, c.cum AS cum
+          FROM cum c CROSS JOIN nn CROSS JOIN specs s
+        )
+        WHERE cum >= rank GROUP BY q_pct, rank
     """
 
     return _priority_order(o)

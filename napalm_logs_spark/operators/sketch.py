@@ -456,3 +456,73 @@ def hll_vs_exact(
         *group_cols, "exact_distinct", "m", "v_empty", "s_scaled",
         "est_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantiles — the mergeable percentile sketch
+
+
+def histogram_bins(
+    df: DataFrame, value_col: str, *, bin_width: int = 1000
+) -> DataFrame:
+    """Fixed-width histogram of a non-negative integer column.
+
+    The simplest mergeable quantile sketch (the HDR-histogram shape):
+    ``bin = value div bin_width`` — bins merge by counter-wise SUM
+    (like Count-Min), so per-partition / per-micro-batch histograms
+    compose exactly.  One map-side-combined groupBy; output is
+    bin-count-sized regardless of corpus size.  Values must be
+    non-negative integers (``div`` truncates toward zero).
+    """
+    return (
+        df.select(F.col(value_col).alias("_v"))
+        .filter(F.col("_v") >= 0)
+        .groupBy(F.expr(f"_v div {bin_width}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bin_width: int = 1000,
+    qs: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Percentiles from the fixed-bin histogram — exact bin answers.
+
+    For each ``q`` in ``qs`` (integer percent): ``rank = ceil(q·N/100)``
+    (the lower empirical quantile), answered as the first bin whose
+    cumulative count reaches the rank — the true quantile is inside
+    ``[lo, hi]``, an error bounded by bin_width by construction (the
+    honest sketch contract; approx_percentile gives no such bound).
+
+    All integer arithmetic → exact value-match oracle.  The cumsum
+    window sorts the *histogram*, not the corpus (bins ≤ max_value /
+    bin_width rows); the corpus contributes one map-side-combined
+    groupBy.
+    """
+    from pyspark.sql import Window
+
+    hist = histogram_bins(df, value_col, bin_width=bin_width)
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("_n"))))
+    specs = df.sparkSession.createDataFrame(
+        [(int(p),) for p in qs], "q_pct long"
+    )
+    ranked = cum.crossJoin(F.broadcast(specs)).withColumn(
+        "rank", F.expr("(q_pct * _n + 99) div 100")
+    )
+    return (
+        ranked.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_pct", "rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q_pct",
+            "rank",
+            "bin",
+            (F.col("bin") * bin_width).alias("lo"),
+            ((F.col("bin") + 1) * bin_width - 1).alias("hi"),
+        )
+    )

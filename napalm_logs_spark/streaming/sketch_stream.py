@@ -143,3 +143,64 @@ def run_hll_stream_once(
         q.awaitTermination()
     elif not q.awaitTermination(timeout_s):
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram on the stream — SUM merge, same slice recipe
+
+
+def hist_batch_sink(
+    sketch_dir: str, value_col: str = "value", *, bin_width: int = 1000
+):
+    """foreachBatch function: reduce the micro-batch to its fixed-bin
+    histogram (operators.sketch.histogram_bins) and overwrite this
+    batch's slice — idempotent under replay, bin-count-sized."""
+    from ..operators.sketch import histogram_bins
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        hist = histogram_bins(batch_df, value_col, bin_width=bin_width)
+        hist.write.mode("overwrite").parquet(
+            f"{sketch_dir}/_batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def read_merged_hist(spark, sketch_dir: str) -> DataFrame:
+    """Bin-wise SUM over all committed batch slices — histogram
+    mergeability makes this the histogram of the whole stream, so
+    quantiles over it equal the batch answer on the full drained
+    input (tested)."""
+    df = spark.read.option("basePath", sketch_dir).parquet(
+        f"{sketch_dir}/_batch_id=*"
+    )
+    return df.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def run_hist_stream_once(
+    spark,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    schema,
+    value_col: str = "value",
+    *,
+    bin_width: int = 1000,
+    timeout_s: float | None = 600,
+) -> None:
+    """Drain all available source files into per-batch histogram
+    slices (availableNow trigger), exactly-once under replay."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            hist_batch_sink(sketch_dir, value_col, bin_width=bin_width)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
+        q.stop()

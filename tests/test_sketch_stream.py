@@ -141,3 +141,74 @@ def test_hll_merged_registers_bounded_rows(spark, dirs):
         spark, dirs["src"], dirs["sk"], dirs["ckpt"], SCHEMA, p=8
     )
     assert read_merged_hll(spark, dirs["sk"]).count() <= 256
+
+
+# ---- fixed-bin histogram slices --------------------------------------
+
+VSCHEMA = "value long"
+
+
+def _write_vals(spark, src, vals):
+    spark.createDataFrame([(int(v),) for v in vals], VSCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+
+def test_hist_merged_slices_equal_batch_histogram(spark, dirs):
+    from napalm_logs_spark.operators.sketch import (
+        histogram_bins,
+        histogram_quantiles,
+    )
+    from napalm_logs_spark.streaming.sketch_stream import (
+        read_merged_hist,
+        run_hist_stream_once,
+    )
+
+    b1 = [i * 37 % 5000 for i in range(400)]
+    b2 = [i * 113 % 9000 for i in range(300)]
+    _write_vals(spark, dirs["src"], b1)
+    run_hist_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], VSCHEMA, bin_width=500
+    )
+    _write_vals(spark, dirs["src"], b2)
+    run_hist_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], VSCHEMA, bin_width=500
+    )
+    merged = sorted(
+        map(tuple, read_merged_hist(spark, dirs["sk"]).collect())
+    )
+    whole = spark.createDataFrame([(int(v),) for v in b1 + b2], VSCHEMA)
+    batch = sorted(
+        map(tuple, histogram_bins(whole, "value", bin_width=500).collect())
+    )
+    assert merged == batch
+    # quantile bins agree with a sorted-python reference
+    import math
+
+    vals = sorted(b1 + b2)
+    got = {
+        r.q_pct: r.bin
+        for r in histogram_quantiles(whole, "value", bin_width=500).collect()
+    }
+    for q in (50, 90, 99):
+        rank = math.ceil(q * len(vals) / 100)
+        assert got[q] == vals[rank - 1] // 500
+
+
+def test_hist_replay_idempotent(spark, dirs):
+    from napalm_logs_spark.streaming.sketch_stream import (
+        hist_batch_sink,
+        read_merged_hist,
+        run_hist_stream_once,
+    )
+
+    vals = [100, 2500, 2500, 9999]
+    _write_vals(spark, dirs["src"], vals)
+    run_hist_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], VSCHEMA, bin_width=1000
+    )
+    before = sorted(map(tuple, read_merged_hist(spark, dirs["sk"]).collect()))
+    bdf = spark.createDataFrame([(int(v),) for v in vals], VSCHEMA)
+    hist_batch_sink(dirs["sk"], bin_width=1000)(bdf, 0)
+    after = sorted(map(tuple, read_merged_hist(spark, dirs["sk"]).collect()))
+    assert before == after
