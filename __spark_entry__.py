@@ -2798,6 +2798,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return histogram_quantiles(ev, "v_fp", bin_width=500, qs=(50, 90, 99))
     q["e_hist_quantiles"] = e_hist_quantiles
 
+    def t_doremi_apply(spark, sf):
+        # the mixture EXECUTED (operators/text.py sample_to_quota):
+        # doremi_weights' averaged mixture becomes per-domain quotas
+        # (quota = (N · w_bar) div scale) and the corpus is sampled to
+        # them with the deterministic (md5(id), id) order via the
+        # salted two-phase top-k — the FineWeb-style resample stage.
+        # Oracle replays the full composition: unrolled MW CTEs →
+        # quota arithmetic → per-domain rank semantics.
+        from napalm_logs_spark.operators.text import (
+            doremi_weights,
+            sample_to_quota,
+        )
+
+        docs = _t(spark, sf, "documents")
+        per_doc = docs.select(
+            F.col("source").alias("domain"),
+            (
+                (F.col("doc_id") * 7919 + F.col("n_chars") * 131) % 1000001
+            ).cast("long").alias("loss_fp"),
+        )
+        n = docs.count()
+        quotas = doremi_weights(per_doc, steps=8).select(
+            "domain",
+            F.expr(f"({n}L * w_bar) div 1000000000000L").alias("quota"),
+        )
+        return sample_to_quota(
+            docs.select("doc_id", F.col("source").alias("domain")), quotas
+        )
+    q["t_doremi_apply"] = t_doremi_apply
+
     return _priority_order(q)
 
 
@@ -5943,6 +5973,38 @@ def oracle_sql() -> dict[str, str]:
                FROM mu CROSS JOIN kk),
         {",".join(_dm_ctes)}
         SELECT domain, mu_fp, w, acc // 8 AS w_bar FROM {_dm_prev}
+    """
+
+    o["t_doremi_apply"] = f"""
+        WITH losses AS (
+          SELECT source AS domain,
+                 (doc_id * 7919 + n_chars * 131) % 1000001 AS loss
+          FROM documents
+        ),
+        mu AS MATERIALIZED (
+          SELECT domain, sum(loss) // count(*) AS mu_fp
+          FROM losses GROUP BY domain
+        ),
+        kk AS (SELECT count(*) AS k FROM mu),
+        w0 AS (SELECT domain, mu_fp, 1000000000000 // kk.k AS w,
+                      CAST(0 AS BIGINT) AS acc
+               FROM mu CROSS JOIN kk),
+        {",".join(_dm_ctes)},
+        quotas AS (
+          SELECT domain, (nd.nd * (acc // 8)) // 1000000000000 AS quota
+          FROM {_dm_prev} CROSS JOIN (SELECT count(*) AS nd FROM documents) nd
+        ),
+        ranked AS (
+          SELECT doc_id, source AS domain,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS pick_rank
+          FROM documents
+        )
+        SELECT r.doc_id AS doc_id, r.domain AS domain, r.pick_rank AS pick_rank
+        FROM ranked r JOIN quotas q USING (domain)
+        WHERE r.pick_rank <= q.quota
     """
 
     o["e_hist_quantiles"] = """

@@ -1867,3 +1867,48 @@ def doremi_weights(
     return df.sparkSession.createDataFrame(
         out, "domain string, mu_fp long, w long, w_bar long"
     )
+
+
+def sample_to_quota(
+    df: DataFrame,
+    quotas: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    *,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Execute a data mixture: deterministic per-domain quota sample.
+
+    The write-side of :func:`doremi_weights` / any mixture table —
+    given ``quotas(domain, quota)``, keep exactly ``min(quota, |D|)``
+    documents per domain, chosen by the uniform deterministic order
+    ``(md5(id), id)`` (a seedless replayable sample, the engine's
+    stratified_sample convention).
+
+    Same salted two-phase top-k as :func:`cap_per_source` (a global
+    per-domain window would sort a 100M-doc hot domain on one task):
+    phase 1 ranks within ``(domain, id % salt_buckets)`` and keeps
+    ``quota`` per salted group — any global top-``quota`` row is in
+    its salt's top-``quota``, so no survivor is lost; phase 2 re-ranks
+    the ≤ ``quota·salt_buckets`` survivors.  The quota table is tiny
+    (one row per domain) and broadcast.
+
+    Output: kept rows ``(<id>, <domain>, pick_rank)``,
+    ``pick_rank ∈ [1, quota]``.
+    """
+    ordk = F.md5(F.col(id_col).cast("string"))
+    order = [ordk.asc(), F.col(id_col).asc()]
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    base = df.select(id_col, domain_col).join(
+        F.broadcast(quotas), domain_col
+    )
+    w1 = Window.partitionBy(domain_col, salt).orderBy(*order)
+    cand = base.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= F.col("quota")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        cand.withColumn("pick_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(id_col, domain_col, "pick_rank")
+    )

@@ -1111,3 +1111,57 @@ def test_doremi_partitioning_invariance(spark):
     a = sorted(map(tuple, doremi_weights(df.repartition(1)).collect()))
     b = sorted(map(tuple, doremi_weights(df.repartition(17)).collect()))
     assert a == b
+
+
+# ---- sample_to_quota --------------------------------------------------
+
+
+def _py_quota_sample(rows, quotas):
+    import hashlib
+
+    out = {}
+    by_dom = {}
+    for i, d in rows:
+        by_dom.setdefault(d, []).append(i)
+    for d, ids in by_dom.items():
+        qt = quotas.get(d)
+        if qt is None:
+            continue
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for r, i in enumerate(ranked[:qt], 1):
+            out[(i, d)] = r
+    return out
+
+
+def test_quota_sample_parity_and_exact_counts(spark):
+    from napalm_logs_spark.operators.text import sample_to_quota
+
+    rows = [(i, f"d{i % 3}") for i in range(60)]
+    quotas = {"d0": 5, "d1": 25, "d2": 0}  # d1 quota > |d1| tests min; d2 dropped
+    # |d1| = 20 < 25 -> keep all 20; d2 quota 0 -> none
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    qdf = spark.createDataFrame(list(quotas.items()), "domain string, quota long")
+    got = {
+        (r.doc_id, r.domain): r.pick_rank
+        for r in sample_to_quota(df, qdf).collect()
+    }
+    assert got == _py_quota_sample(rows, quotas)
+    assert sum(1 for (_, d) in got if d == "d0") == 5
+    assert sum(1 for (_, d) in got if d == "d1") == 20
+    assert not any(d == "d2" for (_, d) in got)
+
+
+def test_quota_sample_salt_invariance(spark):
+    from napalm_logs_spark.operators.text import sample_to_quota
+
+    rows = [(i, "hot") for i in range(200)] + [(i + 1000, "cold") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    qdf = spark.createDataFrame(
+        [("hot", 17), ("cold", 3)], "domain string, quota long"
+    )
+    a = sorted(map(tuple, sample_to_quota(df, qdf, salt_buckets=1).collect()))
+    b = sorted(map(tuple, sample_to_quota(df, qdf, salt_buckets=16).collect()))
+    c = sorted(
+        map(tuple, sample_to_quota(df.repartition(13), qdf, salt_buckets=7).collect())
+    )
+    assert a == b == c
