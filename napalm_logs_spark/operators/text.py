@@ -1778,13 +1778,19 @@ def chi2_drift(
     cell table (≤ buckets × splits rows); everything downstream is
     cell-table-sized with the two marginal tables broadcast back.
     """
-    cells = (
-        df.groupBy(
-            F.col(bucket_col).alias("bucket"), F.col(split_col).alias("split")
-        )
-        .agg(F.count(F.lit(1)).alias("o"))
-        .persist()
-    )
+    cells = df.groupBy(
+        F.col(bucket_col).alias("bucket"), F.col(split_col).alias("split")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    return chi2_from_cells(cells)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """Chi-square table from a pre-aggregated ``(bucket, split, o)``
+    cell table — the entry point the streaming drift monitor uses
+    (cell counts are SUM-mergeable, so per-micro-batch cell slices
+    merge-on-read into exactly this input; see
+    streaming/sketch_stream.py drift slices)."""
+    cells = cells.persist()
     row_tot = cells.groupBy("bucket").agg(F.sum("o").alias("_rt"))
     col_tot = cells.groupBy("split").agg(F.sum("o").alias("_ct"))
     grand = cells.agg(F.sum("o").cast("double").alias("_n"))

@@ -204,3 +204,67 @@ def run_hist_stream_once(
         q.awaitTermination()
     elif not q.awaitTermination(timeout_s):
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# drift monitor on the stream — contingency cells are SUM-mergeable
+
+
+def drift_cells_batch_sink(
+    cells_dir: str, bucket_col: str, split_col: str
+):
+    """foreachBatch function: reduce the micro-batch to its
+    (bucket, split, o) contingency cells and overwrite this batch's
+    slice — idempotent under replay, cell-table-sized."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        cells = batch_df.groupBy(
+            F.col(bucket_col).alias("bucket"),
+            F.col(split_col).alias("split"),
+        ).agg(F.count(F.lit(1)).alias("o"))
+        cells.write.mode("overwrite").parquet(
+            f"{cells_dir}/_batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def read_merged_drift(spark, cells_dir: str) -> DataFrame:
+    """Cell-wise SUM over committed slices, fed to
+    operators.text.chi2_from_cells — equals the batch chi2_drift over
+    the whole drained stream (tested).  The live drift dashboard reads
+    this; the raw stream is never re-scanned."""
+    from ..operators.text import chi2_from_cells
+
+    df = spark.read.option("basePath", cells_dir).parquet(
+        f"{cells_dir}/_batch_id=*"
+    )
+    cells = df.groupBy("bucket", "split").agg(F.sum("o").alias("o"))
+    return chi2_from_cells(cells)
+
+
+def run_drift_stream_once(
+    spark,
+    source_dir: str,
+    cells_dir: str,
+    checkpoint_dir: str,
+    schema,
+    bucket_col: str,
+    split_col: str,
+    *,
+    timeout_s: float | None = 600,
+) -> None:
+    """Drain all available source files into per-batch cell slices
+    (availableNow trigger), exactly-once under replay."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(drift_cells_batch_sink(cells_dir, bucket_col, split_col))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout_s):
+        q.stop()

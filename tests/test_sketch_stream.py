@@ -212,3 +212,58 @@ def test_hist_replay_idempotent(spark, dirs):
     hist_batch_sink(dirs["sk"], bin_width=1000)(bdf, 0)
     after = sorted(map(tuple, read_merged_hist(spark, dirs["sk"]).collect()))
     assert before == after
+
+
+# ---- drift cells slices ----------------------------------------------
+
+DSCHEMA = "lang string, snap string"
+
+
+def test_drift_merged_slices_equal_batch_chi2(spark, dirs):
+    from napalm_logs_spark.operators.text import chi2_drift
+    from napalm_logs_spark.streaming.sketch_stream import (
+        read_merged_drift,
+        run_drift_stream_once,
+    )
+
+    b1 = [("en", "a")] * 12 + [("fr", "a")] * 7 + [("en", "b")] * 3
+    b2 = [("fr", "b")] * 9 + [("en", "b")] * 5 + [("de", "a")] * 2
+    spark.createDataFrame(b1, DSCHEMA).coalesce(1).write.mode("append").parquet(
+        dirs["src"]
+    )
+    run_drift_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], DSCHEMA, "lang", "snap"
+    )
+    spark.createDataFrame(b2, DSCHEMA).coalesce(1).write.mode("append").parquet(
+        dirs["src"]
+    )
+    run_drift_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], DSCHEMA, "lang", "snap"
+    )
+    merged = sorted(
+        map(tuple, read_merged_drift(spark, dirs["sk"]).collect())
+    )
+    whole = spark.createDataFrame(b1 + b2, DSCHEMA)
+    batch = sorted(map(tuple, chi2_drift(whole, "lang", "snap").collect()))
+    assert merged == batch
+
+
+def test_drift_replay_idempotent(spark, dirs):
+    from napalm_logs_spark.streaming.sketch_stream import (
+        drift_cells_batch_sink,
+        read_merged_drift,
+        run_drift_stream_once,
+    )
+
+    rows = [("en", "a")] * 4 + [("fr", "b")] * 6
+    spark.createDataFrame(rows, DSCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    run_drift_stream_once(
+        spark, dirs["src"], dirs["sk"], dirs["ckpt"], DSCHEMA, "lang", "snap"
+    )
+    before = sorted(map(tuple, read_merged_drift(spark, dirs["sk"]).collect()))
+    bdf = spark.createDataFrame(rows, DSCHEMA)
+    drift_cells_batch_sink(dirs["sk"], "lang", "snap")(bdf, 0)
+    after = sorted(map(tuple, read_merged_drift(spark, dirs["sk"]).collect()))
+    assert before == after
