@@ -2707,6 +2707,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_counts(synth_link_graph(docs, n).unionAll(planted))
     q["g_triangles"] = g_triangles
 
+    def r_bt_arena(spark, sf):
+        # Bradley–Terry arena ranking (operators/ranking.py
+        # bt_ratings): the Chatbot-Arena estimator — pairwise model
+        # battles -> per-model strength via Hunter-2004 MM, 8
+        # iterations in exact fixed-point integers (oracle unrolls the
+        # recurrence as chained CTEs — a value-match gate on an
+        # iterative MLE).  Battles synthesize deterministically from
+        # events: models a = event_id % 8 and b = (event_id div 8) % 8
+        # fight once per row; the md5 coin makes a win with probability
+        # ~ (a+1)/(a+b+2), i.e. true strength m+1 — the fit must
+        # recover that ordering, and does.
+        from napalm_logs_spark.operators.ranking import bt_ratings
+
+        ev = _t(spark, sf, "events").select("event_id")
+        battles = (
+            ev.select(
+                (F.col("event_id") % 8).alias("a"),
+                F.expr("(event_id div 8) % 8").alias("b"),
+                F.expr(
+                    "CAST(conv(substring(md5(concat('bt:', "
+                    "CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+                ).alias("coin"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        a_wins = F.col("coin") % (F.col("a") + F.col("b") + 2) < F.col("a") + 1
+        outcomes = battles.select(
+            F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+            F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+        )
+        return bt_ratings(outcomes, iterations=8)
+    q["r_bt_arena"] = r_bt_arena
+
     def t_bm25(spark, sf):
         # BM25 lexical retrieval (operators/text.py bm25_topk): the
         # lexical baseline next to the dense ANN family — queries are
@@ -2854,80 +2887,63 @@ _HTML_POST = (
 _PRIORITY_50 = [
     # the core normalize engine (M2-M9) — reference tests/test_config.py:85-209
     "golden_normalize",
-    # one-per-family + everything driver-unchecked in r02
-    # d_dedup_keep rotates out (d_exact_dup_groups keeps exact dedup
-    # represented) for the PCA family's first driver row:
-    "d_exact_dup_groups", "d_ngram_jaccard", "d_minhash_lsh", "d_simhash",
-    "d_dup_clusters", "s_pca", "d_decontaminate", "d_leakage_splits",
-    "d_dup_spans", "d_segment_dedup",  # new session 3: corpus line dedup
-    # t_fingerprint (md5 + rolling hash, the family's simplest member)
-    # rotates out for the numerically-richer bigram LM scorer:
-    # t_winnow_pairs rotates out (t_winnow keeps the fingerprint family
-    # represented) for the adaptive-threshold CEP alert's first row:
-    # t_tokens rotates out (mirror-gated; t_quality keeps the counting
-    # family represented) for the SFT sample-construction family's
-    # first driver row — loss-mask spans over the input_hint shape:
-    "cv_sft_spans", "t_quality", "t_langid", "t_lm_bigram", "t_winnow",
-    # t_clean rotates out (mirror-gated; t_pii_scrub keeps the
-    # scrubbing family represented) for the DPO preference-pair
-    # constructor's first driver row:
+    # Rotation policy: the driver checks the FIRST ~50 queries() entries
+    # per round, so each round's list maximizes CUMULATIVE driver
+    # coverage — entries that were driver-green in r01/r02 AND unchanged
+    # since rotate out (their families stay gated by the pytest mirror
+    # at sf0.001 AND this list's remaining family rows); entries that
+    # were rewritten since their last green row stay in; never-checked
+    # entries fill every freed slot.
+    #
+    # r1-green unchanged rotations this round: d_exact_dup_groups,
+    # d_simhash, d_dup_clusters (exact/simhash/CC dedup — d_ngram_jaccard
+    # + d_minhash_lsh stay because their r2 rewrites — capped count-join,
+    # md5-window signatures — have never had a driver row), t_quality,
+    # t_langid, t_winnow, s_knn_cosine, s_ann_ivf, s_embedding_near_dup,
+    # q1_pricing_summary, p*/c* core rows (r02-green).
+    "d_ngram_jaccard", "d_minhash_lsh",
+    "s_pca", "d_decontaminate",
+    # d_leakage_splits rotates out (benchmark-leakage family stays
+    # represented by d_decontaminate; its oracle is the list's most
+    # expensive) for the new ranking family's first driver row:
+    "r_bt_arena",               # Bradley–Terry MM arena ranking
+    "d_dup_spans", "d_segment_dedup",
+    # never-checked rows promoted this session (one per family first):
+    "t_bpe_tokens",             # distributed BPE train + greedy encode
+    "t_doremi",                 # DoReMi multiplicative-weights mixture
+    "t_chi2_drift",             # chi-square corpus drift monitor
+    "t_bm25",                   # BM25 inverted-index retrieval join
+    "t_bleu_stats",             # clipped n-gram BLEU sufficient stats
+    "g_triangles",              # degree-oriented exact triangle count
+    "d_bloom_incremental",      # Bloom-probe incremental crawl dedup
+    "q_cdc_apply",              # CDC latest-wins changelog apply
+    "mm_audio_gates",           # all-integer PCM audio curation gates
+    "cv_sft_spans", "t_lm_bigram",
     "c15_rate_anomaly", "cv_pref_pairs", "t_pii_scrub", "t_ccnet_quality",
-    # t_tfidf rotates out (mirror-gated; simplest of the weighting
-    # family) for the SPFHP packer's first driver row:
-    # t_pack_chunks rotates out (mirror-gated; packing stays represented
-    # by the stronger SPFHP row) for the parallel-corpus miner's first
-    # driver row — the CCMatrix margin-mining composition:
     "s_bitext_mine",
     "t_gopher_rules", "t_dsir_weights", "t_pack_spfhp",
-    # t_repetition rotates out (mirror-gated; the t_ family keeps 13
-    # rows) for the new conversation-analytics family's first driver
-    # row — the rollup over the BASELINE input_hint transcript shape:
-    "cv_stats", "t_sample_mix",
-    # t_mix_temperature rotates out (t_sample_mix keeps the mixing
-    # family represented) for the composed-pipeline flagship:
-    "d_pipeline_e2e",           # new session 3: clean->gate->dedup->pack
-    # t_fix_text rotates out (mirror-gated; the t_ family keeps 11
-    # driver rows) for the sketch family's FIRST driver row — the
-    # exactly-replayable HLL register sketch (Count-Min and Bloom stay
-    # mirror-gated alongside it):
-    "d_hll_distinct",           # new session 8: HLL distinct sketch
-    # s_embedding_norms rotates out (mirror-gated; s_knn_cosine keeps
-    # the exact-similarity family represented) for the new iterative
-    # link-graph family's first driver row — exact fixed-point PageRank:
+    "cv_stats",
+    # t_sample_mix rotates out — the mixing family's driver row this
+    # round is t_doremi (the stronger, never-checked member):
+    "d_pipeline_e2e",           # composed clean->gate->dedup->pack
+    "d_hll_distinct",           # HLL distinct sketch
     "g_pagerank",
-    # s_ann_lsh rotates out (mirror-gated; the ANN family keeps
-    # knn/ivf/join/pq rows) for the image-dedup family's first driver
-    # row — the banded-Hamming perceptual-hash join:
     "mm_phash_dedup",
-    "s_knn_cosine", "s_ann_ivf",
-    "s_embedding_near_dup", "s_kmeans", "s_semdedup", "s_ann_join",
-    "s_ann_pq",                 # new session 3: product-quantization ADC
-    # mm_jpeg_fidelity (round 3: built-in T.81 baseline JPEG codec) takes
-    # mm_frame_plan's slot — the frame-plan explode stays mirror-gated.
-    # mm_features (hash-stub path) rotates out for the windowed-funnel
-    # CEP operator's first driver row; the mm family keeps 3 rows via
-    # the real-codec paths:
-    "c16_funnel",               # new session 9: ClickHouse-style funnel
+    "s_kmeans", "s_semdedup", "s_ann_join",
+    "s_ann_pq",
+    "s_ann_ivfpq",              # IVFADC — residual-PQ inverted file
+    "c16_funnel",               # ClickHouse-style windowed funnel
     "mm_real_features", "mm_jpeg_fidelity",
-    "mm_mp4_demux",             # new session 3: ISO-BMFF box-walk demux
+    "mm_mp4_demux",             # ISO-BMFF box-walk demux
     "c2_alarm_gauge",           # VERDICT r2 item 8
     "e_props_json",             # r02's one red row — oracle cast fixed
-    "k6_msgpack",               # new this round (K6 serializer matrix)
-    "m4_timestamps",            # new this round (M4 locale/tz breadth)
-    "k5_prom_expo",             # new this round (K5 exposition render)
-    # representative core rows kept green (rest rotate; all r02-green
-    # already — p1_nonempty_filter / a1_dedup_gap / c6_interval_join
-    # rotated out this session to make room for the three new-operator
-    # rows above; their families stay represented by a1_dedup_ttl_exact
-    # — the stored-golden TTL path VERDICT r2 item 8 names — and
-    # c1/c14/c12)
-    "a1_dedup_ttl_exact",
+    "k6_msgpack",               # K6 serializer matrix
+    "m4_timestamps",            # M4 locale/tz breadth
+    "k5_prom_expo",             # K5 exposition render
+    "a1_dedup_ttl_exact",       # VERDICT r2 item 8 (stored-golden TTL)
     "c14_session_window",
     "c12_hysteresis",           # semantics updated this round (ADVICE densify)
-    # q1_pricing_summary rotates out (driver-green in r02; the whole
-    # TPC-H block stays mirror-gated at sf0.001+sf0.01) for the new
-    # model-based-filter family's first driver row:
-    "s_classifier",             # new session 4: softmax-regression gate
+    "s_classifier",             # softmax-regression quality gate
 ]
 
 
@@ -5767,6 +5783,67 @@ def oracle_sql() -> dict[str, str]:
                FROM nodes CROSS JOIN consts cs),
         {",".join(_pr)}
         SELECT node, rank FROM {_prev}
+    """
+
+    # Bradley–Terry MM, 8 iterations unrolled — the same all-integer
+    # recurrence bt_ratings runs (pair table ONCE, per iteration:
+    # per-pair floor contribution to both endpoints, win-scaled raw
+    # update clamped >= 1, total-mass renormalization)
+    _bt = []
+    _btprev = "p0"
+    for _k in range(1, 9):
+        _bt.append(f"""
+        pairc{_k} AS MATERIALIZED (
+          SELECT pr.i, pr.j,
+                 (pr.n * 1000000000000) // (pi.p + pj.p) AS c
+          FROM pairs pr JOIN {_btprev} pi ON pi.item = pr.i
+                        JOIN {_btprev} pj ON pj.item = pr.j
+        ),
+        denom{_k} AS (
+          SELECT item, sum(c) AS denom FROM (
+            SELECT i AS item, c FROM pairc{_k}
+            UNION ALL SELECT j, c FROM pairc{_k}
+          ) GROUP BY item
+        ),
+        raw{_k} AS MATERIALIZED (
+          SELECT it.item,
+                 greatest((it.wins * 1000000000000) // d.denom, 1) AS raw
+          FROM items it JOIN denom{_k} d USING (item)
+        ),
+        p{_k} AS MATERIALIZED (
+          SELECT item,
+                 (raw * (SELECT count(*) FROM items) * 1000000)
+                   // (SELECT sum(raw) FROM raw{_k}) AS p
+          FROM raw{_k}
+        )""")
+        _btprev = f"p{_k}"
+    o["r_bt_arena"] = f"""
+        WITH battles AS (
+          SELECT CASE WHEN coin % (a + b + 2) < a + 1 THEN a ELSE b END AS winner,
+                 CASE WHEN coin % (a + b + 2) < a + 1 THEN b ELSE a END AS loser
+          FROM (
+            SELECT event_id % 8 AS a, (event_id // 8) % 8 AS b,
+                   ('0x' || substr(md5('bt:' || CAST(event_id AS VARCHAR)),
+                                   1, 6))::BIGINT AS coin
+            FROM events
+          ) WHERE a <> b
+        ),
+        pairs AS MATERIALIZED (
+          SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+                 count(*) AS n,
+                 sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS wi
+          FROM battles GROUP BY 1, 2
+        ),
+        items AS MATERIALIZED (
+          SELECT item, sum(w) AS wins, sum(n) AS n_comps FROM (
+            SELECT i AS item, n, wi AS w FROM pairs
+            UNION ALL SELECT j, n, n - wi FROM pairs
+          ) GROUP BY item
+        ),
+        p0 AS (SELECT item, 1000000 AS p FROM items),
+        {",".join(_bt)}
+        SELECT it.item, pf.p AS rating, it.wins, it.n_comps
+        FROM items it JOIN {_btprev} pf USING (item)
     """
 
     o["g_triangles"] = """
