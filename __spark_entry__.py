@@ -2740,6 +2740,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bt_ratings(outcomes, iterations=8)
     q["r_bt_arena"] = r_bt_arena
 
+    def t_priority_sample(spark, sf):
+        # Priority sampling (operators/text.py priority_sample,
+        # Duffield-Lund-Thorup 2007): the fixed-size weight-proportional
+        # corpus sample with Horvitz-Thompson estimation weights — all
+        # integer (md5-uniform, BIGINT shift + floor-div), so the oracle
+        # value-matches the top-k AND the tau-capped est_weight exactly.
+        # Weight = n_chars (document length as the quality proxy).
+        from napalm_logs_spark.operators.text import priority_sample
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", F.col("n_chars").alias("weight")
+        )
+        return priority_sample(docs, 200, weight_col="weight", id_col="doc_id")
+    q["t_priority_sample"] = t_priority_sample
+
     def t_bm25(spark, sf):
         # BM25 lexical retrieval (operators/text.py bm25_topk): the
         # lexical baseline next to the dense ANN family — queries are
@@ -2907,7 +2922,11 @@ _PRIORITY_50 = [
     # represented by d_decontaminate; its oracle is the list's most
     # expensive) for the new ranking family's first driver row:
     "r_bt_arena",               # Bradley–Terry MM arena ranking
-    "d_dup_spans", "d_segment_dedup",
+    "d_dup_spans",
+    # d_segment_dedup rotates out (substring-dedup family stays
+    # represented by d_dup_spans) for the weighted-sampling family's
+    # first driver row — all-integer priority sampling:
+    "t_priority_sample",
     # never-checked rows promoted this session (one per family first):
     "t_bpe_tokens",             # distributed BPE train + greedy encode
     "t_doremi",                 # DoReMi multiplicative-weights mixture
@@ -5844,6 +5863,32 @@ def oracle_sql() -> dict[str, str]:
         {",".join(_bt)}
         SELECT it.item, pf.p AS rating, it.wins, it.n_comps
         FROM items it JOIN {_btprev} pf USING (item)
+    """
+
+    # priority sampling — same all-integer priority (w<<32) // (U+1),
+    # same (priority DESC, id ASC) order, tau = the 201st priority
+    o["t_priority_sample"] = """
+        WITH cand AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 (CAST(n_chars AS BIGINT) * 4294967296)
+                   // (('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT + 1) AS priority
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        ranked AS (
+          SELECT cand.*,
+                 row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+          FROM cand
+        ),
+        tau AS (
+          SELECT coalesce(max(CASE WHEN rn = 201 THEN priority END), 0) AS t
+          FROM ranked
+        )
+        SELECT doc_id, weight, priority,
+               greatest(weight, tau.t) AS est_weight
+        FROM ranked, tau
+        WHERE rn <= 200
     """
 
     o["g_triangles"] = """

@@ -569,6 +569,80 @@ def temperature_mix(
     return joined.filter(u < F.col("_thr")).drop("_thr")
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement: priority
+    sampling (Duffield, Lund & Thorup, JACM 2007) — the scheme a
+    training-data pipeline uses to draw a fixed-size quality-weighted
+    corpus sample whose subset-sum estimates are provably near-optimal
+    (the DSIR/importance-weight selection step, executed as one top-k).
+
+    Each row draws a deterministic uniform from its id (first 8 hex
+    chars of ``md5('ps:' || id)``, so u = (U+1)/2^32 ∈ (0,1]) and gets
+    the all-integer priority ``q = (w << 32) div (U+1)`` — a single
+    BIGINT multiply + floor-divide, bit-identical on any engine (the
+    stratified_sample/md5 convention; no RNG state, reproducible under
+    retries and at any partitioning).  The sample is the top ``k`` rows
+    by (q DESC, id ASC); τ = the (k+1)-th priority (0 when the corpus
+    fits) and every sampled row carries the Horvitz-Thompson-style
+    estimation weight ``est_weight = max(w, τ)`` — Σ est_weight over
+    the sample is an unbiased estimator of any weighted subset sum
+    (τ rides the floored integer priority; bias O(2⁻³²) of an ulp).
+
+    Scale shape: the top-(k+1) is ``ORDER BY ... LIMIT`` —
+    TakeOrderedAndProject, a per-partition heap + driver merge of
+    k+1-row spines, NO global sort exchange (plan-asserted in tests);
+    the subsequent rank/τ window runs on ≤ k+1 rows.  Rows with NULL
+    or non-positive weight are excluded (a zero-weight row can never
+    be sampled in the continuous scheme either).  Weights must fit
+    ``w < 2^31`` so the shifted product stays in BIGINT.
+
+    Output: (id, weight, priority, est_weight), the k sampled rows.
+    """
+    w = F.col(weight_col).cast("long")
+    u1 = F.expr(
+        f"CAST(conv(substring(md5(concat('ps:', CAST({id_col} AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT) + 1"
+    )
+    cand = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            (w * F.lit(4294967296)).cast("long").alias("_num"),
+            u1.alias("_u1"),
+        )
+        .select(
+            id_col,
+            "weight",
+            F.expr("_num div _u1").alias("priority"),
+        )
+    )
+    topk1 = cand.orderBy(F.desc("priority"), F.asc(id_col)).limit(k + 1)
+    # ≤ k+1 rows from here on: the single-partition rank window is fine
+    wr = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    ranked = topk1.withColumn("_rn", F.row_number().over(wr))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))), F.lit(0)
+        ).alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight"), F.col("_tau")).alias("est_weight"),
+        )
+    )
+
+
 #: PII scrub patterns, applied in this order (earlier replacements must
 #: not create or destroy later matches — the categories are disjoint by
 #: construction: emails carry '@', IPs carry dots between short digit

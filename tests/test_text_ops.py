@@ -1165,3 +1165,69 @@ def test_quota_sample_salt_invariance(spark):
         map(tuple, sample_to_quota(df.repartition(13), qdf, salt_buckets=7).collect())
     )
     assert a == b == c
+
+
+# ---------------------------------------------------------------- priority
+def _py_priority_sample(rows, k):
+    """Independent replication: hashlib md5, pure-int arithmetic."""
+    import hashlib
+
+    cand = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        u1 = int(hashlib.md5(f"ps:{doc_id}".encode()).hexdigest()[:8], 16) + 1
+        cand.append((doc_id, w, (w << 32) // u1))
+    cand.sort(key=lambda r: (-r[2], r[0]))
+    tau = cand[k][2] if len(cand) > k else 0
+    return sorted((d, w, q, max(w, tau)) for d, w, q in cand[:k])
+
+
+def test_priority_sample_matches_replication(spark):
+    from napalm_logs_spark.operators.text import priority_sample
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = sorted(map(tuple, priority_sample(df, 25).collect()))
+    assert got == _py_priority_sample(rows, 25)
+
+
+def test_priority_sample_partitioning_invariance(spark):
+    from napalm_logs_spark.operators.text import priority_sample
+
+    rows = [(i, i % 91 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    a = sorted(map(tuple, priority_sample(df.repartition(1), 20).collect()))
+    b = sorted(map(tuple, priority_sample(df.repartition(17), 20).collect()))
+    assert a == b
+
+
+def test_priority_sample_small_corpus_keeps_all(spark):
+    from napalm_logs_spark.operators.text import priority_sample
+
+    rows = [(1, 10), (2, 20), (3, None), (4, 0), (5, -3)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = sorted(map(tuple, priority_sample(df, 10).collect()))
+    # nonpositive/null weights excluded; survivors all kept, tau=0 -> est=w
+    assert [(r[0], r[1], r[3]) for r in got] == [(1, 10, 10), (2, 20, 20)]
+
+
+def test_priority_sample_weight_bias(spark):
+    from napalm_logs_spark.operators.text import priority_sample
+
+    # one heavy row among light ones: q_heavy >= 10^6 * 2^32 / 2^32 = w
+    # while every light row has q <= 2 * 2^32; heavy must be sampled
+    rows = [(i, 2) for i in range(1000)] + [(5000, 1_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = priority_sample(df, 50).collect()
+    assert any(r.doc_id == 5000 for r in got)
+
+
+def test_priority_sample_plan_no_global_sort(spark):
+    from napalm_logs_spark.operators.text import priority_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("weight")
+    )
+    plan = priority_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
