@@ -2740,6 +2740,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bt_ratings(outcomes, iterations=8)
     q["r_bt_arena"] = r_bt_arena
 
+    def r_grpo_adv(spark, sf):
+        # GRPO / RLOO group advantages (operators/ranking.py
+        # group_advantages): per-prompt rollout groups standardize the
+        # reward against the group itself — the policy-gradient signal
+        # of Shao et al. 2024 (GRPO) / Ahmadian et al. 2024 (RLOO).
+        # Rollouts synthesize deterministically from events: prompt =
+        # event_id div 8 (G=8 per group, the sampler shape), integer
+        # reward = floor(value*100).  Exact integer statistics ride ONE
+        # window shuffle; the float advantages are single IEEE chains
+        # floored to 1e-6 fixed point for the cross-engine compare.
+        from napalm_logs_spark.operators.ranking import group_advantages
+
+        ev = _t(spark, sf, "events").select(
+            F.expr("event_id div 8").alias("prompt_id"),
+            F.col("event_id").alias("rollout_id"),
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("reward"),
+        )
+        adv = group_advantages(ev)
+        return adv.select(
+            "prompt_id",
+            "rollout_id",
+            "reward",
+            "n",
+            "adv_num",
+            "var_num",
+            F.floor(F.col("grpo_adv") * F.lit(1e6)).cast("long").alias("grpo_adv_fp"),
+            F.floor(F.col("rloo_adv") * F.lit(1e6)).cast("long").alias("rloo_adv_fp"),
+            "degenerate",
+        )
+    q["r_grpo_adv"] = r_grpo_adv
+
     def t_priority_sample(spark, sf):
         # Priority sampling (operators/text.py priority_sample,
         # Duffield-Lund-Thorup 2007): the fixed-size weight-proportional
@@ -5863,6 +5894,39 @@ def oracle_sql() -> dict[str, str]:
         {",".join(_bt)}
         SELECT it.item, pf.p AS rating, it.wins, it.n_comps
         FROM items it JOIN {_btprev} pf USING (item)
+    """
+
+    # GRPO/RLOO advantages — exact integer sufficient statistics per
+    # rollout group; the float z-score / leave-one-out baseline are the
+    # same single IEEE chain on both engines, floored to 1e-6 fixed
+    # point (the s_quantize_int8 compare recipe)
+    o["r_grpo_adv"] = """
+        WITH r AS (
+          SELECT event_id // 8 AS prompt_id,
+                 event_id AS rollout_id,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS reward
+          FROM events
+        ), g AS (
+          SELECT prompt_id, rollout_id, reward,
+                 COUNT(*) OVER w AS n,
+                 SUM(reward) OVER w AS sum_r,
+                 SUM(reward * reward) OVER w AS sum_r2
+          FROM r WINDOW w AS (PARTITION BY prompt_id)
+        ), s AS (
+          SELECT prompt_id, rollout_id, reward, CAST(n AS BIGINT) AS n,
+                 CAST(n * reward - sum_r AS BIGINT) AS adv_num,
+                 CAST(n * sum_r2 - sum_r * sum_r AS BIGINT) AS var_num
+          FROM g
+        )
+        SELECT prompt_id, rollout_id, reward, n, adv_num, var_num,
+               CASE WHEN var_num > 0 THEN CAST(FLOOR(
+                   CAST(adv_num AS DOUBLE) / SQRT(CAST(var_num AS DOUBLE)) * 1e6
+               ) AS BIGINT) END AS grpo_adv_fp,
+               CASE WHEN n > 1 THEN CAST(FLOOR(
+                   CAST(adv_num AS DOUBLE) / CAST(n - 1 AS DOUBLE) * 1e6
+               ) AS BIGINT) END AS rloo_adv_fp,
+               var_num = 0 AS degenerate
+        FROM s
     """
 
     # priority sampling — same all-integer priority (w<<32) // (U+1),

@@ -170,3 +170,90 @@ def bt_ratings(
     return items.join(p, "item").select(
         "item", F.col("p").alias("rating"), "wins", "n_comps"
     )
+
+
+def group_advantages(
+    rollouts: DataFrame,
+    group_col: str = "prompt_id",
+    id_col: str = "rollout_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Per-prompt-group advantage estimates for policy-gradient RLHF.
+
+    The write-side of a GRPO/RLOO training run (Shao et al. 2024,
+    *DeepSeekMath*, §4.1; Ahmadian et al. 2024, *Back to Basics:
+    RLOO*): the policy samples a GROUP of rollouts per prompt, a
+    reward model scores each, and the per-rollout learning signal is
+    the reward standardized against its own group — no learned value
+    baseline.  This is the advantage-construction stage between
+    ``cv_best_of_n`` (keep the max) and ``cv_pref_pairs`` (keep a
+    pair): GRPO keeps EVERY rollout, weighted.
+
+    Input: one row per rollout with an INTEGER ``reward_col`` (the
+    engine-wide contract — callers quantize float rewards first, e.g.
+    ``floor(r * 100)``, so every sum below is exact).  Output: the
+    input keys plus the exact integer sufficient statistics and the
+    two standard advantages:
+
+    * ``n`` — group size; ``adv_num = n*r - sum(r)`` — the shared
+      centered numerator (exact integer);
+    * ``var_num = n*sum(r^2) - sum(r)^2`` — n^2 * population variance
+      (exact integer; 0 iff the group is reward-degenerate);
+    * ``grpo_adv = adv_num / sqrt(var_num)`` — the z-score
+      ``(r - mean)/std_pop`` as ONE IEEE chain over exact integers
+      (int->double casts, sqrt, and divide are all correctly rounded,
+      so the double is bit-identical on any engine — the s_diversity /
+      s_bitext_mine compare recipe); NULL when ``var_num = 0`` (the
+      degenerate group a GRPO step skips: zero gradient signal);
+    * ``rloo_adv = adv_num / (n - 1)`` — the leave-one-out baseline
+      ``r - mean(others)`` (same numerator, exact rational), NULL for
+      singleton groups;
+    * ``degenerate`` — ``var_num = 0`` flag for filter/monitoring.
+
+    Scale (10^9 rollouts, groups of 4-64): all three statistics ride
+    ONE window over ``group_col`` — a single hash Exchange of the
+    input (plan-tested), zero Python, no join back.  Group cardinality
+    is the sampler's G (bounded, typically <= 64), so no partition
+    skew: the heavy key is the PROMPT count, which is exactly what the
+    shuffle hashes over.  Int64 headroom: ``n * sum(r^2) <= n^2 *
+    max(r)^2`` must stay < 2^63, i.e. ``n * |r| < 3.0e9`` — a group of
+    64 rollouts with |reward| <= 4.7e7 fits; callers with wider
+    rewards lower the quantization scale (documented, like bt_ratings'
+    contrib_scale bound).
+
+    The reference has no RL layer (napalm-logs stops at per-event
+    publishing); this extends the transcript-pipeline eval/RLHF family
+    the way graph.pagerank extends the crawl side.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    r = F.col("_r")
+    base = rollouts.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(reward_col).cast("long").alias("_r"),
+    )
+    stats = (
+        base.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("_sum_r", F.sum(r).over(w))
+        .withColumn("_sum_r2", F.sum(r * r).over(w))
+    )
+    adv_num = F.col("n") * r - F.col("_sum_r")
+    var_num = F.col("n") * F.col("_sum_r2") - F.col("_sum_r") * F.col("_sum_r")
+    return stats.select(
+        F.col(group_col),
+        F.col(id_col),
+        r.alias("reward"),
+        F.col("n"),
+        adv_num.alias("adv_num"),
+        var_num.alias("var_num"),
+        F.when(
+            var_num > 0,
+            adv_num.cast("double") / F.sqrt(var_num.cast("double")),
+        ).alias("grpo_adv"),
+        F.when(
+            F.col("n") > 1, adv_num.cast("double") / (F.col("n") - 1).cast("double")
+        ).alias("rloo_adv"),
+        (var_num == 0).alias("degenerate"),
+    )

@@ -112,3 +112,89 @@ def test_draws_self_pairs_excluded(spark):
     out = [(1, 1), (1, 2), (2, 1)]
     rows = bt_pair_counts(_df(spark, out)).collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# group_advantages (GRPO / RLOO)
+
+
+def _adv_df(spark, rows):
+    from napalm_logs_spark.operators.ranking import group_advantages
+
+    df = spark.createDataFrame(rows, "prompt_id long, rollout_id long, reward long")
+    return group_advantages(df)
+
+
+def test_group_advantages_hand_computed(spark):
+    # group 1: rewards [1, 2, 3, 6] -> n=4, sum=12, sum2=50
+    # var_num = 4*50 - 144 = 56; for r=6: adv_num = 24-12 = 12,
+    # grpo = 12/sqrt(56), rloo = 12/3 = 4.
+    rows = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 6)]
+    got = {r["rollout_id"]: r for r in _adv_df(spark, rows).collect()}
+    assert got[13]["n"] == 4
+    assert got[13]["adv_num"] == 12
+    assert got[13]["var_num"] == 56
+    assert got[13]["grpo_adv"] == 12.0 / (56.0 ** 0.5)
+    assert got[13]["rloo_adv"] == 4.0
+    assert not got[13]["degenerate"]
+    # mean-reward rollout: centered numerator for r=3 is 4*3-12 = 0
+    assert got[12]["adv_num"] == 0 and got[12]["grpo_adv"] == 0.0
+    # advantages sum to zero within the group (exact integers)
+    assert sum(g["adv_num"] for g in got.values()) == 0
+
+
+def test_group_advantages_degenerate_and_singleton(spark):
+    rows = [(1, 1, 5), (1, 2, 5), (1, 3, 5), (2, 4, 7)]
+    got = {r["rollout_id"]: r for r in _adv_df(spark, rows).collect()}
+    # all-equal group: zero variance -> NULL grpo, flagged, RLOO still 0
+    assert got[1]["degenerate"] and got[1]["grpo_adv"] is None
+    assert got[1]["rloo_adv"] == 0.0
+    # singleton group: both advantages NULL, degenerate
+    assert got[4]["n"] == 1
+    assert got[4]["grpo_adv"] is None and got[4]["rloo_adv"] is None
+    assert got[4]["degenerate"]
+
+
+def test_group_advantages_parity_with_replication(spark):
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(400):
+        h = int(hashlib.md5(f"adv:{i}".encode()).hexdigest()[:8], 16)
+        rows.append((i // 8, i, h % 1000 - 500))
+    got = {r["rollout_id"]: r for r in _adv_df(spark, rows).collect()}
+    by_group = {}
+    for g, i, r in rows:
+        by_group.setdefault(g, []).append((i, r))
+    for g, members in by_group.items():
+        n = len(members)
+        s = sum(r for _, r in members)
+        s2 = sum(r * r for _, r in members)
+        var_num = n * s2 - s * s
+        for i, r in members:
+            adv = n * r - s
+            row = got[i]
+            assert row["adv_num"] == adv and row["var_num"] == var_num
+            if var_num > 0:
+                assert row["grpo_adv"] == float(adv) / math.sqrt(float(var_num))
+            assert row["rloo_adv"] == float(adv) / float(n - 1)
+
+
+def test_group_advantages_partitioning_invariance(spark):
+    rows = [(i % 7, i, (i * 37) % 23 - 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "prompt_id long, rollout_id long, reward long")
+    from napalm_logs_spark.operators.ranking import group_advantages
+
+    a = sorted(map(tuple, group_advantages(df.repartition(1)).collect()))
+    b = sorted(map(tuple, group_advantages(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_group_advantages_single_exchange_plan(spark):
+    rows = [(1, 1, 2), (1, 2, 4)]
+    df = spark.createDataFrame(rows, "prompt_id long, rollout_id long, reward long")
+    from napalm_logs_spark.operators.ranking import group_advantages
+
+    plan = group_advantages(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
