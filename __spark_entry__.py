@@ -2480,6 +2480,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return best_of_n(t, scores, prompt_text_col="ptext", min_candidates=2)
     q["cv_best_of_n"] = cv_best_of_n
 
+    def cv_prefix_share(spark, sf):
+        # Rollout prefix-trie sharing (operators/convstats.py
+        # prefix_sharing): per prompt group the exact prefix-cache /
+        # storage-dedup planning stats — trie vs naive chars and the
+        # group LCP depth.  Rollout groups synthesize deterministically
+        # from events: conv = event_id div 8 (8 turns), prompt group =
+        # conv div 4 (4 rollouts), turns up to depth (group % 3)+2 are
+        # group-shared text, deeper turns diverge per rollout; the
+        # oracle replays the running-prefix md5 as a windowed
+        # string_agg.
+        from napalm_logs_spark.operators.convstats import prefix_sharing
+
+        ev = _t(spark, sf, "events").select(
+            F.expr("event_id div 8").alias("conv"),
+            (F.col("event_id") % 8).alias("tix"),
+        )
+        t = ev.select(
+            F.concat(F.lit("c"), F.col("conv").cast("string")).alias("conv_id"),
+            F.col("tix").cast("int").alias("turn_idx"),
+            F.when(
+                F.col("tix") <= F.expr("(conv div 4) % 3") + 1,
+                F.concat_ws(
+                    ":",
+                    F.lit("p"),
+                    F.expr("conv div 4").cast("string"),
+                    F.col("tix").cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ":",
+                    F.lit("c"),
+                    F.col("conv").cast("string"),
+                    F.col("tix").cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        return prefix_sharing(t)
+    q["cv_prefix_share"] = cv_prefix_share
+
     def cv_truncate(spark, sf):
         from napalm_logs_spark.operators.convstats import transcripts_from_events
         from napalm_logs_spark.operators.sft import truncate_to_budget
@@ -5488,6 +5529,65 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT prompt_fp, conv_id, score, n_candidates, score_gap
         FROM r WHERE rn = 1 AND n_candidates >= 2
+    """
+
+    # rollout prefix-trie sharing — the running-prefix md5 replays as
+    # a windowed string_agg; trie = distinct (depth, prefix) nodes
+    o["cv_prefix_share"] = """
+        WITH t AS (
+          SELECT 'c' || CAST(event_id // 8 AS VARCHAR) AS conv_id,
+                 CAST(event_id % 8 AS INTEGER) AS turn_idx,
+                 CASE WHEN event_id % 8 <= (event_id // 32) % 3 + 1
+                      THEN 'p:' || CAST(event_id // 32 AS VARCHAR)
+                           || ':' || CAST(event_id % 8 AS VARCHAR)
+                      ELSE 'c:' || CAST(event_id // 8 AS VARCHAR)
+                           || ':' || CAST(event_id % 8 AS VARCHAR)
+                 END AS text
+          FROM events
+        ), o AS (
+          SELECT conv_id, text,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS depth
+          FROM t
+        ), capped AS (
+          SELECT * FROM o WHERE depth <= 64
+        ), p AS (
+          SELECT conv_id, CAST(depth AS INTEGER) AS depth,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 md5(string_agg(text, chr(31)) OVER
+                     (PARTITION BY conv_id ORDER BY depth
+                      ROWS UNBOUNDED PRECEDING)) AS pf,
+                 first_value(md5(text)) OVER
+                     (PARTITION BY conv_id ORDER BY depth
+                      ROWS UNBOUNDED PRECEDING) AS prompt_fp
+          FROM capped
+        ), ng AS (
+          SELECT prompt_fp, depth, pf,
+                 COUNT(*) AS cnt, MAX(n_chars) AS n_chars
+          FROM p GROUP BY 1, 2, 3
+        ), dg AS (
+          SELECT prompt_fp, depth, COUNT(*) AS n_pf, SUM(cnt) AS n_rows,
+                 SUM(n_chars) AS trie_d, SUM(n_chars * cnt) AS naive_d
+          FROM ng GROUP BY 1, 2
+        ), cg AS (
+          SELECT prompt_fp, COUNT(*) AS n_convs, SUM(nt) AS total_turns
+          FROM (
+            SELECT conv_id, any_value(prompt_fp) AS prompt_fp,
+                   COUNT(*) AS nt
+            FROM p GROUP BY conv_id
+          ) GROUP BY 1
+        )
+        SELECT dg.prompt_fp,
+               CAST(MAX(cg.n_convs) AS BIGINT) AS n_convs,
+               CAST(MAX(cg.total_turns) AS BIGINT) AS total_turns,
+               CAST(SUM(naive_d) AS BIGINT) AS naive_chars,
+               CAST(SUM(trie_d) AS BIGINT) AS trie_chars,
+               CAST(SUM(naive_d) - SUM(trie_d) AS BIGINT) AS shared_chars,
+               CAST(COALESCE(MAX(CASE WHEN n_pf = 1 AND n_rows = cg.n_convs
+                                      THEN depth END), 0) AS INTEGER)
+                 AS lcp_turns
+        FROM dg JOIN cg USING (prompt_fp)
+        GROUP BY 1
     """
 
     o["cv_truncate"] = rf"""

@@ -317,3 +317,110 @@ def turn_latency_stats(tdf: DataFrame) -> DataFrame:
         ).alias("avg_resp_us"),
         F.count("resp_us").alias("n_responses"),
     )
+
+
+def prefix_sharing(tdf: DataFrame, *, max_turns: int = 64) -> DataFrame:
+    """Prefix-trie sharing statistics per rollout group.
+
+    When a sampler draws N rollouts from one prompt (Best-of-N, GRPO
+    groups, tree search), the conversations share a prefix — the
+    prompt, and often the first agent turns.  Serving stacks exploit
+    this with prefix/KV caching (vLLM's prefix cache, SGLang's
+    RadixAttention) and storage stacks with prefix-trie dedup; the
+    planning input both need is "how much IS shared?".  Per prompt
+    group this computes exactly that: the character cost of the
+    group's prefix TRIE (each distinct turn-prefix stored once)
+    versus naive per-rollout storage, plus the depth of the deepest
+    turn-prefix common to ALL members (the group LCP — the cache hit
+    every member enjoys).
+
+    Mechanics: each conversation's ordered turn texts (capped at
+    ``max_turns``, the conversation_fingerprints reducer-memory
+    guard) expand to one node per depth ``d`` with
+    ``pf = md5(concat_ws(US, texts[1..d]))`` — the running-prefix
+    fingerprint, replayable in ANSI SQL as a windowed
+    ``string_agg``.  Groups key on ``md5(texts[1])`` (the
+    cv_pref_pairs prompt-identity convention).  Two conversations
+    share a trie node iff their first ``d`` turns are byte-identical,
+    so:
+
+    * ``naive_chars``  = SUM of turn chars over every rollout;
+    * ``trie_chars``   = SUM over DISTINCT (depth, pf) nodes —
+      what a prefix-deduplicated store/cache actually holds;
+    * ``shared_chars`` = the difference (cache-hit volume);
+    * ``lcp_turns``    = max depth where the group has ONE distinct
+      prefix held by ALL ``n_convs`` members (prefix property makes
+      this monotone, so ``max`` is correct; a singleton group's LCP
+      is its own turn count and its ``shared_chars`` is 0).
+
+    Scale: the conv_id collect is the fingerprints aggregate (state
+    bounded by ``max_turns``); nodes explode to at most ``turns``
+    rows and every later aggregate only shrinks them.  The per-depth
+    prefix concat is O(T²) characters per conversation — bounded by
+    ``max_turns``² and chosen deliberately: it makes the fingerprint
+    an exact ANSI replay (the alternative, an O(T) chained hash,
+    needs recursion no portable oracle has).  Group skew is the
+    sampler's N (bounded); the hot key is the prompt count, which is
+    what the shuffle hashes.  Zero Python throughout.
+    """
+    turns = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+    per_conv = (
+        tdf.groupBy("conv_id")
+        .agg(turns.alias("ts"))
+        .select(
+            "conv_id",
+            F.transform(F.slice("ts", 1, max_turns), lambda s: s["text"]).alias(
+                "texts"
+            ),
+        )
+        .withColumn("prompt_fp", F.md5(F.element_at("texts", 1)))
+    )
+    depth_structs = F.transform(
+        F.sequence(F.lit(1), F.size("texts")),
+        lambda d: F.struct(
+            d.cast("int").alias("depth"),
+            F.md5(F.concat_ws(US, F.slice(F.col("texts"), F.lit(1), d))).alias("pf"),
+            F.coalesce(
+                F.length(F.element_at(F.col("texts"), d)), F.lit(0)
+            ).cast("long").alias("n_chars"),
+        ),
+    )
+    nodes = per_conv.select(
+        "prompt_fp", F.explode(depth_structs).alias("nd")
+    ).select("prompt_fp", "nd.*")
+    node_g = nodes.groupBy("prompt_fp", "depth", "pf").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # identical pf at a depth => identical prefix => identical
+        # turn text, so max is a deterministic pick of equal values
+        F.max("n_chars").alias("n_chars"),
+    )
+    depth_g = node_g.groupBy("prompt_fp", "depth").agg(
+        F.count(F.lit(1)).alias("n_pf"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum("n_chars").alias("trie_d"),
+        F.sum(F.col("n_chars") * F.col("cnt")).alias("naive_d"),
+    )
+    conv_g = per_conv.groupBy("prompt_fp").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum(F.size("texts")).alias("total_turns"),
+    )
+    return (
+        depth_g.join(conv_g, "prompt_fp")
+        .groupBy("prompt_fp")
+        .agg(
+            F.first("n_convs").alias("n_convs"),
+            F.first("total_turns").alias("total_turns"),
+            F.sum("naive_d").alias("naive_chars"),
+            F.sum("trie_d").alias("trie_chars"),
+            (F.sum("naive_d") - F.sum("trie_d")).alias("shared_chars"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("n_pf") == 1) & (F.col("n_rows") == F.col("n_convs")),
+                        F.col("depth"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("lcp_turns"),
+        )
+    )

@@ -222,3 +222,112 @@ def test_role_violations(spark):
     assert got["c4"]["bad_start"] == 0
     assert got["c4"]["n_same_role"] == 1
     assert got["c4"]["valid"] is False
+
+
+# ---------------------------------------------------------------------------
+# prefix_sharing (rollout-group trie / KV-cache planning stats)
+
+
+def _pfx_rows(convs):
+    """convs: {conv_id: [text, ...]} -> transcript rows."""
+    rows = []
+    for cid, texts in convs.items():
+        for i, t in enumerate(texts):
+            rows.append((cid, i, "user" if i == 0 else "agent", t, None, _ts(i)))
+    return rows
+
+
+def _py_prefix_sharing(convs, max_turns=64):
+    """Independent replication: dict/trie-based, hashlib prefixes."""
+    groups = {}
+    for cid, texts in convs.items():
+        texts = texts[:max_turns]
+        fp = hashlib.md5(texts[0].encode()).hexdigest()
+        groups.setdefault(fp, []).append(texts)
+    out = {}
+    for fp, members in groups.items():
+        nodes = {}  # (depth, prefix_hash) -> (n_chars, count)
+        naive = 0
+        for texts in members:
+            for d in range(1, len(texts) + 1):
+                pf = hashlib.md5(US.join(texts[:d]).encode()).hexdigest()
+                n = len(texts[d - 1])
+                naive += n
+                c = nodes.get((d, pf), (n, 0))
+                nodes[(d, pf)] = (n, c[1] + 1)
+        trie = sum(n for n, _ in nodes.values())
+        lcp = 0
+        for d in range(1, max(len(t) for t in members) + 1):
+            at_d = [(k, v) for k, v in nodes.items() if k[0] == d]
+            if len(at_d) == 1 and at_d[0][1][1] == len(members):
+                lcp = d
+        out[fp] = dict(
+            n_convs=len(members),
+            total_turns=sum(len(t) for t in members),
+            naive_chars=naive,
+            trie_chars=trie,
+            shared_chars=naive - trie,
+            lcp_turns=lcp,
+        )
+    return out
+
+
+def test_prefix_sharing_hand_computed(spark):
+    from napalm_logs_spark.operators.convstats import prefix_sharing
+
+    # one prompt group: 3 rollouts share ["P", "A1"] then diverge;
+    # a second group is a singleton.
+    convs = {
+        "r1": ["P", "A1", "x"],
+        "r2": ["P", "A1", "yy"],
+        "r3": ["P", "A1", "x"],  # byte-identical to r1 -> full share
+        "solo": ["Q", "zzz"],
+    }
+    got = {
+        r["prompt_fp"]: r.asDict()
+        for r in prefix_sharing(_tdf(spark, _pfx_rows(convs))).collect()
+    }
+    g = got[hashlib.md5(b"P").hexdigest()]
+    # trie: depth1 "P" (1 char) + depth2 "A1" (2) + depth3 {"x","yy"} (1+2)
+    assert g["trie_chars"] == 1 + 2 + 1 + 2
+    # naive: 3*(1+2) + 1 + 2 + 1
+    assert g["naive_chars"] == 13
+    assert g["shared_chars"] == 13 - 6
+    assert g["lcp_turns"] == 2  # r2 diverges at depth 3
+    assert g["n_convs"] == 3 and g["total_turns"] == 9
+    s = got[hashlib.md5(b"Q").hexdigest()]
+    # singleton: whole conversation is its own LCP, nothing shared
+    assert s["shared_chars"] == 0 and s["lcp_turns"] == 2
+
+
+def test_prefix_sharing_parity_with_replication(spark):
+    from napalm_logs_spark.operators.convstats import prefix_sharing
+
+    convs = {}
+    for c in range(40):
+        g, sd = c // 5, (c // 5) % 3 + 1
+        texts = [f"p:{g}:{k}" if k <= sd else f"c:{c}:{k}" for k in range(6)]
+        convs[f"c{c:03d}"] = texts
+    want = _py_prefix_sharing(convs)
+    got = {
+        r["prompt_fp"]: r.asDict()
+        for r in prefix_sharing(_tdf(spark, _pfx_rows(convs))).collect()
+    }
+    assert set(got) == set(want)
+    for fp, w in want.items():
+        for k, v in w.items():
+            assert got[fp][k] == v, (fp, k, got[fp], w)
+
+
+def test_prefix_sharing_max_turns_and_invariance(spark):
+    from napalm_logs_spark.operators.convstats import prefix_sharing
+
+    convs = {f"c{i}": [f"P"] + [f"t:{i}:{k}" for k in range(5)] for i in range(6)}
+    df = _tdf(spark, _pfx_rows(convs))
+    capped = prefix_sharing(df, max_turns=3).collect()
+    assert capped[0]["total_turns"] == 18  # 6 convs x 3 kept turns
+    want = _py_prefix_sharing(convs, max_turns=3)
+    assert capped[0]["trie_chars"] == want[hashlib.md5(b"P").hexdigest()]["trie_chars"]
+    a = sorted(map(tuple, prefix_sharing(df.repartition(1)).collect()))
+    b = sorted(map(tuple, prefix_sharing(df.repartition(11)).collect()))
+    assert a == b
