@@ -2812,6 +2812,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["r_grpo_adv"] = r_grpo_adv
 
+    def r_reward_len_bias(spark, sf):
+        # Reward↔length bias (operators/ranking.py reward_length_bias):
+        # the length-hacking gauge — within-group Pearson correlation
+        # between completion length and reward from exact integer sums;
+        # denominator as sqrt(denx)·sqrt(deny) because denx·deny
+        # overflows int64.  Rollouts synthesize from events: groups of
+        # 64, length = chars of props, reward = floor(value*100) with a
+        # planted length term (reward + n_chars) on even groups so the
+        # gauge has signal to find.
+        from napalm_logs_spark.operators.ranking import reward_length_bias
+
+        ev = _t(spark, sf, "events").select(
+            F.expr("event_id div 64").alias("prompt_id"),
+            F.length("props").cast("long").alias("n_chars"),
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("r0"),
+        )
+        ro = ev.select(
+            "prompt_id",
+            "n_chars",
+            F.when(
+                F.col("prompt_id") % 2 == 0,
+                F.col("r0") + F.col("n_chars") * 20
+            ).otherwise(F.col("r0")).alias("reward"),
+        )
+        out = reward_length_bias(ro)
+        return out.select(
+            "prompt_id",
+            "n",
+            "num",
+            "denx",
+            "deny",
+            F.floor(F.col("pearson_r") * F.lit(1e6)).cast("long").alias(
+                "pearson_fp"
+            ),
+        )
+    q["r_reward_len_bias"] = r_reward_len_bias
+
     def t_priority_sample(spark, sf):
         # Priority sampling (operators/text.py priority_sample,
         # Duffield-Lund-Thorup 2007): the fixed-size weight-proportional
@@ -6026,6 +6063,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(adv_num AS DOUBLE) / CAST(n - 1 AS DOUBLE) * 1e6
                ) AS BIGINT) END AS rloo_adv_fp,
                var_num = 0 AS degenerate
+        FROM s
+    """
+
+    # reward-length bias — exact integer Pearson pieces; the float r is
+    # the same 4-op IEEE chain (two sqrt, multiply, divide) both sides
+    o["r_reward_len_bias"] = """
+        WITH ro AS (
+          SELECT event_id // 64 AS prompt_id,
+                 CAST(length(props) AS BIGINT) AS x,
+                 CASE WHEN (event_id // 64) % 2 = 0
+                      THEN CAST(FLOOR(value * 100) AS BIGINT)
+                           + CAST(length(props) AS BIGINT) * 20
+                      ELSE CAST(FLOOR(value * 100) AS BIGINT)
+                 END AS y
+          FROM events
+        ), g AS (
+          SELECT prompt_id, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM ro GROUP BY 1
+        ), s AS (
+          SELECT prompt_id, CAST(n AS BIGINT) AS n,
+                 CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                 CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+                 CAST(n * syy - sy * sy AS BIGINT) AS deny
+          FROM g
+        )
+        SELECT prompt_id, n, num, denx, deny,
+               CASE WHEN denx > 0 AND deny > 0 THEN CAST(FLOOR(
+                 CAST(num AS DOUBLE)
+                   / (SQRT(CAST(denx AS DOUBLE)) * SQRT(CAST(deny AS DOUBLE)))
+                   * 1e6) AS BIGINT) END AS pearson_fp
         FROM s
     """
 

@@ -268,3 +268,66 @@ def _advantage_select(stats: DataFrame, group_col: str, id_col: str) -> DataFram
         ).alias("rloo_adv"),
         (var_num == 0).alias("degenerate"),
     )
+
+
+def reward_length_bias(
+    rollouts: DataFrame,
+    group_col: str = "prompt_id",
+    reward_col: str = "reward",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group reward↔length correlation — the length-hacking gauge.
+
+    The best-documented reward-model failure is length bias: the RM
+    scores longer completions higher regardless of quality, and the
+    policy learns to pad (Singhal et al. 2023, *A Long Way to Go*;
+    every RLHF ablation since).  The standing QA check is the
+    correlation between completion length and reward WITHIN a prompt
+    group — across prompts, length and difficulty confound; within a
+    group, a strong positive correlation is the smoking gun that the
+    advantage signal (:func:`group_advantages`) is paying for tokens.
+
+    Inputs are INTEGER columns (the engine contract — quantize float
+    rewards as in ``group_advantages``; ``len_col`` is already a
+    count).  Per group this emits the exact integer Pearson pieces
+
+        num  = n·Σxy − Σx·Σy
+        denx = n·Σx² − (Σx)²      deny = n·Σy² − (Σy)²
+
+    and ``pearson_r = num / (sqrt(denx)·sqrt(deny))``.  ``denx·deny``
+    would overflow int64 (each is ≤ n²·max²), so the denominator is
+    the product of two exact square roots — four correctly-rounded
+    IEEE ops over exact integers, bit-identical on any engine (the
+    group_advantages compare recipe).  NULL when either side is
+    constant (zero variance ⇒ correlation undefined).
+
+    Scale: one hash aggregate on ``group_col`` — map-side combined,
+    output one row per prompt.  Int64 headroom: ``n·Σx² ≤ n²·max(x)²
+    < 2^63`` requires ``n·max(|x|, |y|) < 3.0e9`` per group, same
+    bound as group_advantages.
+    """
+    x = F.col(len_col).cast("long")
+    y = F.col(reward_col).cast("long")
+    g = rollouts.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return g.select(
+        F.col(group_col),
+        F.col("n"),
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("pearson_r"),
+    )

@@ -198,3 +198,68 @@ def test_group_advantages_single_exchange_plan(spark):
 
     plan = group_advantages(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# reward_length_bias (length-hacking gauge)
+
+
+def _bias_df(spark, rows):
+    from napalm_logs_spark.operators.ranking import reward_length_bias
+
+    df = spark.createDataFrame(rows, "prompt_id long, n_chars long, reward long")
+    return reward_length_bias(df)
+
+
+def test_reward_length_bias_hand_computed(spark):
+    import math
+
+    # perfectly linear y = 2x -> r = 1 up to the documented IEEE chain
+    # (sqrt(6)*sqrt(24) = 11.999999999999998, so r is 1 + 1ulp — the
+    # contract is cross-engine bit-identity of the chain, not algebra)
+    rows = [(1, 1, 2), (1, 2, 4), (1, 3, 6)]
+    g = _bias_df(spark, rows).collect()[0]
+    assert (g["num"], g["denx"], g["deny"]) == (12, 6, 24)
+    assert g["pearson_r"] == 12.0 / (math.sqrt(6.0) * math.sqrt(24.0))
+    assert abs(g["pearson_r"] - 1.0) < 1e-12
+    # perfectly anti-linear -> r = -1 via the same chain
+    rows = [(1, 1, 6), (1, 2, 4), (1, 3, 2)]
+    g = _bias_df(spark, rows).collect()[0]
+    assert g["pearson_r"] == -12.0 / (math.sqrt(6.0) * math.sqrt(24.0))
+
+
+def test_reward_length_bias_degenerate(spark):
+    # constant reward: deny = 0 -> undefined correlation
+    rows = [(1, 1, 5), (1, 2, 5), (1, 3, 5)]
+    g = _bias_df(spark, rows).collect()[0]
+    assert g["deny"] == 0 and g["pearson_r"] is None
+    # singleton group: both variances 0
+    g = _bias_df(spark, [(2, 7, 3)]).collect()[0]
+    assert g["n"] == 1 and g["pearson_r"] is None
+
+
+def test_reward_length_bias_parity_and_invariance(spark):
+    import math
+
+    rows = [(i // 16, (i * 13) % 97 + 1, (i * 37) % 53 - 26) for i in range(320)]
+    df = spark.createDataFrame(rows, "prompt_id long, n_chars long, reward long")
+    from napalm_logs_spark.operators.ranking import reward_length_bias
+
+    got = {r["prompt_id"]: r for r in reward_length_bias(df).collect()}
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+    for g, m in by_g.items():
+        n = len(m)
+        sx, sy = sum(x for x, _ in m), sum(y for _, y in m)
+        sxy = sum(x * y for x, y in m)
+        sxx, syy = sum(x * x for x, _ in m), sum(y * y for _, y in m)
+        num, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        row = got[g]
+        assert (row["num"], row["denx"], row["deny"]) == (num, denx, deny)
+        if denx > 0 and deny > 0:
+            want = float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
+            assert row["pearson_r"] == want
+    a = sorted(map(tuple, reward_length_bias(df.repartition(1)).collect()))
+    b = sorted(map(tuple, reward_length_bias(df.repartition(9)).collect()))
+    assert a == b
