@@ -2849,6 +2849,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["r_reward_len_bias"] = r_reward_len_bias
 
+    def r_fleiss_kappa(spark, sf):
+        # Fleiss' kappa (operators/ranking.py fleiss_kappa): the
+        # inter-annotator-agreement QA gate run before preference
+        # labels train a reward model.  Ratings synthesize from
+        # events: item = event_id div 3 (3 raters; the final partial
+        # item exercises the drop path), category from the integer
+        # reward mod 4.  Exact integer sufficient statistics; po/pe/
+        # kappa are the pinned division chain floored to 1e-6.
+        from napalm_logs_spark.operators.ranking import fleiss_kappa
+
+        ev = _t(spark, sf, "events").select(
+            F.expr("event_id div 3").alias("item_id"),
+            F.concat(
+                F.lit("c"),
+                (F.floor(F.col("value") * F.lit(100.0)).cast("long") % 4).cast(
+                    "string"
+                ),
+            ).alias("category"),
+        )
+        out = fleiss_kappa(ev, raters=3)
+        return out.select(
+            "n_items",
+            "n_raters",
+            "n_categories",
+            "n_items_dropped",
+            "po_num",
+            "po_den",
+            "s",
+            "nn2",
+            F.floor(F.col("po") * F.lit(1e6)).cast("long").alias("po_fp"),
+            F.floor(F.col("pe") * F.lit(1e6)).cast("long").alias("pe_fp"),
+            F.floor(F.col("kappa") * F.lit(1e6)).cast("long").alias("kappa_fp"),
+        )
+    q["r_fleiss_kappa"] = r_fleiss_kappa
+
     def t_priority_sample(spark, sf):
         # Priority sampling (operators/text.py priority_sample,
         # Duffield-Lund-Thorup 2007): the fixed-size weight-proportional
@@ -6096,6 +6131,61 @@ def oracle_sql() -> dict[str, str]:
                    / (SQRT(CAST(denx AS DOUBLE)) * SQRT(CAST(deny AS DOUBLE)))
                    * 1e6) AS BIGINT) END AS pearson_fp
         FROM s
+    """
+
+    # Fleiss' kappa — exact integer sufficient statistics over the
+    # qualified (exactly-3-ratings) items; same pinned division chain
+    o["r_fleiss_kappa"] = """
+        WITH r AS (
+          SELECT event_id // 3 AS item_id,
+                 'c' || CAST(CAST(FLOOR(value * 100) AS BIGINT) % 4
+                             AS VARCHAR) AS category
+          FROM events
+        ), counts AS (
+          SELECT item_id, category, COUNT(*) AS n_ic
+          FROM r GROUP BY 1, 2
+        ), per_item AS (
+          SELECT item_id, SUM(n_ic) AS n_i,
+                 SUM(n_ic * (n_ic - 1)) AS po_i
+          FROM counts GROUP BY 1
+        ), istats AS (
+          SELECT CAST(SUM(CASE WHEN n_i = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_items,
+                 CAST(SUM(CASE WHEN n_i <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_items_dropped,
+                 CAST(SUM(CASE WHEN n_i = 3 THEN po_i ELSE 0 END) AS BIGINT)
+                   AS po_num
+          FROM per_item
+        ), cstats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+                 CAST(SUM(t * t) AS BIGINT) AS s
+          FROM (
+            SELECT c.category, SUM(c.n_ic) AS t
+            FROM counts c JOIN per_item p USING (item_id)
+            WHERE p.n_i = 3
+            GROUP BY 1
+          )
+        ), flat AS (
+          SELECT n_items, CAST(3 AS INTEGER) AS n_raters, n_categories,
+                 n_items_dropped, po_num,
+                 n_items * 3 * 2 AS po_den, s,
+                 (n_items * 3) * (n_items * 3) AS nn2
+          FROM istats, cstats
+        )
+        SELECT n_items, n_raters, n_categories, n_items_dropped,
+               po_num, po_den, s, nn2,
+               CAST(FLOOR(CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
+                          * 1e6) AS BIGINT) AS po_fp,
+               CAST(FLOOR(CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE)
+                          * 1e6) AS BIGINT) AS pe_fp,
+               CASE WHEN CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE) <> 1.0
+                    THEN CAST(FLOOR(
+                      (CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                      / (1.0 - CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE))
+                      * 1e6) AS BIGINT)
+               END AS kappa_fp
+        FROM flat
     """
 
     # priority sampling — same all-integer priority (w<<32) // (U+1),

@@ -331,3 +331,99 @@ def reward_length_bias(
             / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
         ).alias("pearson_r"),
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+    *,
+    raters: int,
+) -> DataFrame:
+    """Fleiss' kappa over a (item, category) rating log.
+
+    Before preference labels train a reward model, the standing QA
+    gate is inter-annotator agreement: with ``raters`` independent
+    annotators assigning one of k categories per item, Fleiss (1971)
+    measures chance-corrected agreement.  Items rated by a different
+    number of annotators (dropped assignments, dedup collisions) are
+    EXCLUDED and counted — the classic statistic is only defined at
+    constant n, and silently mixing panel sizes biases Pe.
+
+    Exact integer sufficient statistics (one shuffle each, map-side
+    combined):
+
+        po_num = Σ_{i,c} n_ic·(n_ic − 1)      po_den = N·n·(n−1)
+        s      = Σ_c T_c²   with   T_c = Σ_i n_ic      nn2 = (N·n)²
+
+    and the value is the PINNED IEEE chain (each op correctly
+    rounded, so bit-identical cross-engine — the engine-wide compare
+    recipe)::
+
+        po = po_num/po_den;  pe = s/nn2;  kappa = (po − pe)/(1 − pe)
+
+    ``kappa`` is NULL when pe = 1 (all mass in one category — chance
+    agreement is total and the statistic is undefined; the
+    t_gate_agreement convention).  Output: ONE row —
+    ``(n_items, n_raters, n_categories, n_items_dropped, po_num,
+    po_den, s, nn2, po, pe, kappa)``.
+
+    Scale: ratings → (item, category) counts (shuffle 1, input-sized)
+    → per-item qualification + po partials (shuffle 2 on item) and
+    category totals (shuffle 3 on category, k rows) → three scalar
+    rows joined by crossJoin broadcast.  Int64 headroom: ``(N·n)²``
+    and ``T_c²`` cap at ~9.2e18, so N·n < 3.0e9 rated assignments;
+    beyond that, lift s/nn2 to DECIMAL(38,0) (the s_diversity
+    recipe).
+    """
+    if raters < 2:
+        raise ValueError("fleiss_kappa needs raters >= 2")
+    counts = ratings.groupBy(item_col, category_col).agg(
+        F.count(F.lit(1)).alias("n_ic")
+    )
+    per_item = counts.groupBy(item_col).agg(
+        F.sum("n_ic").alias("n_i"),
+        F.sum(F.col("n_ic") * (F.col("n_ic") - 1)).alias("po_i"),
+    )
+    qualified = per_item.select(
+        item_col, (F.col("n_i") == raters).alias("ok"), "po_i"
+    )
+    item_stats = qualified.agg(
+        F.sum(F.col("ok").cast("long")).alias("n_items"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_items_dropped"),
+        F.sum(F.when(F.col("ok"), F.col("po_i")).otherwise(F.lit(0))).alias(
+            "po_num"
+        ),
+    )
+    cat_stats = (
+        counts.join(
+            qualified.filter("ok").select(item_col), item_col
+        )
+        .groupBy(category_col)
+        .agg(F.sum("n_ic").alias("t_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.sum(F.col("t_c") * F.col("t_c")).alias("s"),
+        )
+    )
+    out = item_stats.crossJoin(F.broadcast(cat_stats))
+    po_den = F.col("n_items") * F.lit(raters) * F.lit(raters - 1)
+    nn2 = (F.col("n_items") * F.lit(raters)) * (F.col("n_items") * F.lit(raters))
+    # guard n_items = 0 (every item dropped): double 0/0 is engine-
+    # dependent (NaN vs NULL), so the stats are NULL outright
+    some = F.col("n_items") > 0
+    po = F.when(some, F.col("po_num").cast("double") / po_den.cast("double"))
+    pe = F.when(some, F.col("s").cast("double") / nn2.cast("double"))
+    return out.select(
+        "n_items",
+        F.lit(raters).alias("n_raters"),
+        "n_categories",
+        "n_items_dropped",
+        "po_num",
+        po_den.alias("po_den"),
+        "s",
+        nn2.alias("nn2"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(some & (pe != 1.0), (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

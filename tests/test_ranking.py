@@ -263,3 +263,79 @@ def test_reward_length_bias_parity_and_invariance(spark):
     a = sorted(map(tuple, reward_length_bias(df.repartition(1)).collect()))
     b = sorted(map(tuple, reward_length_bias(df.repartition(9)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa (inter-annotator agreement)
+
+
+def _kappa_df(spark, rows, raters):
+    from napalm_logs_spark.operators.ranking import fleiss_kappa
+
+    df = spark.createDataFrame(rows, "item_id long, category string")
+    return fleiss_kappa(df, raters=raters)
+
+
+def _py_fleiss(rows, raters):
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(Counter)
+    for i, c in rows:
+        per_item[i][c] += 1
+    ok = {i: cnt for i, cnt in per_item.items() if sum(cnt.values()) == raters}
+    N = len(ok)
+    if N == 0:
+        return None
+    po_num = sum(v * (v - 1) for cnt in ok.values() for v in cnt.values())
+    po_den = N * raters * (raters - 1)
+    t = Counter()
+    for cnt in ok.values():
+        t.update(cnt)
+    s = sum(v * v for v in t.values())
+    nn2 = (N * raters) ** 2
+    po, pe = po_num / po_den, s / nn2
+    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+    return dict(n_items=N, po_num=po_num, po_den=po_den, s=s, nn2=nn2,
+                po=po, pe=pe, kappa=kappa)
+
+
+def test_fleiss_kappa_perfect_and_chance(spark):
+    # 4 items, 3 raters, unanimous but SPLIT across categories -> kappa 1
+    rows = [(i, "a" if i % 2 else "b") for i in range(4) for _ in range(3)]
+    g = _kappa_df(spark, rows, raters=3).collect()[0]
+    assert g["po_num"] == 4 * 6 and g["kappa"] == 1.0
+    # all raters in one category on every item: pe = 1 -> undefined
+    rows = [(i, "a") for i in range(4) for _ in range(3)]
+    g = _kappa_df(spark, rows, raters=3).collect()[0]
+    assert g["pe"] == 1.0 and g["kappa"] is None
+
+
+def test_fleiss_kappa_drops_unbalanced_items(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"),       # qualified
+            (2, "a"), (2, "b"),                 # only 2 ratings -> dropped
+            (3, "a"), (3, "a"), (3, "a"), (3, "a")]  # 4 ratings -> dropped
+    g = _kappa_df(spark, rows, raters=3).collect()[0]
+    assert g["n_items"] == 1 and g["n_items_dropped"] == 2
+    want = _py_fleiss(rows, 3)
+    assert g["po_num"] == want["po_num"] and g["s"] == want["s"]
+    # dropped items must not leak into category totals
+    assert g["s"] == 2 * 2 + 1 * 1
+
+
+def test_fleiss_kappa_parity_and_empty(spark):
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        for rtr in range(4):
+            h = int(hashlib.md5(f"fk:{i}:{rtr}".encode()).hexdigest()[:4], 16)
+            rows.append((i, "cat" + str(h % 3)))
+    g = _kappa_df(spark, rows, raters=4).collect()[0]
+    want = _py_fleiss(rows, 4)
+    for k in ("n_items", "po_num", "po_den", "s", "nn2"):
+        assert g[k] == want[k], k
+    assert g["po"] == want["po"] and g["pe"] == want["pe"]
+    assert abs(g["kappa"] - want["kappa"]) < 1e-15
+    # every item dropped: stats NULL, not NaN
+    g = _kappa_df(spark, [(1, "a"), (2, "b")], raters=3).collect()[0]
+    assert g["n_items"] == 0 and g["kappa"] is None and g["po"] is None
