@@ -2884,6 +2884,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["r_fleiss_kappa"] = r_fleiss_kappa
 
+    def cv_boilerplate(spark, sf):
+        # Boilerplate-turn detection (operators/convstats.py
+        # boilerplate_turns): turns whose normalized text recurs in
+        # >= min_df DISTINCT conversations — d_segment_dedup at turn
+        # granularity, the canned-acknowledgement filter an assistant
+        # corpus runs before SFT.  Boilerplate is planted by replacing
+        # props with 'ack' on every 5th event (so each event_type forms
+        # one hot template), identically in the oracle.
+        from napalm_logs_spark.operators.convstats import (
+            boilerplate_turns,
+            transcripts_from_events,
+        )
+
+        ev = _t(spark, sf, "events").withColumn(
+            "props",
+            F.when(F.col("event_id") % 5 == 0, F.lit("ack")).otherwise(
+                F.col("props")
+            ),
+        )
+        out = boilerplate_turns(transcripts_from_events(ev), min_df=3)
+        return out.select(
+            "conv_id", "turn_idx", "role", "text", "turn_df", "is_boilerplate"
+        )
+    q["cv_boilerplate"] = cv_boilerplate
+
     def t_priority_sample(spark, sf):
         # Priority sampling (operators/text.py priority_sample,
         # Duffield-Lund-Thorup 2007): the fixed-size weight-proportional
@@ -6131,6 +6156,29 @@ def oracle_sql() -> dict[str, str]:
                    / (SQRT(CAST(denx AS DOUBLE)) * SQRT(CAST(deny AS DOUBLE)))
                    * 1e6) AS BIGINT) END AS pearson_fp
         FROM s
+    """
+
+    # boilerplate turns — distinct-conversation frequency of the
+    # normalized turn digest, planted 'ack' templates on every 5th event
+    o["cv_boilerplate"] = f"""
+        WITH ev AS (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN event_id % 5 = 0 THEN 'ack' ELSE props END AS props
+          FROM events
+        ), t AS ({_TRANS.replace("FROM events", "FROM ev")}),
+        k AS (
+          SELECT conv_id, turn_idx, role, text,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS key
+          FROM t
+        ), dfreq AS (
+          SELECT key, COUNT(*) AS turn_df
+          FROM (SELECT DISTINCT key, conv_id FROM k) GROUP BY 1
+        )
+        SELECT conv_id, turn_idx, role, text,
+               CAST(turn_df AS BIGINT) AS turn_df,
+               turn_df >= 3 AS is_boilerplate
+        FROM k JOIN dfreq USING (key)
     """
 
     # Fleiss' kappa — exact integer sufficient statistics over the

@@ -424,3 +424,46 @@ def prefix_sharing(tdf: DataFrame, *, max_turns: int = 64) -> DataFrame:
             ).alias("lcp_turns"),
         )
     )
+
+
+def boilerplate_turns(
+    tdf: DataFrame, *, min_df: int = 3, normalize: bool = True
+) -> DataFrame:
+    """Corpus-level boilerplate-turn detection (turn-level segment dedup).
+
+    Assistant corpora are full of turns that appear verbatim in
+    thousands of conversations — canned acknowledgements, templated
+    tool banners, safety boilerplate.  Training on them over-weights
+    the template (the Gopher/CCNet repeated-segment argument —
+    ``d_segment_dedup`` — at TURN granularity, the natural unit of
+    the input_hint table), so curation flags every turn whose
+    normalized text occurs in ``min_df``-or-more DISTINCT
+    conversations.
+
+    Normalization (``lower``, whitespace collapse, trim) makes
+    trivially-reformatted copies collide — the agent_loop_detect key
+    convention.  Mechanics: one DISTINCT over (digest, conv_id) —
+    NOT a per-digest ``collect_set``, which a hot template key
+    ("ok.") would blow up — then a digest-count table joined back to
+    the input.  The count table is one row per distinct turn text;
+    the join back is a plain hash join AQE can skew-split, and a
+    turn's verdict never depends on partitioning.  Output:
+    input rows + ``turn_df`` (distinct-conversation frequency) +
+    ``is_boilerplate``; filter downstream with
+    ``~is_boilerplate | role != 'agent'`` or similar policy.
+    """
+    key = F.col("text")
+    if normalize:
+        key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
+    keyed = tdf.withColumn("_key", F.md5(key))
+    df_tab = (
+        keyed.select("_key", "conv_id")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("turn_df"))
+    )
+    return (
+        keyed.join(df_tab, "_key")
+        .drop("_key")
+        .withColumn("is_boilerplate", F.col("turn_df") >= min_df)
+    )

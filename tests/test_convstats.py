@@ -331,3 +331,49 @@ def test_prefix_sharing_max_turns_and_invariance(spark):
     a = sorted(map(tuple, prefix_sharing(df.repartition(1)).collect()))
     b = sorted(map(tuple, prefix_sharing(df.repartition(11)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_turns (turn-level segment dedup)
+
+
+def test_boilerplate_turns_semantics(spark):
+    from napalm_logs_spark.operators.convstats import boilerplate_turns
+
+    rows = []
+    # "Sure!" appears (reformatted) in 3 conversations; unique tails don't
+    for c in range(3):
+        rows += [(f"c{c}", 0, "user", f"ask {c}", None, _ts(0)),
+                 (f"c{c}", 1, "agent", ["Sure!", "  sure! ", "SURE!"][c], None, _ts(1)),
+                 (f"c{c}", 2, "agent", f"answer {c}", None, _ts(2))]
+    # same text twice within ONE conversation: df counts conversations, not turns
+    rows += [("c9", 0, "agent", "dup-in-conv", None, _ts(0)),
+             ("c9", 1, "agent", "dup-in-conv", None, _ts(1))]
+    out = boilerplate_turns(_tdf(spark, rows), min_df=3).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], []).append(r)
+    assert all(r["turn_df"] == 3 and r["is_boilerplate"]
+               for t in ("Sure!", "  sure! ", "SURE!") for r in by_text[t])
+    assert all(r["turn_df"] == 1 and not r["is_boilerplate"]
+               for t in ("ask 0", "answer 2") for r in by_text[t])
+    assert all(r["turn_df"] == 1 for r in by_text["dup-in-conv"])
+    assert len(out) == len(rows)  # row-preserving
+
+    # normalize=False: the three variants no longer collide
+    raw = boilerplate_turns(_tdf(spark, rows), min_df=3, normalize=False)
+    assert raw.filter("is_boilerplate").count() == 0
+
+
+def test_boilerplate_turns_partitioning_invariance(spark):
+    from napalm_logs_spark.operators.convstats import boilerplate_turns
+
+    rows = []
+    for c in range(20):
+        for k in range(4):
+            t = "ACK" if (c + k) % 3 == 0 else f"u:{c}:{k}"
+            rows.append((f"c{c}", k, "agent", t, None, _ts(k)))
+    df = _tdf(spark, rows)
+    a = sorted(map(tuple, boilerplate_turns(df.repartition(1), min_df=5).collect()))
+    b = sorted(map(tuple, boilerplate_turns(df.repartition(9), min_df=5).collect()))
+    assert a == b
