@@ -2601,6 +2601,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["d_bloom_incremental"] = d_bloom_incremental
 
+    def d_memorization(spark, sf):
+        # Verbatim-memorization probe (operators/docdedup.py
+        # memorization_spans): per generated sample the LONGEST
+        # consecutive run of corpus-matched word 4-grams — the
+        # Carlini-style extraction signal bag-overlap misses.  Samples
+        # derive from documents three ways: verbatim copies (long
+        # runs), novel token soup (zero hits), and two spliced 60-char
+        # document slices around an injected token (runs broken at the
+        # splice); corpus = the documents table itself.
+        from napalm_logs_spark.operators.docdedup import memorization_spans
+
+        docs = _t(spark, sf, "documents")
+        c = F.col("doc_id").cast("string")
+        samples = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("q"), c, F.lit(" w"), c, F.lit(" e"), c,
+                    F.lit(" r"), c, F.lit(" t"), c,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.substring("text", 1, 60),
+                    F.lit(" qq"), c, F.lit(" "),
+                    F.substring("text", 61, 60),
+                )
+            )
+            .alias("text"),
+        )
+        return memorization_spans(samples, docs, n=4, min_run=3)
+    q["d_memorization"] = d_memorization
+
     def d_hll_distinct(spark, sf):
         # HyperLogLog register sketch (operators/sketch.py) — completes
         # the fixed-size-summary trio (Count-Min freq / Bloom member /
@@ -5803,6 +5838,75 @@ def oracle_sql() -> dict[str, str]:
                sum(same_role) = 0 AND sum(bad_start) = 0
                    AND sum(orphan_tool) = 0 AS valid
         FROM m GROUP BY conv_id
+    """
+
+    # memorization probe — positional 4-gram digests left-joined to the
+    # corpus's distinct gram set (incl. its short-doc pseudo-grams, the
+    # shingles() convention), runs via the pos − row_number island key
+    o["d_memorization"] = r"""
+        WITH ctoks AS (
+          SELECT regexp_split_to_array(
+                   trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                   '\s+') AS t
+          FROM documents
+        ), cg AS (
+          SELECT DISTINCT md5(array_to_string(t[i:i+3], ' ')) AS g
+          FROM ctoks,
+               UNNEST(generate_series(1, greatest(len(t) - 3, 1))) AS u(i)
+          WHERE length(array_to_string(t[i:i+3], ' ')) > 0
+        ), samples AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text
+                      WHEN doc_id % 3 = 1 THEN
+                        'q' || CAST(doc_id AS VARCHAR)
+                        || ' w' || CAST(doc_id AS VARCHAR)
+                        || ' e' || CAST(doc_id AS VARCHAR)
+                        || ' r' || CAST(doc_id AS VARCHAR)
+                        || ' t' || CAST(doc_id AS VARCHAR)
+                      ELSE substr(text, 1, 60)
+                           || ' qq' || CAST(doc_id AS VARCHAR) || ' '
+                           || substr(text, 61, 60)
+                 END AS text
+          FROM documents
+        ), stoks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   trim(lower(regexp_replace(text, '\s+', ' ', 'g'))),
+                   '\s+') AS t
+          FROM samples
+        ), sg AS (
+          SELECT doc_id, i, md5(array_to_string(t[i:i+3], ' ')) AS g
+          FROM stoks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+          WHERE len(t) >= 4
+        ), fl AS (
+          SELECT s.doc_id, s.i, cg.g IS NOT NULL AS hit
+          FROM sg s LEFT JOIN cg ON s.g = cg.g
+        ), runs AS (
+          SELECT doc_id, grp, COUNT(*) AS run_len
+          FROM (
+            SELECT doc_id,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                     AS grp
+            FROM fl WHERE hit
+          ) GROUP BY 1, 2
+        ), mr AS (
+          SELECT doc_id, MAX(run_len) AS max_run FROM runs GROUP BY 1
+        ), tot AS (
+          SELECT doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_matched
+          FROM fl GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(tot.n_matched, 0) AS BIGINT) AS n_matched,
+               CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run,
+               CAST(CASE WHEN COALESCE(mr.max_run, 0) > 0
+                         THEN mr.max_run + 3 ELSE 0 END AS BIGINT)
+                 AS span_tokens,
+               COALESCE(mr.max_run, 0) >= 3 AS memorized
+        FROM samples s
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN mr USING (doc_id)
     """
 
     o["d_bloom_incremental"] = """

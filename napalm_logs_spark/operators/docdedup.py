@@ -811,3 +811,108 @@ def segment_dedup(
         F.count(F.lit(1)).alias("n_segments"),
         F.count("_hot").alias("n_removed"),
     )
+
+
+def memorization_spans(
+    samples: DataFrame,
+    corpus: DataFrame,
+    *,
+    n: int = 8,
+    min_run: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verbatim-memorization probe: longest corpus-matched token span
+    per sample.
+
+    The extraction-detection shape of Carlini et al. 2021/2023 and the
+    Lee et al. dedup papers: a generated sample is *memorized* when a
+    LONG CONSECUTIVE RUN of its tokens appears verbatim in the
+    training corpus — bag-of-n-grams overlap
+    (:func:`benchmark_contamination`) misses this, because 50 scattered
+    gram hits and one 50-gram quote score the same.  Per sample this
+    emits the exact run structure: every position-``i`` word ``n``-gram
+    is probed against the corpus gram set, and consecutive hits merge
+    into runs (gaps-and-islands: ``pos − row_number`` per (id, hit)
+    window — the duplicate_spans recipe).
+
+    Differences from benchmark_contamination, both deliberate:
+
+    * the reference side here is the TRAINING CORPUS — far too large
+      to broadcast — so the probe is a plain hash join of sample gram
+      digests against the corpus's DISTINCT gram-digest table (the
+      inverted index a 100 TB deployment maintains incrementally; the
+      digest keeps the shuffle key 32 hex chars however long the
+      gram);
+    * grams carry their POSITION, so the output is span-resolved:
+      ``max_run`` consecutive matched grams = a verbatim token span of
+      ``max_run + n − 1`` tokens.
+
+    Samples shorter than ``n`` tokens emit zero grams (guarded — no
+    pseudo-gram for short docs) and survive to the output with
+    ``n_grams = 0``.  Returns one row per sample id: ``(id, n_grams,
+    n_matched, max_run, span_tokens, memorized)`` where ``memorized =
+    max_run >= min_run``.
+
+    Scale: corpus → distinct digests is one exchange (amortizable as a
+    maintained table); samples explode positionally (narrow), join on
+    digest (AQE skew-splittable), then every aggregate/window keys on
+    the sample id.  No self-joins, no broadcasts, no Python.
+    """
+    toks = F.split(F.trim(normalized(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ids = samples.select(F.col(id_col)).distinct()
+    sample_grams = samples.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g")
+    )
+    corpus_g = (
+        shingles(corpus, n, text_col)
+        .select(F.md5("shingle").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = sample_grams.join(corpus_g, "g", "left").select(
+        id_col, "pos", F.col("_hit").isNotNull().alias("hit")
+    )
+    from pyspark.sql import Window
+
+    wrun = Window.partitionBy(id_col, "hit").orderBy("pos")
+    runs = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(wrun))
+        .filter("hit")
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy(id_col)
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    totals = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).alias("n_matched"),
+    )
+    out = (
+        ids.join(totals, id_col, "left")
+        .join(runs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.coalesce("max_run", F.lit(0)).alias("max_run"),
+        )
+    )
+    span = F.when(F.col("max_run") > 0, F.col("max_run") + F.lit(n - 1)).otherwise(
+        F.lit(0)
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        "max_run",
+        span.alias("span_tokens"),
+        (F.col("max_run") >= min_run).alias("memorized"),
+    )

@@ -406,3 +406,89 @@ def test_segment_dedup_preserves_order_and_tail_segment(spark):
     }
     assert got[0].clean_text == "a b c d e f g"
     assert got[0].n_segments == 2 and got[0].n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# memorization_spans (verbatim extraction probe)
+
+
+def _mem(spark, samples, corpus, **kw):
+    from napalm_logs_spark.operators.docdedup import memorization_spans
+
+    s = spark.createDataFrame(samples, "doc_id long, text string")
+    c = spark.createDataFrame(corpus, "doc_id long, text string")
+    return memorization_spans(s, c, **kw)
+
+
+def _py_mem(samples, corpus, n=8, min_run=2):
+    import hashlib
+    import re
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+    cg = set()
+    for _, t in corpus:
+        w = toks(t)
+        for i in range(max(len(w) - n + 1, 0)):
+            cg.add(hashlib.md5(" ".join(w[i:i + n]).encode()).hexdigest())
+    out = {}
+    for sid, t in samples:
+        w = toks(t)
+        hits = [
+            hashlib.md5(" ".join(w[i:i + n]).encode()).hexdigest() in cg
+            for i in range(max(len(w) - n + 1, 0))
+        ]
+        runs, cur = [], 0
+        for h in hits:
+            cur = cur + 1 if h else 0
+            runs.append(cur)
+        mr = max(runs, default=0)
+        out[sid] = (len(hits), sum(hits), mr,
+                    mr + n - 1 if mr else 0, mr >= min_run)
+    return out
+
+
+def test_memorization_spans_hand_case(spark):
+    quote = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    corpus = [(100, f"prefix words here {quote} and trailing filler text")]
+    samples = [
+        # contains the quote verbatim -> with n=4: 7 matched grams in a row
+        (1, f"model output says {quote} then diverges completely afterwards"),
+        # scattered single hits only (two disjoint 4-gram fragments)
+        (2, "the quick brown fox sleeps while over the lazy dog xx"),
+        # nothing from the corpus
+        (3, "completely novel text with no overlap at all whatsoever"),
+        # shorter than n -> zero grams
+        (4, "too short"),
+    ]
+    got = {r["doc_id"]: r for r in _mem(spark, samples, corpus, n=4).collect()}
+    want = _py_mem(samples, corpus, n=4)
+    for sid, (ng, nm, mr, st, mem) in want.items():
+        r = got[sid]
+        assert (r["n_grams"], r["n_matched"], r["max_run"],
+                r["span_tokens"], r["memorized"]) == (ng, nm, mr, st, mem), sid
+    assert got[1]["max_run"] == 7 and got[1]["span_tokens"] == 10
+    assert got[1]["memorized"]
+    assert got[2]["max_run"] == 1 and not got[2]["memorized"]
+    assert got[3]["n_matched"] == 0
+    assert got[4]["n_grams"] == 0 and not got[4]["memorized"]
+
+
+def test_memorization_spans_invariance(spark):
+    corpus = [(i, f"shared span alpha beta gamma delta {i} unique tail") for i in range(10)]
+    samples = [
+        (i, f"gen {i} shared span alpha beta gamma delta {i % 10} more")
+        for i in range(30)
+    ]
+    from napalm_logs_spark.operators.docdedup import memorization_spans
+
+    s = spark.createDataFrame(samples, "doc_id long, text string")
+    c = spark.createDataFrame(corpus, "doc_id long, text string")
+    a = sorted(map(tuple, memorization_spans(s.repartition(1), c, n=4).collect()))
+    b = sorted(map(tuple, memorization_spans(s.repartition(7), c, n=4).collect()))
+    assert a == b
+    want = _py_mem(samples, corpus, n=4)
+    got = {t[0]: t[1:] for t in a}
+    for sid, w in want.items():
+        assert got[sid] == w
