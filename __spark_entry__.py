@@ -1521,6 +1521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "n_tokens", "chunk_id", "chunk_off")
     q["t_pack_chunks"] = t_pack_chunks
 
+    def t_chunk_windows(spark, sf):
+        from napalm_logs_spark.operators.text import chunk_windows
+
+        return chunk_windows(_t(spark, sf, "documents"), size=64, stride=48)
+    q["t_chunk_windows"] = t_chunk_windows
+
     def t_tfidf(spark, sf):
         from napalm_logs_spark.operators.text import tf_idf_top_terms
 
@@ -4768,6 +4774,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_emails AS BIGINT) AS n_emails, clean_text,
                CAST(length(clean_text) AS BIGINT) AS clean_len
         FROM c
+    """
+
+    o["t_chunk_windows"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+          FROM documents
+        ), sized AS (
+          SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+        ), idx AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(
+                   0,
+                   CASE WHEN n <= 64 THEN 0
+                        ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+          FROM sized
+        )
+        SELECT doc_id, chunk_idx,
+               chunk_idx * 48 AS chunk_start,
+               CAST(len(list_slice(t, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+                 AS chunk_len,
+               md5(array_to_string(list_slice(t, chunk_idx*48 + 1, chunk_idx*48 + 64), ' '))
+                 AS chunk_md5
+        FROM idx
     """
 
     o["t_pack_chunks"] = r"""

@@ -407,6 +407,64 @@ def pack_chunks(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking — the retrieval/embedding-index cut a RAG
+    or embedding pipeline applies per document: overlapping windows of
+    ``size`` whitespace tokens starting every ``stride`` tokens
+    (overlap = size - stride), each with a stable (doc_id, chunk_idx)
+    identity and an md5 content address for chunk-level dedup.
+
+    The complement of :func:`pack_chunks` (which concatenates rows up
+    to a budget): here one row fans out to its windows.  Chunk count is
+    1 for n <= size, else 1 + ceil((n - size) / stride) — the last
+    window always reaches the final token; 0-token docs emit no chunks.
+
+    Zero-shuffle, zero-UDF: one tokenize, ``explode(sequence(...))``
+    for the window index, JVM ``slice`` for the window itself — at
+    100 TB the cost is the scan plus ~n/stride output rows per doc,
+    embarrassingly parallel with no exchange.
+    """
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            )
+            .otherwise(toks)
+            .alias("_t"),
+        )
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") > 0)
+    )
+    last_idx = (
+        F.when(F.col("_n") <= size, F.lit(0))
+        .otherwise(F.ceil((F.col("_n") - size) / F.lit(float(stride))))
+        .cast("long")
+    )
+    out = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_idx))
+    )
+    start = F.col("chunk_idx") * stride
+    chunk = F.slice(F.col("_t"), (start + 1).cast("int"), size)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        start.cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

@@ -1231,3 +1231,58 @@ def test_priority_sample_plan_no_global_sort(spark):
     )
     plan = priority_sample(df, 100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_windows_boundaries(spark):
+    from napalm_logs_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # n=10: 0..9
+            (2, "a b c"),                                  # n <= size: 1 chunk
+            (3, ""),                                       # empty: no chunks
+            (4, "   "),                                    # whitespace: no chunks
+            (5, " ".join(f"w{i}" for i in range(13))),   # tail 1 past window
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(df, size=4, stride=3)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_len)
+        for r in out.collect()
+    }
+    # n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks; last covers 6..9
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 2)] == (6, 4)
+    assert got[(2, 0)] == (0, 3)
+    assert not any(k[0] in (3, 4) for k in got)
+    # n=13 -> 1 + ceil(9/3) = 4 chunks; last is the single trailing token
+    assert got[(5, 3)] == (9, 4)
+    assert (5, 4) not in got
+
+
+def test_chunk_windows_overlap_reconstructs(spark):
+    from napalm_logs_spark.operators.text import chunk_windows
+
+    # consecutive windows overlap by size-stride tokens and their union
+    # covers the doc exactly: sum of per-chunk NEW tokens == n_tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(257)))], "doc_id long, text string"
+    )
+    rows = chunk_windows(df, size=64, stride=48).orderBy("chunk_idx").collect()
+    new_tokens = rows[0].chunk_len + sum(
+        (r.chunk_start + r.chunk_len) - (p.chunk_start + p.chunk_len)
+        for p, r in zip(rows, rows[1:])
+    )
+    assert new_tokens == 257
+    assert all(r.chunk_start == i * 48 for i, r in enumerate(rows))
+
+
+def test_chunk_windows_validates_params(spark):
+    from napalm_logs_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_windows(df, size=0, stride=0)
