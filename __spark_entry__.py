@@ -1527,6 +1527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_windows(_t(spark, sf, "documents"), size=64, stride=48)
     q["t_chunk_windows"] = t_chunk_windows
 
+    def t_length_buckets(spark, sf):
+        from napalm_logs_spark.operators.text import length_bucket_plan
+
+        return length_bucket_plan(_t(spark, sf, "documents"))
+    q["t_length_buckets"] = t_length_buckets
+
     def t_tfidf(spark, sf):
         from napalm_logs_spark.operators.text import tf_idf_top_terms
 
@@ -4774,6 +4780,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_emails AS BIGINT) AS n_emails, clean_text,
                CAST(length(clean_text) AS BIGINT) AS clean_len
         FROM c
+    """
+
+    o["t_length_buckets"] = r"""
+        WITH t AS (
+          SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+          FROM documents
+        ), b AS (
+          SELECT n,
+                 CASE WHEN n <= 1 THEN 1 WHEN n <= 2 THEN 2 WHEN n <= 4 THEN 4
+                      WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                      WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                      WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                      WHEN n <= 4096 THEN 4096 WHEN n <= 8192 THEN 8192
+                      WHEN n <= 16384 THEN 16384 WHEN n <= 32768 THEN 32768
+                      WHEN n <= 65536 THEN 65536 WHEN n <= 131072 THEN 131072
+                      ELSE 131072 END AS bucket_cap
+          FROM t WHERE n > 0
+        ), agg AS (
+          SELECT bucket_cap,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS sum_tokens
+          FROM b GROUP BY bucket_cap
+        )
+        SELECT bucket_cap, n_docs, sum_tokens,
+               CAST(greatest(bucket_cap * n_docs, sum_tokens) AS BIGINT) AS padded_tokens,
+               (CAST(greatest(bucket_cap * n_docs, sum_tokens) AS DOUBLE) - sum_tokens)
+                 / greatest(bucket_cap * n_docs, sum_tokens) AS waste_frac
+        FROM agg
     """
 
     o["t_chunk_windows"] = r"""

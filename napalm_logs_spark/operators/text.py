@@ -465,6 +465,58 @@ def chunk_windows(
     )
 
 
+def length_bucket_plan(
+    df: DataFrame,
+    max_cap: int = 131072,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch planning — the padding-waste accounting a
+    dynamic-batching data loader does before training: each document
+    goes to the smallest power-of-two token bucket that holds it, and
+    per bucket we report how many pad tokens batching at that cap
+    costs (``waste_frac``) vs :func:`pack_chunks`/SPFHP packing.
+
+    The bucket cap is an explicit CASE ladder over powers of two (not
+    ``ceil(log2(n))``) so the cut-points are exact integer compares —
+    bit-identical between Spark and any SQL oracle, no FP boundary
+    drift at n = 2^k.  Docs longer than ``max_cap`` land in the
+    ``max_cap`` bucket with waste 0-floored; 0-token docs are excluded.
+    One partial-aggregated groupBy on ≤ log2(max_cap) keys — the
+    shuffle is bucket-count-sized regardless of corpus size.
+    """
+    caps = []
+    c = 1
+    while c <= max_cap:
+        caps.append(c)
+        c *= 2
+    ladder = "CASE " + " ".join(
+        f"WHEN _n_tok <= {p} THEN {p}" for p in caps
+    ) + f" ELSE {max_cap} END"
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    base = (
+        df.select(n_tok.cast("long").alias("_n_tok"))
+        .filter(F.col("_n_tok") > 0)
+        .withColumn("bucket_cap", F.expr(ladder).cast("long"))
+    )
+    agg = base.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("sum_tokens"),
+    )
+    padded = F.greatest(
+        F.col("bucket_cap") * F.col("n_docs"), F.col("sum_tokens")
+    )
+    return agg.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        ((padded - F.col("sum_tokens")) / padded).alias("waste_frac"),
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF.
 

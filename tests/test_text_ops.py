@@ -1286,3 +1286,36 @@ def test_chunk_windows_validates_params(spark):
         chunk_windows(df, size=4, stride=5)
     with pytest.raises(ValueError):
         chunk_windows(df, size=0, stride=0)
+
+
+def test_length_bucket_plan_hand_computed(spark):
+    from napalm_logs_spark.operators.text import length_bucket_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"),                                   # n=1  -> cap 1
+            (2, "a b"),                                 # n=2  -> cap 2
+            (3, "a b c"),                               # n=3  -> cap 4
+            (4, "a b c d"),                             # n=4  -> cap 4 (exact power)
+            (5, ""),                                    # excluded
+            (6, " ".join(["x"] * 5)),                  # n=5  -> cap 8
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.bucket_cap: r for r in length_bucket_plan(df).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    assert (got[4].n_docs, got[4].sum_tokens, got[4].padded_tokens) == (2, 7, 8)
+    assert got[4].waste_frac == (8 - 7) / 8
+    assert got[1].waste_frac == 0.0
+    assert got[8].padded_tokens == 8 and got[8].sum_tokens == 5
+
+
+def test_length_bucket_plan_overflow_floors_waste(spark):
+    from napalm_logs_spark.operators.text import length_bucket_plan
+
+    # doc longer than max_cap lands in the max bucket with waste 0-floored
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10))], "doc_id long, text string"
+    )
+    r = length_bucket_plan(df, max_cap=8).collect()[0]
+    assert (r.bucket_cap, r.sum_tokens, r.padded_tokens, r.waste_frac) == (8, 10, 10, 0.0)
