@@ -3116,69 +3116,48 @@ _HTML_POST = (
 )
 
 _PRIORITY_50 = [
-    # the core normalize engine (M2-M9) — reference tests/test_config.py:85-209
-    "golden_normalize",
-    # Rotation policy: the driver checks the FIRST ~50 queries() entries
-    # per round, so each round's list maximizes CUMULATIVE driver
-    # coverage — entries that were driver-green in r01/r02 AND unchanged
-    # since rotate out (their families stay gated by the pytest mirror
-    # at sf0.001 AND this list's remaining family rows); entries that
-    # were rewritten since their last green row stay in; never-checked
-    # entries fill every freed slot.
+    # Rotation policy (VERDICT r3 item 2): the driver checks the FIRST
+    # ~50 queries() entries per round, so each round's list maximizes
+    # CUMULATIVE driver coverage.  This r4 list is derived mechanically
+    # from the union of green rows in CORRECTNESS_r01..r03 (101 of 168
+    # distinct queries driver-green; 67 never green) — NOT from memory:
+    # see tests/test_rotation_policy.py, which recomputes the union from
+    # the committed CORRECTNESS_r0N.json files and asserts every entry
+    # below is either (a) never driver-green, or (b) one of r3's six
+    # dtype-red rows whose oracles were CAST-fixed this round and need a
+    # fresh driver row.  Everything rotated out stays gated by the
+    # sf0.001 pytest mirror and the sf0.01 full-registry driver-mirror
+    # (both dtype-strict as of r4).
     #
-    # r1-green unchanged rotations this round: d_exact_dup_groups,
-    # d_simhash, d_dup_clusters (exact/simhash/CC dedup — d_ngram_jaccard
-    # + d_minhash_lsh stay because their r2 rewrites — capped count-join,
-    # md5-window signatures — have never had a driver row), t_quality,
-    # t_langid, t_winnow, s_knn_cosine, s_ann_ivf, s_embedding_near_dup,
-    # q1_pricing_summary, p*/c* core rows (r02-green).
-    "d_ngram_jaccard", "d_minhash_lsh",
-    "s_pca", "d_decontaminate",
-    # d_leakage_splits rotates out (benchmark-leakage family stays
-    # represented by d_decontaminate; its oracle is the list's most
-    # expensive) for the new ranking family's first driver row:
-    "r_bt_arena",               # Bradley–Terry MM arena ranking
-    "d_dup_spans",
-    # d_segment_dedup rotates out (substring-dedup family stays
-    # represented by d_dup_spans) for the weighted-sampling family's
-    # first driver row — all-integer priority sampling:
-    "t_priority_sample",
-    # never-checked rows promoted this session (one per family first):
-    "t_bpe_tokens",             # distributed BPE train + greedy encode
-    "t_doremi",                 # DoReMi multiplicative-weights mixture
-    "t_chi2_drift",             # chi-square corpus drift monitor
-    "t_bm25",                   # BM25 inverted-index retrieval join
-    "t_bleu_stats",             # clipped n-gram BLEU sufficient stats
-    "g_triangles",              # degree-oriented exact triangle count
-    "d_bloom_incremental",      # Bloom-probe incremental crawl dedup
-    "q_cdc_apply",              # CDC latest-wins changelog apply
-    "mm_audio_gates",           # all-integer PCM audio curation gates
-    "cv_sft_spans", "t_lm_bigram",
-    "c15_rate_anomaly", "cv_pref_pairs", "t_pii_scrub", "t_ccnet_quality",
-    "s_bitext_mine",
-    "t_gopher_rules", "t_dsir_weights", "t_pack_spfhp",
-    "cv_stats",
-    # t_sample_mix rotates out — the mixing family's driver row this
-    # round is t_doremi (the stronger, never-checked member):
-    "d_pipeline_e2e",           # composed clean->gate->dedup->pack
-    "d_hll_distinct",           # HLL distinct sketch
+    # --- r3's six dtype-red rows, oracles CAST-fixed this round ---
+    "cv_stats", "r_bt_arena", "t_doremi", "t_bm25", "t_bleu_stats",
     "g_pagerank",
-    "mm_phash_dedup",
-    "s_kmeans", "s_semdedup", "s_ann_join",
-    "s_ann_pq",
-    "s_ann_ivfpq",              # IVFADC — residual-PQ inverted file
-    "c16_funnel",               # ClickHouse-style windowed funnel
-    "mm_real_features", "mm_jpeg_fidelity",
-    "mm_mp4_demux",             # ISO-BMFF box-walk demux
-    "c2_alarm_gauge",           # VERDICT r2 item 8
-    "e_props_json",             # r02's one red row — oracle cast fixed
-    "k6_msgpack",               # K6 serializer matrix
-    "m4_timestamps",            # M4 locale/tz breadth
-    "k5_prom_expo",             # K5 exposition render
-    "a1_dedup_ttl_exact",       # VERDICT r2 item 8 (stored-golden TTL)
-    "c14_session_window",
-    "c12_hysteresis",           # semantics updated this round (ADVICE densify)
-    "s_classifier",             # softmax-regression quality gate
+    # --- the six r1 `err: no_oracle` rows falsely called "r1-green" by
+    #     r3's rotation comment — first real driver check ---
+    "d_simhash", "d_dup_clusters", "s_ann_lsh", "s_ann_ivf",
+    "s_embedding_near_dup", "mm_features",
+    # --- never-checked: conversation-analytics family ---
+    "cv_fingerprints", "cv_tool_chains", "cv_role_transitions",
+    "cv_latency", "cv_loop_detect", "cv_role_violations",
+    "cv_boilerplate", "cv_prefix_share", "cv_neardup", "cv_pii_scrub",
+    "cv_sft_render", "cv_truncate", "cv_best_of_n",
+    # --- never-checked: ranking/eval family ---
+    "r_grpo_adv", "r_fleiss_kappa", "r_reward_len_bias",
+    # --- never-checked: dedup/decontamination long tail ---
+    "d_leakage_splits", "d_source_cap", "d_segment_dedup",
+    "d_memorization", "d_corpus_overlap", "d_dedup_keep",
+    # --- never-checked: similarity/embedding long tail ---
+    "s_decontaminate", "s_diversity", "s_hard_negatives",
+    "s_jl_projection", "s_quantize_int8",
+    # --- never-checked: SCD2 / sketches / misc ---
+    "q_scd2_asof", "q_scd2_intervals", "q_sketch_cms",
+    "e_hist_quantiles", "mm_frame_plan", "c16_funnel_rates",
+    # --- never-checked: text-pipeline entries with the most bespoke
+    #     oracles (the mechanical JVM-chain t_* and TPC-H q11/q12/q13/
+    #     q17/q20/q21 defer to r5 — 17 remain, all r1-era mirror-green
+    #     plain SQL shapes) ---
+    "t_html_extract", "t_doremi_apply", "t_bpe_train", "t_sample_mix",
+    "t_mix_temperature",
 ]
 
 
@@ -3943,10 +3922,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["q12_late_shipping"] = """
         SELECT l.l_linestatus,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -4933,7 +4912,8 @@ def oracle_sql() -> dict[str, str]:
     # multiply are both exact, so floor() then integer sums replay
     # bit-for-bit; p0..p7 pivot keeps the compare scalar-typed
     _p_cols = ",\n               ".join(
-        f"max(CASE WHEN i = {i} THEN v END) AS p{i}" for i in range(8)
+        f"CAST(max(CASE WHEN i = {i} THEN v END) AS BIGINT) AS p{i}"
+        for i in range(8)
     )
     o["s_jl_projection"] = f"""
         WITH w AS (
@@ -5535,10 +5515,13 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS ({_TRANS})
         SELECT conv_id,
                count(*) AS n_turns,
-               sum(CASE WHEN role = 'user'  THEN 1 ELSE 0 END) AS n_user,
-               sum(CASE WHEN role = 'agent' THEN 1 ELSE 0 END) AS n_agent,
-               sum(CASE WHEN role = 'tool'  THEN 1 ELSE 0 END) AS n_tool,
-               sum(length(text)) AS n_chars,
+               CAST(sum(CASE WHEN role = 'user'  THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_user,
+               CAST(sum(CASE WHEN role = 'agent' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agent,
+               CAST(sum(CASE WHEN role = 'tool'  THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tool,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
                round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6)
                    AS avg_turn_chars,
                count(DISTINCT tool) AS n_tools,
@@ -5877,7 +5860,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT conv_id,
                max(run_len) AS max_repeat_run,
-               sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_loop_runs,
+               CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_loop_runs,
                max(run_len) >= 3 AS looping
         FROM runs GROUP BY conv_id
     """
@@ -5899,9 +5883,9 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         )
         SELECT conv_id,
-               sum(same_role) AS n_same_role,
-               sum(bad_start) AS bad_start,
-               sum(orphan_tool) AS n_orphan_tool,
+               CAST(sum(same_role) AS BIGINT) AS n_same_role,
+               CAST(sum(bad_start) AS BIGINT) AS bad_start,
+               CAST(sum(orphan_tool) AS BIGINT) AS n_orphan_tool,
                sum(same_role) = 0 AND sum(bad_start) = 0
                    AND sum(orphan_tool) = 0 AS valid
         FROM m GROUP BY conv_id
@@ -6200,7 +6184,7 @@ def oracle_sql() -> dict[str, str]:
         r0 AS (SELECT node, cs.base AS rank
                FROM nodes CROSS JOIN consts cs),
         {",".join(_pr)}
-        SELECT node, rank FROM {_prev}
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM {_prev}
     """
 
     # Bradley–Terry MM, 8 iterations unrolled — the same all-integer
@@ -6260,7 +6244,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         p0 AS (SELECT item, 1000000 AS p FROM items),
         {",".join(_bt)}
-        SELECT it.item, pf.p AS rating, it.wins, it.n_comps
+        SELECT it.item, CAST(pf.p AS BIGINT) AS rating,
+               CAST(it.wins AS BIGINT) AS wins,
+               CAST(it.n_comps AS BIGINT) AS n_comps
         FROM items it JOIN {_btprev} pf USING (item)
     """
 
@@ -6393,11 +6379,20 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_items, n_raters, n_categories, n_items_dropped,
                po_num, po_den, s, nn2,
-               CAST(FLOOR(CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
-                          * 1e6) AS BIGINT) AS po_fp,
-               CAST(FLOOR(CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE)
-                          * 1e6) AS BIGINT) AS pe_fp,
-               CASE WHEN CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE) <> 1.0
+               -- ADVICE r3: guard the degenerate all-items-dropped input
+               -- (n_items = 0 → po_den = nn2 = 0 → 0/0 NaN, and
+               -- CAST(NaN AS BIGINT) errors in DuckDB) the same way the
+               -- Spark side does: NULL stats when no complete items.
+               CASE WHEN n_items > 0 THEN
+                 CAST(FLOOR(CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
+                            * 1e6) AS BIGINT)
+               END AS po_fp,
+               CASE WHEN n_items > 0 THEN
+                 CAST(FLOOR(CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE)
+                            * 1e6) AS BIGINT)
+               END AS pe_fp,
+               CASE WHEN n_items > 0
+                         AND CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE) <> 1.0
                     THEN CAST(FLOOR(
                       (CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE)
                        - CAST(s AS DOUBLE) / CAST(nn2 AS DOUBLE))
@@ -6533,9 +6528,11 @@ def oracle_sql() -> dict[str, str]:
           JOIN docfreq d USING (term) CROSS JOIN stats st
           GROUP BY q.query_id, tf.doc_id
         )
-        SELECT query_id, doc_id, n_hit, score_fp,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score_fp DESC, doc_id) AS rnk
+        SELECT query_id, doc_id, n_hit,
+               CAST(score_fp AS BIGINT) AS score_fp,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_fp DESC, doc_id)
+                    AS BIGINT) AS rnk
         FROM scored QUALIFY rnk <= 10
     """
 
@@ -6555,7 +6552,7 @@ def oracle_sql() -> dict[str, str]:
           FROM cg{_n} c JOIN rg{_n} r ON c.doc_id = r.doc_id AND c.g = r.g
           GROUP BY c.doc_id)""")
         _bleu_cols.append(
-            f"coalesce(mm{_n}.m, 0) AS m{_n}, "
+            f"CAST(coalesce(mm{_n}.m, 0) AS BIGINT) AS m{_n}, "
             f"greatest(len(ct.t) - {_n - 1}, 0) AS t{_n}"
         )
     _bleu_joins = "".join(
@@ -6636,7 +6633,9 @@ def oracle_sql() -> dict[str, str]:
                       CAST(0 AS BIGINT) AS acc
                FROM mu CROSS JOIN kk),
         {",".join(_dm_ctes)}
-        SELECT domain, mu_fp, w, acc // 8 AS w_bar FROM {_dm_prev}
+        SELECT domain, CAST(mu_fp AS BIGINT) AS mu_fp,
+               CAST(w AS BIGINT) AS w,
+               CAST(acc // 8 AS BIGINT) AS w_bar FROM {_dm_prev}
     """
 
     o["t_doremi_apply"] = f"""

@@ -455,7 +455,11 @@ def boilerplate_turns(
     key = F.col("text")
     if normalize:
         key = F.lower(F.trim(F.regexp_replace(key, r"\s+", " ")))
-    keyed = tdf.withColumn("_key", F.md5(key))
+    # NULL text would make md5(key) NULL and the inner join back on
+    # _key would silently drop the row (ADVICE r3) — coalesce to a
+    # sentinel so row-preservation holds; NULL turns bucket together,
+    # which is the right dedup semantics for an absent text anyway.
+    keyed = tdf.withColumn("_key", F.md5(F.coalesce(key, F.lit("\x00null"))))
     df_tab = (
         keyed.select("_key", "conv_id")
         .distinct()

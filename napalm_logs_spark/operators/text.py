@@ -451,7 +451,24 @@ def chunk_windows(
         .otherwise(F.ceil((F.col("_n") - size) / F.lit(float(stride))))
         .cast("long")
     )
-    out = base.withColumn(
+    # Spark arrays are int-indexed (≤ 2^31-1 elements), so the slice
+    # start is structurally bounded by the array representation; the
+    # one residual hazard (ADVICE r3) is a doc whose token count sits
+    # within `size+stride` of int32 max, where `chunk_idx*stride + 1`
+    # could wrap when cast to int and silently produce wrong windows.
+    # Guard it explicitly: fail loudly instead of mis-chunking.
+    int_guard = F.when(
+        F.col("_n") <= F.lit(2147483647 - size - stride), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_windows: doc token count "),
+                F.col("_n").cast("string"),
+                F.lit(" exceeds the int32-safe slice bound"),
+            )
+        )
+    )
+    out = base.filter(int_guard).withColumn(
         "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_idx))
     )
     start = F.col("chunk_idx") * stride

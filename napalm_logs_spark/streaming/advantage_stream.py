@@ -12,9 +12,13 @@ made Count-Min/HLL/histogram/drift streaming citizens
 verbatim:
 
 * each micro-batch reduces to its per-group stat rows, written as an
-  idempotent ``_batch_id=<n>`` parquet slice (the engine's
+  idempotent ``batch_id=<n>`` parquet slice (the engine's
   exactly-once sink layout — a replayed batch overwrites its own
-  slice and nothing else);
+  slice and nothing else; the partition name is deliberately NOT
+  underscore-prefixed, because Hadoop path filters hide ``_``/``.``
+  prefixed paths and the slice table must stay readable by plain
+  ``spark.read.parquet(stats_dir)`` partition discovery and external
+  compaction tooling);
 * the live baseline table is the SUM over committed slices, equal BY
   INTEGER ASSOCIATIVITY to the whole-input statistics — no state
   store, resumable from checkpoint, compactable like any slice table;
@@ -61,7 +65,7 @@ def adv_batch_sink(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         group_stats(batch_df, group_col, reward_col).write.mode(
             "overwrite"
-        ).parquet(f"{stats_dir}/_batch_id={batch_id}")
+        ).parquet(f"{stats_dir}/batch_id={batch_id}")
 
     return _write
 
@@ -70,7 +74,7 @@ def read_merged_stats(spark, stats_dir: str, group_col: str = "prompt_id") -> Da
     """SUM over all committed batch slices — by integer associativity
     this equals :func:`group_stats` over the whole stream."""
     df = spark.read.option("basePath", stats_dir).parquet(
-        f"{stats_dir}/_batch_id=*"
+        f"{stats_dir}/batch_id=*"
     )
     return df.groupBy(group_col).agg(
         F.sum("n").alias("n"),
@@ -88,7 +92,14 @@ def advantages_from_stats(
 ) -> DataFrame:
     """Join rollouts to a (possibly stream-accumulated) baseline table
     and emit the same columns as ``group_advantages`` — the same final
-    expression tree, so equal stats imply bit-identical advantages."""
+    expression tree, so equal stats imply bit-identical advantages.
+
+    The join is LEFT: a rollout whose group has no committed stats yet
+    (its slice hasn't landed) is NOT dropped — it surfaces with NULL
+    ``n``/``adv_num``/``var_num``/advantages, so a trainer can see and
+    defer the not-yet-merged groups instead of silently losing them.
+    Once the group's slice commits, a re-join yields its exact values.
+    """
     joined = rollouts.select(
         F.col(group_col),
         F.col(id_col),
@@ -101,6 +112,7 @@ def advantages_from_stats(
             F.col("sum_r2").alias("_sum_r2"),
         ),
         group_col,
+        "left",
     )
     return _advantage_select(joined, group_col, id_col)
 

@@ -3,7 +3,7 @@
 The mergeability that defines these sketches — counter-wise SUM for
 Count-Min, register-wise MAX for HyperLogLog — is what makes them
 streaming citizens: each micro-batch reduces to its own fixed-size
-sketch, written as an idempotent ``_batch_id=<n>`` parquet slice (the
+sketch, written as an idempotent ``batch_id=<n>`` parquet slice (the
 engine's exactly-once sink recipe — a replayed batch overwrites its
 own slice and nothing else), and the live sketch is the merge over
 committed slices.  No state store is needed at all: the "state" is
@@ -40,7 +40,7 @@ def cms_batch_sink(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         sk = count_min_sketch(batch_df, key_col, depth=depth, width=width)
         sk.write.mode("overwrite").parquet(
-            f"{sketch_dir}/_batch_id={batch_id}"
+            f"{sketch_dir}/batch_id={batch_id}"
         )
 
     return _write
@@ -50,7 +50,7 @@ def read_merged_sketch(spark, sketch_dir: str) -> DataFrame:
     """Counter-wise sum over all committed batch slices — by CMS
     mergeability this equals the sketch of the whole stream."""
     df = spark.read.option("basePath", sketch_dir).parquet(
-        f"{sketch_dir}/_batch_id=*"
+        f"{sketch_dir}/batch_id=*"
     )
     return df.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
@@ -103,7 +103,7 @@ def hll_batch_sink(sketch_dir: str, key_col: str = "key", *, p: int = 8):
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         regs = hll_registers(batch_df, key_col, p=p)
         regs.write.mode("overwrite").parquet(
-            f"{sketch_dir}/_batch_id={batch_id}"
+            f"{sketch_dir}/batch_id={batch_id}"
         )
 
     return _write
@@ -113,7 +113,7 @@ def read_merged_hll(spark, sketch_dir: str) -> DataFrame:
     """Register-wise MAX over all committed batch slices — by HLL
     mergeability this equals the register table of the whole stream."""
     df = spark.read.option("basePath", sketch_dir).parquet(
-        f"{sketch_dir}/_batch_id=*"
+        f"{sketch_dir}/batch_id=*"
     )
     return df.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
 
@@ -160,7 +160,7 @@ def hist_batch_sink(
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         hist = histogram_bins(batch_df, value_col, bin_width=bin_width)
         hist.write.mode("overwrite").parquet(
-            f"{sketch_dir}/_batch_id={batch_id}"
+            f"{sketch_dir}/batch_id={batch_id}"
         )
 
     return _write
@@ -172,7 +172,7 @@ def read_merged_hist(spark, sketch_dir: str) -> DataFrame:
     quantiles over it equal the batch answer on the full drained
     input (tested)."""
     df = spark.read.option("basePath", sketch_dir).parquet(
-        f"{sketch_dir}/_batch_id=*"
+        f"{sketch_dir}/batch_id=*"
     )
     return df.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
 

@@ -79,7 +79,39 @@ def test_slices_are_group_sized(spark, dirs):
     import glob
     import os
 
-    slices = glob.glob(os.path.join(dirs["st"], "_batch_id=*"))
+    slices = glob.glob(os.path.join(dirs["st"], "batch_id=*"))
     assert slices
     for s in slices:
         assert spark.read.parquet(s).count() <= 64
+
+
+def test_slices_visible_to_plain_partition_discovery(spark, dirs):
+    """ADVICE r3: the slice layout must not hide behind _-prefixed dirs
+    — a plain spark.read.parquet(stats_dir) (no glob, no basePath) has
+    to discover every slice, so external compaction tooling works."""
+    _write(spark, dirs["src"], _rows(0, 100))
+    run_adv_stream_once(spark, dirs["src"], dirs["st"], dirs["ckpt"], SCHEMA)
+    _write(spark, dirs["src"], _rows(100, 200))
+    run_adv_stream_once(spark, dirs["src"], dirs["st"], dirs["ckpt"], SCHEMA)
+    plain = spark.read.parquet(dirs["st"])
+    assert "batch_id" in plain.columns  # discovered as a partition col
+    assert plain.count() > 0
+    # and it carries the same groups the explicit-glob reader merges
+    assert (plain.select("prompt_id").distinct().count()
+            == read_merged_stats(spark, dirs["st"]).count())
+
+
+def test_unmerged_group_surfaces_with_null_advantages(spark, dirs):
+    """ADVICE r3: rollouts whose group has no committed stats yet must
+    surface (NULL advantages), not silently drop."""
+    _write(spark, dirs["src"], _rows(0, 64))
+    run_adv_stream_once(spark, dirs["src"], dirs["st"], dirs["ckpt"], SCHEMA)
+    # rollouts include group 100, which has no slice yet
+    rollouts = spark.createDataFrame(
+        _rows(0, 64) + [(100, 9001, 5)], SCHEMA
+    )
+    out = advantages_from_stats(rollouts, read_merged_stats(spark, dirs["st"]))
+    assert out.count() == 65
+    orphan = out.filter("prompt_id = 100").collect()
+    assert len(orphan) == 1
+    assert orphan[0]["n"] is None and orphan[0]["grpo_adv"] is None

@@ -365,6 +365,23 @@ def test_boilerplate_turns_semantics(spark):
     assert raw.filter("is_boilerplate").count() == 0
 
 
+def test_boilerplate_turns_null_text_preserved(spark):
+    """ADVICE r3: a NULL text must not be silently dropped by the join
+    back on the md5 key — the operator is row-preserving."""
+    from napalm_logs_spark.operators.convstats import boilerplate_turns
+
+    rows = [("c0", 0, "user", None, None, _ts(0)),
+            ("c1", 0, "user", None, None, _ts(0)),
+            ("c2", 0, "user", None, None, _ts(0)),
+            ("c3", 0, "user", "hello", None, _ts(0))]
+    out = boilerplate_turns(_tdf(spark, rows), min_df=3).collect()
+    assert len(out) == 4  # row-preserving incl. NULL texts
+    nulls = [r for r in out if r["text"] is None]
+    assert len(nulls) == 3
+    # NULL texts bucket together: df = 3 distinct conversations
+    assert all(r["turn_df"] == 3 and r["is_boilerplate"] for r in nulls)
+
+
 def test_boilerplate_turns_partitioning_invariance(spark):
     from napalm_logs_spark.operators.convstats import boilerplate_turns
 

@@ -43,6 +43,25 @@ def _canon(df, cols):
     return sorted(rows)
 
 
+# VERDICT r3 finding #2: _canon_cell alone canonicalizes 844.0 → "844",
+# which hides the int64-vs-float64 dtype class the driver's value hash
+# fails on (DuckDB HUGEINT sums land in pandas as float64).  Compare
+# dtype KINDS strictly as well — one side integral, other float is a
+# failure even when every value is numerically identical.
+_KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
+               "M": "datetime", "m": "timedelta", "O": "object"}
+
+
+def _dtype_mismatches(got, exp, cols):
+    bad = []
+    for c in cols:
+        g = _KIND_GROUP.get(got[c].dtype.kind, got[c].dtype.kind)
+        e = _KIND_GROUP.get(exp[c].dtype.kind, exp[c].dtype.kind)
+        if g != e:
+            bad.append(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}")
+    return bad
+
+
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
@@ -66,9 +85,32 @@ def test_query_matches_oracle(spark, name):
     )
     cols = sorted(got.columns)
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    dtype_bad = _dtype_mismatches(got, exp, cols)
+    assert not dtype_bad, f"{name}: dtype mismatches {dtype_bad}"
     g, e = _canon(got, cols), _canon(exp, cols)
     mism = [(a, b) for a, b in zip(g, e) if a != b][:5]
     assert g == e, f"{name}: first mismatches {mism}"
+
+
+def test_dtype_strict_mirror_catches_int_float():
+    """Regression for VERDICT r3 #2: an int64 Spark column vs a float64
+    oracle column with numerically identical values (844 vs 844.0) must
+    FAIL the mirror, because the driver's value hash fails it."""
+    import pandas as pd
+
+    got = pd.DataFrame({"k": ["a", "b"], "v": pd.array([844, 7], dtype="int64")})
+    exp = pd.DataFrame({"k": ["a", "b"], "v": pd.array([844.0, 7.0], dtype="float64")})
+    bad = _dtype_mismatches(got, exp, ["k", "v"])
+    assert bad == ["v: spark=int64 oracle=float64"]
+    # the value canonicalization alone would have (wrongly) passed:
+    assert _canon(got, ["k", "v"]) == _canon(exp, ["k", "v"])
+    # same-kind float columns (NaN-promoted nullable ints on both
+    # engines) stay acceptable:
+    both_f = pd.DataFrame({"v": pd.array([844.0, None], dtype="float64")})
+    assert _dtype_mismatches(both_f, both_f.copy(), ["v"]) == []
+
+    from tools.driver_mirror import _dtype_mismatches as mirror_check
+    assert mirror_check(got, exp, ["v"]) == ["v: spark=int64 oracle=float64"]
 
 
 def test_every_query_has_oracle_or_reason():

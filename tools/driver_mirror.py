@@ -45,6 +45,27 @@ def _canon_cell(v):
     return str(v)
 
 
+# VERDICT r3 finding #2: the value canonicalization above erases the
+# int64-vs-float64 difference the driver's hash sees (DuckDB HUGEINT →
+# pandas float64 vs Spark int64: 844.0 vs 844).  Compare dtype KINDS
+# strictly so that class can never pass the mirror again.  Nullable int
+# columns legitimately land as float64 on BOTH engines (NaN promotion),
+# so same-kind is still fine; the failure mode is one side integral and
+# the other float.
+_KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool",
+               "M": "datetime", "m": "timedelta", "O": "object"}
+
+
+def _dtype_mismatches(got, exp, cols):
+    bad = []
+    for c in cols:
+        g = _KIND_GROUP.get(got[c].dtype.kind, got[c].dtype.kind)
+        e = _KIND_GROUP.get(exp[c].dtype.kind, exp[c].dtype.kind)
+        if g != e:
+            bad.append(f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}")
+    return bad
+
+
 def _canon(df, cols):
     rows = [
         tuple(_canon_cell(v) for v in row)
@@ -75,12 +96,15 @@ def main() -> int:
             cols_ok = sorted(got.columns) == sorted(exp.columns)
             rows_ok = len(got) == len(exp)
             cols = sorted(got.columns)
-            vals_ok = cols_ok and rows_ok and _canon(got, cols) == _canon(exp, cols)
+            dtype_bad = _dtype_mismatches(got, exp, cols) if cols_ok else []
+            vals_ok = (cols_ok and rows_ok and not dtype_bad
+                       and _canon(got, cols) == _canon(exp, cols))
             ok = cols_ok and rows_ok and vals_ok
             results[name] = {
                 "rows_match": rows_ok,
                 "schema_match": cols_ok,
                 "hash_match": vals_ok,
+                "dtype_mismatch": dtype_bad or None,
                 "spark_rows": len(got),
                 "oracle_rows": len(exp),
                 "sec": round(time.time() - t0, 2),
