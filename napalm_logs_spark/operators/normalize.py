@@ -134,6 +134,11 @@ _FALLBACK_FORMATS = (
     "%Y-%m-%d %H:%M:%S%z",
     "%Y-%m-%d %H:%M:%S.%f%z",
     "%m/%d/%Y %H:%M:%S",
+    # 2-digit-year shapes (tried after the %Y forms; %y pivots 00-68 →
+    # 20xx, 69-99 → 19xx — and a 2-digit year that %Y happens to accept,
+    # e.g. "24" → year 24, gets the same pivot in _try_parse)
+    "%m/%d/%y %H:%M:%S",
+    "%b %d %y %H:%M:%S",
     # syslog shapes with a trailing numeric offset — reached via the
     # tz-abbreviation rewrite below (e.g. "Mar 31 08:41:59 CEST")
     "%b %d %H:%M:%S %z",
@@ -235,6 +240,10 @@ _TZ_OFFSETS = {
 
 _TZ_TAIL_RE = re.compile(r"^(.*\S)\s+([A-Z]{1,4})$")
 _DAY_DOT_RE = re.compile(r"\b(\d{1,2})\.(?=\s)")
+#: ordinal day suffixes ("Jan 2nd", "3rd Mar") — a dateparser behavior
+#: profiles hit on chat-style date lines; pure suffix strip, never
+#: touches e.g. "1st-floor" (requires the token to END at the suffix)
+_ORDINAL_RE = re.compile(r"\b(\d{1,2})(?:st|nd|rd|th)\b", re.IGNORECASE)
 
 
 def _rewrite_candidates(s: str):
@@ -272,10 +281,18 @@ def _rewrite_candidates(s: str):
                 yield from _tz(rew)
                 break
 
+    # BSD syslog pads single-digit days with a SECOND space ("Jan  2");
+    # strptime tolerates runs of whitespace, but the token-wise month
+    # rewrite above splits on single spaces — collapse runs first so
+    # "Janvier  2" still finds its month token
+    s = re.sub(r"\s{2,}", " ", s)
     yield from _months(s)
     dd = _DAY_DOT_RE.sub(r"\1", s)
     if dd != s:
         yield from _months(dd)
+    od = _ORDINAL_RE.sub(r"\1", s)
+    if od != s:
+        yield from _months(od)
 
 
 def _try_parse(s: str, fmt: str, default_year: int):
@@ -285,6 +302,13 @@ def _try_parse(s: str, fmt: str, default_year: int):
         return None
     if parsed.year == 1900:  # format without %Y
         parsed = parsed.replace(year=default_year)
+    elif parsed.year < 100:
+        # a 2-digit year greedily matched by %Y ("03/31/24" → year 24):
+        # apply strptime's own %y pivot (00-68 → 20xx, 69-99 → 19xx) —
+        # deterministic, and no log source in this domain predates 1969
+        parsed = parsed.replace(
+            year=parsed.year + (2000 if parsed.year <= 68 else 1900)
+        )
     if parsed.tzinfo is not None:  # offset-aware → normalize to UTC
         return int(parsed.timestamp())
     return calendar.timegm(parsed.timetuple())

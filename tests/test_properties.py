@@ -255,3 +255,52 @@ def test_unparseable_still_none():
 
     assert _resolve_epoch("31 Smarch 2024", "10:00:00", None, 2017) is None
     assert _resolve_epoch("2024-01-01 10:00:00 XQZT", "", None, 2017) is None
+
+
+@given(DT, st.booleans(), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_fallback_parses_ordinal_days(dt, upper, with_year):
+    # "Jan 2nd 2024 03:04:05" — dateparser ordinal-day breadth (r4)
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    suf = {1: "st", 2: "nd", 3: "rd"}.get(
+        dt.day if dt.day < 20 else dt.day % 10, "th"
+    )
+    if upper:
+        suf = suf.upper()
+    year = f" {dt.year}" if with_year else ""
+    rendered = (dt.strftime("%b") + f" {dt.day}{suf}{year} "
+                + dt.strftime("%H:%M:%S"))
+    expect_dt = dt if with_year else dt.replace(year=2017)
+    got = _resolve_epoch(rendered, "", None, 2017)
+    assert got == calendar.timegm(expect_dt.timetuple()), rendered
+
+
+@given(DT)
+@settings(max_examples=200, deadline=None)
+def test_fallback_parses_padded_single_digit_day(dt):
+    # BSD syslog pads day to width 2 WITH A SPACE: "Jan  2 03:04:05"
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    day = f"{dt.day:2d}"  # " 2" or "12"
+    rendered = dt.strftime("%b") + f" {day} " + dt.strftime("%H:%M:%S")
+    got = _resolve_epoch(rendered, "", None, 2017)
+    assert got == calendar.timegm(dt.replace(year=2017).timetuple()), rendered
+
+
+@given(DT)
+@settings(max_examples=200, deadline=None)
+def test_fallback_two_digit_year_pivot(dt):
+    # "%m/%d/24"-style 2-digit years: %Y greedily matches "24" as year
+    # 24; the strptime %y pivot (00-68 → 20xx, 69-99 → 19xx) applies
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+
+    yy = dt.year % 100
+    century = 2000 if yy <= 68 else 1900
+    expect = calendar.timegm(dt.replace(year=century + yy).timetuple())
+    for rendered in (
+        dt.strftime(f"%m/%d/{yy:02d} %H:%M:%S"),
+        dt.strftime(f"%b %d {yy:02d} %H:%M:%S"),
+    ):
+        got = _resolve_epoch(rendered, "", None, 2017)
+        assert got == expect, rendered
