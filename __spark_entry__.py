@@ -3092,6 +3092,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["t_doremi_apply"] = t_doremi_apply
 
+    def _mutated_corpus(spark, sf):
+        """documents plus deterministic 1-edit mutations — the planted
+        near-dup corpus for the character-level dedup queries (same
+        construction in the oracles, verbatim): doc_id%5==0 gets a
+        substitution at position 11 (id + 1e6), doc_id%7==0 a deletion
+        at position 21 (id + 2e6)."""
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        sub = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.length("text") > 15)
+        ).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.expr("substr(text, 1, 10)"), F.lit("X"),
+                F.expr("substr(text, 12)"),
+            ).alias("text"),
+        )
+        dele = docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.length("text") > 25)
+        ).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.expr("substr(text, 1, 20)"), F.expr("substr(text, 22)")
+            ).alias("text"),
+        )
+        return docs.unionByName(sub).unionByName(dele)
+
+    def d_editdist(spark, sf):
+        # exact edit-distance near-dup (Ed-Join: q-gram count filter +
+        # rarest-prefix join + levenshtein(threshold) verify) over the
+        # planted-mutation corpus.  The oracle is a brute-force
+        # levenshtein self-join (length-filtered), so the driver row
+        # independently checks candidate COMPLETENESS, not a replay of
+        # the prefix-filter logic.
+        from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+        # even doc_ids only (mutated ids keep base parity): the oracle
+        # is an O(n^2 · len^2) brute-force DP — half the corpus keeps
+        # the driver-row cost ~15 s while still covering both planted
+        # mutation classes
+        corpus = _mutated_corpus(spark, sf).filter(F.col("doc_id") % 2 == 0)
+        return editdist_near_pairs(corpus, k=2, q=3)
+    q["d_editdist"] = d_editdist
+
+    def cv_refusals(spark, sf):
+        # refusal/deflection screen over agent turns — the over-refusal
+        # curation gate.  Synthetic turns carry no refusals, so
+        # deterministic deflection phrases are planted on a subset of
+        # agent turns (replayed verbatim in the oracle), same pattern
+        # as cv_pii_scrub's planted contact blocks.
+        from napalm_logs_spark.operators.convstats import (
+            refusal_gate, transcripts_from_events,
+        )
+
+        t = transcripts_from_events(_t(spark, sf, "events"))
+        sel = (F.col("turn_idx") * 31 + F.length("text")) % 13
+        planted = F.when(
+            (F.col("role") == "agent") & (sel < 2),
+            F.concat(F.col("text"), F.lit(" I cannot help with that.")),
+        ).when(
+            (F.col("role") == "agent") & (sel < 4),
+            F.concat(F.col("text"), F.lit(" As an AI, here is a summary.")),
+        ).otherwise(F.col("text"))
+        return refusal_gate(t.withColumn("text", planted))
+    q["cv_refusals"] = cv_refusals
+
     return _priority_order(q)
 
 
@@ -6690,6 +6755,87 @@ def oracle_sql() -> dict[str, str]:
           FROM cum c CROSS JOIN nn CROSS JOIN specs s
         )
         WHERE cum >= rank GROUP BY q_pct, rank
+    """
+
+    # the planted-mutation corpus shared by the character-level dedup
+    # oracles — verbatim replay of queries()._mutated_corpus
+    _MUT = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(text, 1, 10) || 'X' || substr(text, 12)
+        FROM documents WHERE doc_id % 5 = 0 AND length(text) > 15
+        UNION ALL
+        SELECT doc_id + 2000000,
+               substr(text, 1, 20) || substr(text, 22)
+        FROM documents WHERE doc_id % 7 = 0 AND length(text) > 25
+    """
+
+    # BRUTE FORCE on purpose: the Spark side prunes candidates with the
+    # Ed-Join q-gram prefix filter; an all-pairs levenshtein (length-
+    # filtered) oracle independently proves that pruning loses nothing.
+    o["d_editdist"] = f"""
+        WITH c AS (
+          SELECT * FROM ({_MUT}) WHERE doc_id % 2 = 0
+        ),
+        n AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+          FROM c
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS dist
+        FROM n a JOIN n b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.norm) - length(b.norm)) <= 2
+        WHERE levenshtein(a.norm, b.norm) <= 2
+    """
+
+    o["cv_refusals"] = f"""
+        WITH t AS ({_TRANS}),
+        planted AS (
+          SELECT conv_id, role,
+                 CASE
+                   WHEN role = 'agent'
+                        AND (turn_idx * 31 + length(text)) % 13 < 2
+                     THEN text || ' I cannot help with that.'
+                   WHEN role = 'agent'
+                        AND (turn_idx * 31 + length(text)) % 13 < 4
+                     THEN text || ' As an AI, here is a summary.'
+                   ELSE text
+                 END AS text
+          FROM t
+        ),
+        marked AS (
+          SELECT conv_id,
+                 CASE WHEN role = 'agent' THEN 1 ELSE 0 END AS is_agent,
+                 CASE WHEN role = 'agent' AND (
+                        lower(text) LIKE '%i cannot help%'
+                        OR lower(text) LIKE '%i can''t help%'
+                        OR lower(text) LIKE '%i cannot assist%'
+                        OR lower(text) LIKE '%i am unable to%'
+                        OR lower(text) LIKE '%i''m unable to%'
+                        OR lower(text) LIKE '%i must decline%'
+                        OR lower(text) LIKE '%as an ai%'
+                      ) THEN 1 ELSE 0 END AS refused
+          FROM planted
+        ),
+        agg AS (
+          SELECT conv_id,
+                 CAST(sum(is_agent) AS BIGINT) AS n_agent,
+                 CAST(sum(refused) AS BIGINT) AS n_refusals
+          FROM marked GROUP BY conv_id
+        )
+        SELECT conv_id, n_agent, n_refusals,
+               CASE WHEN n_agent > 0
+                    THEN CAST((n_refusals * 10000) // n_agent AS BIGINT)
+               END AS refusal_pct_fp,
+               coalesce(
+                 CASE WHEN n_agent > 0
+                      THEN (n_refusals * 10000) // n_agent <= 5000 END,
+                 TRUE
+               ) AS keep
+        FROM agg
     """
 
     return _priority_order(o)

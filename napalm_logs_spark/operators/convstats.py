@@ -289,6 +289,74 @@ def role_violations(tdf: DataFrame) -> DataFrame:
     )
 
 
+#: deflection phrases an RLHF/SFT curation pass screens agent turns
+#: for — lowercase substrings, deliberately literal (no regex) so the
+#: match is engine-portable and cheap (JVM `contains`, no NFA)
+REFUSAL_PATTERNS = (
+    "i cannot help",
+    "i can't help",
+    "i cannot assist",
+    "i am unable to",
+    "i'm unable to",
+    "i must decline",
+    "as an ai",
+)
+
+
+def refusal_gate(
+    tdf: DataFrame,
+    patterns: tuple[str, ...] = REFUSAL_PATTERNS,
+    max_refusal_pct_fp: int = 5000,
+) -> DataFrame:
+    """Per-conversation refusal/deflection screen over agent turns.
+
+    SFT/RLHF corpus curation drops or downweights conversations whose
+    assistant turns are dominated by boilerplate refusals — keeping
+    them teaches the model to deflect (the over-refusal failure mode);
+    a corpus-level refusal-rate dashboard is also the standard drift
+    alarm when an upstream generation policy changes.  This is that
+    gate as one distributed pass.
+
+    A turn refuses when its lowercased text contains ANY of
+    ``patterns`` (literal substrings — portable to any engine's
+    ``contains``/``LIKE``, no regex dialect risk).  Output per
+    conversation: ``n_agent`` turns, ``n_refusals``, the fixed-point
+    refusal percentage ``refusal_pct_fp`` (basis points, integer —
+    engine-exact like the other convstats gauges), and the ``keep``
+    verdict: refusal share at most ``max_refusal_pct_fp`` bp.
+    Conversations with no agent turns have NULL pct and keep = true
+    (nothing to screen).
+
+    One algebraic groupBy on conv_id — rides the transcript
+    derivation's existing exchange; the pattern chain is a JVM
+    ``contains`` OR-fold over the scan, zero Python.
+    """
+    low = F.lower(F.col("text"))
+    refused = F.lit(False)
+    for p in patterns:
+        refused = refused | F.contains(low, F.lit(p))
+    is_agent = (F.col("role") == "agent").cast("long")
+    out = tdf.groupBy("conv_id").agg(
+        F.sum(is_agent).alias("n_agent"),
+        F.sum((refused & (F.col("role") == "agent")).cast("long")).alias(
+            "n_refusals"
+        ),
+    )
+    # integer division end-to-end: basis points are exact, so the gate
+    # (and any oracle) never depends on float rounding
+    pct = F.when(
+        F.col("n_agent") > 0,
+        F.expr("(n_refusals * 10000L) div n_agent"),
+    )
+    return out.select(
+        "conv_id",
+        "n_agent",
+        "n_refusals",
+        pct.alias("refusal_pct_fp"),
+        F.coalesce(pct <= max_refusal_pct_fp, F.lit(True)).alias("keep"),
+    )
+
+
 def turn_latency_stats(tdf: DataFrame) -> DataFrame:
     """Per-conversation inter-turn latency profile.
 

@@ -916,3 +916,139 @@ def memorization_spans(
         span.alias("span_tokens"),
         (F.col("max_run") >= min_run).alias("memorized"),
     )
+
+
+def editdist_near_pairs(
+    df: DataFrame,
+    k: int = 2,
+    q: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT edit-distance near-dup pairs: ``levenshtein(a, b) <= k``.
+
+    The near-dup family above measures set overlap (Jaccard); this is
+    the character-level complement — the fuzzy-match semantics of
+    Ed-Join (Xiao, Wang, Lin, VLDB'08), the dedup pass that catches
+    boilerplate with one typo, re-encoded punctuation, or a single
+    dropped word, which word-shingle Jaccard at high tau can miss on
+    short documents.
+
+    Candidate generation is the q-gram count filter + prefix filter:
+
+    * any single edit destroys at most ``q`` character q-grams, so two
+      strings within distance ``k`` share at least
+      ``max(|Ga|,|Gb|) - k*q`` occurrence-tagged q-grams (Gravano et
+      al., VLDB'01 count filter — multiset semantics via occurrence
+      tags);
+    * therefore, with every doc's tagged grams ordered by ascending
+      global frequency, the two docs must COLLIDE within their first
+      ``k*q + 1`` grams (prefix filter) — joining only on that prefix
+      is complete, and the prefix picks each doc's RAREST grams, so
+      join buckets stay small without any frequency cap.
+
+    Candidates then pay exact verification via the JVM
+    ``levenshtein(a, b, threshold=k)`` (banded DP — early exit past
+    ``k``).  A length filter ``|len(a) - len(b)| <= k`` prunes both
+    the join and the verify.
+
+    Docs too short for the filter to prune (fewer than ``k*q + 1``
+    grams, i.e. ``len < (k+1)*q``) are handled completely by a
+    separate LENGTH-BAND join: each short doc joins the short docs in
+    length bands ``len-k .. len``; short docs are a corpus-bounded
+    sliver (and already covered by exact dedup), so the band buckets
+    stay trivial — the dial is the implied ``(k+1)*q`` length bound.
+
+    Returns ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``,
+    ``dist <= k``, exact distance values, no duplicates, no misses.
+
+    Scale: one narrow explode, one (doc, gram) occurrence window, one
+    gram-frequency aggregate, one prefix self-join (buckets bounded by
+    gram rarity), then candidate-only verification — the same
+    near-linear shape as :func:`minhash_lsh_pairs`.
+    """
+    prefix_len = k * q + 1
+    docs = df.select(
+        "doc_id", F.trim(normalized(text_col)).alias("norm")
+    ).withColumn("len", F.length("norm"))
+    long_docs = docs.filter(F.col("len") >= (k + 1) * q)
+    short_docs = docs.filter(F.col("len") < (k + 1) * q)
+
+    # --- long docs: q-gram prefix filter -------------------------------
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("len") - q),
+        lambda i: F.substring(F.col("norm"), i + 1, q),
+    )
+    exploded = long_docs.select(
+        "doc_id", "len", F.posexplode(grams).alias("pos", "g")
+    )
+    # occurrence tag: the i-th copy of a gram within a doc is a distinct
+    # multiset element, so multiset intersection becomes plain equality
+    wocc = Window.partitionBy("doc_id", "g").orderBy("pos")
+    tagged = exploded.withColumn(
+        "tg", F.concat_ws("#", "g", F.row_number().over(wocc).cast("string"))
+    )
+    gfreq = tagged.groupBy("tg").agg(F.count(F.lit(1)).alias("gf"))
+    wpre = Window.partitionBy("doc_id").orderBy("gf", "tg")
+    prefix = (
+        tagged.join(gfreq, "tg")
+        .withColumn("rn", F.row_number().over(wpre))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "len", "tg")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.tg") == F.col("b.tg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= k),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # --- short docs: complete length-band join -------------------------
+    bands = short_docs.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.sequence(F.greatest(F.col("len") - k, F.lit(0)), F.col("len"))
+        ).alias("band"),
+    )
+    sa, sb = bands.alias("a"), bands.alias("b")
+    cand_short = (
+        sa.join(
+            sb,
+            (F.col("a.band") == F.col("b.band"))
+            # emit each pair once, anchored at the SHORTER doc's own
+            # length band (the longer side always emits bands down to
+            # len-k, so the shorter length is guaranteed covered;
+            # anchoring at the lower doc_id instead would miss pairs
+            # where the lower id is the longer string)
+            & (F.col("a.band") == F.col("a.len"))
+            & (
+                (F.col("a.len") < F.col("b.len"))
+                | (
+                    (F.col("a.len") == F.col("b.len"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    cands = cand_long.unionByName(cand_short)
+    na = docs.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = docs.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    dist = F.levenshtein("norm_a", "norm_b", k)
+    return (
+        cands.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )

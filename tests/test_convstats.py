@@ -394,3 +394,48 @@ def test_boilerplate_turns_partitioning_invariance(spark):
     a = sorted(map(tuple, boilerplate_turns(df.repartition(1), min_df=5).collect()))
     b = sorted(map(tuple, boilerplate_turns(df.repartition(9), min_df=5).collect()))
     assert a == b
+
+
+def test_refusal_gate_counts_and_verdicts(spark):
+    from napalm_logs_spark.operators.convstats import refusal_gate
+
+    rows = [
+        # c1: 2 agent turns, 1 refusal -> 5000 bp, keep (<= 5000)
+        ("c1", 0, "user", "please summarize this", None, _ts(0)),
+        ("c1", 1, "agent", "Sure, I cannot help with that request.", None, _ts(1)),
+        ("c1", 2, "agent", "here is the summary you asked for", None, _ts(2)),
+        # c2: 1 agent turn, 1 refusal -> 10000 bp, drop
+        ("c2", 0, "user", "do the thing", None, _ts(0)),
+        ("c2", 1, "agent", "As an AI, I must decline.", None, _ts(1)),
+        # c3: no agent turns -> NULL pct, keep
+        ("c3", 0, "user", "hello i cannot help myself", None, _ts(0)),
+        ("c3", 1, "tool", "I must decline", "search", _ts(1)),
+        # c4: refusal text on a USER turn does not count
+        ("c4", 0, "user", "i'm unable to phrase this", None, _ts(0)),
+        ("c4", 1, "agent", "no refusal here", None, _ts(1)),
+    ]
+    got = {r.conv_id: r for r in refusal_gate(_tdf(spark, rows)).collect()}
+    assert (got["c1"].n_agent, got["c1"].n_refusals, got["c1"].refusal_pct_fp,
+            got["c1"].keep) == (2, 1, 5000, True)
+    assert (got["c2"].n_agent, got["c2"].n_refusals, got["c2"].refusal_pct_fp,
+            got["c2"].keep) == (1, 1, 10000, False)
+    assert (got["c3"].n_agent, got["c3"].n_refusals, got["c3"].refusal_pct_fp,
+            got["c3"].keep) == (0, 0, None, True)
+    assert (got["c4"].n_agent, got["c4"].n_refusals, got["c4"].refusal_pct_fp,
+            got["c4"].keep) == (1, 0, 0, True)
+
+
+def test_refusal_gate_case_insensitive_and_invariant(spark):
+    from napalm_logs_spark.operators.convstats import refusal_gate
+
+    rows = [
+        (f"c{c}", k, "agent",
+         "I CANNOT HELP with that" if (c + k) % 3 == 0 else f"fine {c} {k}",
+         None, _ts(k))
+        for c in range(15) for k in range(4)
+    ]
+    df = _tdf(spark, rows)
+    a = sorted(map(tuple, refusal_gate(df.repartition(1)).collect()))
+    b = sorted(map(tuple, refusal_gate(df.repartition(9)).collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # case-insensitive match fired

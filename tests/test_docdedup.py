@@ -492,3 +492,89 @@ def test_memorization_spans_invariance(spark):
     got = {t[0]: t[1:] for t in a}
     for sid, w in want.items():
         assert got[sid] == w
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (Ed-Join prefix filter + levenshtein verify)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(rows, k):
+    import re
+
+    norm = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+    out = set()
+    ids = sorted(norm)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if abs(len(norm[a]) - len(norm[b])) > k:
+                continue
+            d = _py_lev(norm[a], norm[b])
+            if d <= k:
+                out.add((a, b, d))
+    return out
+
+
+def test_editdist_matches_bruteforce(spark):
+    from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (0, base),
+        (1, base.replace("quick", "quack")),          # 1 substitution
+        (2, base.replace(" lazy", "")),               # 5 deletions (> k)
+        (3, base + "!"),                              # 1 insertion
+        (4, "The  QUICK brown fox jumps over the lazy dog near the river"),  # normalized dup
+        (5, "completely unrelated text about catalyst optimizer rules"),
+        (6, base[:-1] + "s"),                         # 1 substitution at end
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in editdist_near_pairs(df, k=2, q=3).collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_editdist_short_doc_band_complete(spark):
+    # docs below the (k+1)*q gram bound go through the length-band join
+    # and must still be found, including length-0/1 edge strings
+    from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+    rows = [
+        (0, "ab"),
+        (1, "ac"),       # dist 1
+        (2, "abxy"),     # dist 2 from 0
+        (3, ""),
+        (4, "a"),        # dist 1 from 3 and 0... (vs "ab": 1)
+        (5, "zzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in editdist_near_pairs(df, k=2, q=3).collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_editdist_partition_invariant(spark):
+    from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+    rows = [(i, f"document number {i} with mostly shared boilerplate text") for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df7 = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    a = sorted(map(tuple, editdist_near_pairs(df1, k=2).collect()))
+    b = sorted(map(tuple, editdist_near_pairs(df7, k=2).collect()))
+    assert a == b == sorted(_brute_pairs(rows, 2))

@@ -67,13 +67,16 @@ def test_deferred_queries_are_documented():
     greens = _driver_green_union()
     q = set(entrymod.queries())
     deferred = sorted(q - greens - set(entrymod._PRIORITY_50) - R3_DTYPE_RED)
-    # cumulative coverage after a clean r4 run: 168 - len(deferred)
-    assert len(deferred) <= 17, deferred
+    # cumulative coverage after a clean r4 run: len(queries) - len(deferred)
+    assert len(deferred) <= 19, deferred
     expected_r5 = {
         "q11_important_parts", "q12_late_shipping", "q13_order_distribution",
         "q17_small_qty_revenue", "q20_excess_suppliers", "q21_waiting_suppliers",
         "t_c4_rules", "t_char_entropy", "t_chunk_windows", "t_clean",
         "t_fix_text", "t_gate_agreement", "t_length_buckets",
         "t_pack_chunks", "t_readability", "t_repetition", "t_url_canon",
+        # round-4 additions (post-window): sf0.01-mirror-green on landing,
+        # first driver slot in r5
+        "d_editdist", "cv_refusals",
     }
     assert set(deferred) <= expected_r5, set(deferred) - expected_r5
