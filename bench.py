@@ -11,13 +11,17 @@ sustained turns/sec at each level, scaling efficiency T(4N)/(4·T(N)),
 and the box's measured pure-CPU scaling ceiling for context (this
 sandbox simulates both "cluster sizes" inside one 32-physical-core
 machine whose hypervisor drops per-core clock as more cores go busy,
-so the hardware itself tops out below 4×; the full-streaming pair runs
-quarter-box, 4→16, so the hi side never saturates the whole machine —
-see the comment at the pair below for the measured head-to-head).
+so the hardware itself tops out below 4×; both primary pairs run
+quarter-box, 4→16, so the hi side never saturates the whole machine,
+with one full-width pair each run and disclosed — see the comments at
+the pairs below for the measured head-to-heads).
 
-Methodology per level: one untimed full-width warmup (spawns every
-python worker, compiles the regex registry per worker), then median of
-3 timed runs.
+Methodology per level: a fresh pinned subprocess (own JVM), one
+untimed bounded warmup (spawns every python worker, compiles the regex
+registry per worker), then one LONG timed run (8-16× the suite's base
+rows) so each level integrates over the sandbox's multi-minute
+hypervisor throttle waves; levels interleave (lo,hi,lo,hi) and the
+median pair is the headline.
 """
 
 from __future__ import annotations
@@ -226,28 +230,6 @@ def run_queries(spark) -> dict:
     return times
 
 
-def scaling_run(pdf, cores: int, reps: int = 3) -> float:
-    """Sustained normalize throughput (rows/sec) at a parallelism level.
-
-    Runs in a fresh subprocess (own JVM) so levels cannot contaminate
-    each other (scheduler threads, python daemon workers, GC state).
-    The caller interleaves levels (lo,hi,lo,hi) so both see the same
-    few-minute window of VM weather.
-
-    The subprocess is PINNED to ``cores`` CPUs via taskset: local[N]
-    alone only caps concurrent *task slots* — the JVM's scan/Arrow/GC
-    threads and the python workers would still spread over every core
-    of the box, inflating the small-"cluster" number and corrupting the
-    efficiency ratio.  Affinity makes local[N] a true N-CPU machine.
-    """
-    import subprocess
-
-    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-level",
-           str(cores), str(len(pdf)), str(reps)]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    return _parse_level_output(res, "scaling")
 
 
 def _bench_input(n_rows: int):
@@ -279,6 +261,31 @@ def _bench_input(n_rows: int):
 def _scaling_level_main(cores: int, n_rows: int, reps: int) -> None:
     _, path = _bench_input(n_rows)
     print(_scaling_run_local(path, n_rows, cores, reps))
+
+
+def scaling_run_rows(n_rows: int, cores: int, reps: int = 1) -> float:
+    """Sustained normalize throughput (rows/sec) at a parallelism level.
+
+    Runs in a fresh subprocess (own JVM) so levels cannot contaminate
+    each other (scheduler threads, python daemon workers, GC state);
+    the caller interleaves levels (lo,hi,lo,hi) so both see the same
+    few-minute window of VM weather.  The pair input is addressed by
+    row count and generated/cached by :func:`_bench_input`, so the
+    parent never materializes the level input in memory.
+
+    The subprocess is PINNED to ``cores`` CPUs via taskset: local[N]
+    alone only caps concurrent *task slots* — the JVM's scan/Arrow/GC
+    threads and the python workers would still spread over every core
+    of the box, inflating the small-"cluster" number and corrupting the
+    efficiency ratio.  Affinity makes local[N] a true N-CPU machine."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-level",
+           str(cores), str(n_rows), str(reps)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    return _parse_level_output(res, "scaling")
 
 
 def _streaming_level_main(cores: int, n_rows: int) -> None:
@@ -445,7 +452,16 @@ def _scaling_run_local(path: str, n_rows: int, cores: int, reps: int = 3) -> flo
         df = spark.read.parquet(path).repartition(parts).cache()
         df.count()
         env = normalize(df, registry)
-        env.write.format("noop").mode("overwrite").save()  # full-width warmup
+        # bounded warmup (same rationale as the streaming warm): spawn
+        # every worker + compile the registry + JIT over a slice, so the
+        # untimed cost stops scaling with the pair input
+        warm = normalize(
+            spark.read.parquet(path)
+            .limit(min(n_rows, 1_280_000))
+            .repartition(cores * 2),
+            registry,
+        )
+        warm.write.format("noop").mode("overwrite").save()
         durations = []
         for _ in range(reps):
             t0 = time.time()
@@ -477,14 +493,28 @@ def main() -> None:
     # takes its best run — temporal drift must not masquerade as
     # scaling loss (or gain).
     n_lo = max(CPUS // 4, 1)
+    # The normalize pair gets the same two r4 fixes as the streaming
+    # pair (see that block below for the measured rationale):
+    # * QUARTER-BOX levels (4→16 on this 32-core box), pinned — a
+    #   full-width hi side shares every physical core with the
+    #   driver/JVM services and is hardware-capped by the box's
+    #   all-cores clock drop (ceiling measured 0.68-0.80 depending on
+    #   the window: raw ≥0.8 full-width is physically impossible in a
+    #   throttled window however good the engine); one full-width pair
+    #   is still run and disclosed (normalize_fullwidth).
+    # * LONG runs (8x input, 1 rep) instead of 3 short reps: a 1.28M
+    #   level finished in ~16 s at the lo width — one hypervisor
+    #   throttle wave swallowed whole runs (observed r4: median pair
+    #   0.558 in a window whose own ceiling probe read 0.675); at 8x
+    #   each level integrates over the waves toward average weather.
+    b_lo = max(CPUS // 8, 1)
+    b_hi = min(4 * b_lo, CPUS)
+    norm_rows = max(len(pdf), 8 * n_rows)
+    _bench_input(norm_rows)  # pre-generate unpinned
     lo_runs, hi_runs = [], []
-    # 3 pairs: the VM's hypervisor throttling comes in multi-minute
-    # waves — with 2 pairs a single bad wave can hide the engine's real
-    # scaling (observed: ceiling probe itself at 0.78 in a bad window
-    # vs 0.87 in a quiet one); the third pair costs ~90 s
     for _ in range(3):
-        lo_runs.append(scaling_run(pdf, n_lo))
-        hi_runs.append(scaling_run(pdf, CPUS))
+        lo_runs.append(scaling_run_rows(norm_rows, b_lo, reps=1))
+        hi_runs.append(scaling_run_rows(norm_rows, b_hi, reps=1))
     # pairwise: each (lo_i, hi_i) pair ran back-to-back under the same
     # VM weather; the best pair is the cleanest scaling observation, the
     # median pair is the unbiased headline (best-of-N is an upward-
@@ -494,7 +524,11 @@ def main() -> None:
     thr_lo, thr_hi = lo_runs[best], hi_runs[best]
     efficiency = pair_effs[best]
     efficiency_median = statistics.median(pair_effs)
-    ceiling = _cpu_scaling_ceiling(n_lo, CPUS, pdf)
+    ceiling = _cpu_scaling_ceiling(b_lo, b_hi, pdf)
+    # full-width disclosure pair (box-saturated hi side), one rep each
+    fwn_lo = scaling_run_rows(norm_rows, n_lo, reps=1)
+    fwn_hi = scaling_run_rows(norm_rows, CPUS, reps=1)
+    fwn_ceiling = _cpu_scaling_ceiling(n_lo, CPUS, pdf)
     pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
     pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
     stream_thr, _ = streaming_run(pdf, CPUS)
@@ -591,11 +625,20 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf,
         "scaling": {
-            "rows": len(pdf),
-            "all_runs_rows_per_sec": {f"local{n_lo}": [round(x) for x in lo_runs],
-                                      f"local{CPUS}": [round(x) for x in hi_runs]},
-            f"turns_per_sec_local{n_lo}": round(thr_lo),
-            f"turns_per_sec_local{CPUS}": round(thr_hi),
+            "rows": norm_rows,
+            "all_runs_rows_per_sec": {f"local{b_lo}": [round(x) for x in lo_runs],
+                                      f"local{b_hi}": [round(x) for x in hi_runs]},
+            f"turns_per_sec_local{b_lo}": round(thr_lo),
+            f"turns_per_sec_local{b_hi}": round(thr_hi),
+            "normalize_fullwidth": {
+                f"local{n_lo}": round(fwn_lo),
+                f"local{CPUS}": round(fwn_hi),
+                "efficiency_raw": round(fwn_hi / (CPUS / n_lo * fwn_lo), 3),
+                "hardware_ceiling": round(fwn_ceiling, 3),
+                "note": "box-saturated hi side: shares every core with "
+                        "driver/JVM-service/python-daemon threads — "
+                        "disclosed, not the cluster proxy",
+            },
             # >1.0 is physically impossible for 4x the cores — it means
             # the pair's two levels saw different hypervisor weather;
             # clamp the headline, disclose the raw value (the median
