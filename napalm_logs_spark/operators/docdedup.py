@@ -953,10 +953,15 @@ def editdist_near_pairs(
 
     Docs too short for the filter to prune (fewer than ``k*q + 1``
     grams, i.e. ``len < (k+1)*q``) are handled completely by a
-    separate LENGTH-BAND join: each short doc joins the short docs in
-    length bands ``len-k .. len``; short docs are a corpus-bounded
-    sliver (and already covered by exact dedup), so the band buckets
-    stay trivial — the dial is the implied ``(k+1)*q`` length bound.
+    separate LENGTH-BAND join anchored at the shorter doc's length:
+    the b side spans the short docs PLUS the long fringe
+    (``len <= (k+1)*q - 1 + k``), because a short doc can be within
+    distance ``k`` of a doc just past the short/long boundary and the
+    prefix join never sees short docs (r4 advice: 'abcdefgh' vs
+    'abcdefghi' at k=2, q=3 straddles the boundary).  Short docs are a
+    corpus-bounded sliver (and already covered by exact dedup), so the
+    band buckets stay trivial — the dial is the implied ``(k+1)*q``
+    length bound.
 
     Returns ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``,
     ``dist <= k``, exact distance values, no duplicates, no misses.
@@ -1008,24 +1013,33 @@ def editdist_near_pairs(
     )
 
     # --- short docs: complete length-band join -------------------------
-    bands = short_docs.select(
+    # a side: every short doc, anchored at its OWN length (no explode —
+    # the anchor band is exactly a.len).  b side: short docs PLUS the
+    # long fringe len <= (k+1)*q - 1 + k, exploded over bands
+    # len-k .. len, so every cross-boundary pair (short a, fringe-long
+    # b with b.len - a.len <= k) collides at a.len exactly once.  The
+    # candidate sets stay disjoint from cand_long: every cand_short
+    # pair has a short doc on the a side, every cand_long pair has two
+    # long docs.
+    sa = short_docs.select("doc_id", "len").alias("a")
+    fringe = docs.filter(F.col("len") <= (k + 1) * q - 1 + k)
+    sb = fringe.select(
         "doc_id",
         "len",
         F.explode(
             F.sequence(F.greatest(F.col("len") - k, F.lit(0)), F.col("len"))
         ).alias("band"),
-    )
-    sa, sb = bands.alias("a"), bands.alias("b")
+    ).alias("b")
     cand_short = (
         sa.join(
             sb,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.len") == F.col("b.band"))
             # emit each pair once, anchored at the SHORTER doc's own
             # length band (the longer side always emits bands down to
             # len-k, so the shorter length is guaranteed covered;
             # anchoring at the lower doc_id instead would miss pairs
-            # where the lower id is the longer string)
-            & (F.col("a.band") == F.col("a.len"))
+            # where the lower id is the longer string); equal lengths
+            # (necessarily short-short) tie-break on doc_id
             & (
                 (F.col("a.len") < F.col("b.len"))
                 | (

@@ -569,6 +569,49 @@ def test_editdist_short_doc_band_complete(spark):
     assert got == _brute_pairs(rows, 2)
 
 
+def test_editdist_short_long_boundary_seam(spark):
+    # r4 advice (high): a doc with len < (k+1)*q can be within edit
+    # distance k of a doc with len >= (k+1)*q — the prefix join never
+    # sees short docs, so the band join's b side must include the long
+    # fringe.  k=2, q=3 → boundary at len 9; rows straddle it at
+    # distances 1 and 2 in both directions.
+    from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+    rows = [
+        (0, "abcdefgh"),     # len 8 (short) — the reproduced miss
+        (1, "abcdefghi"),    # len 9 (long), dist 1 from 0
+        (2, "abcdefghij"),   # len 10 (long), dist 2 from 0, 1 from 1
+        (3, "abcdefgx"),     # len 8 (short), dist 1 from 0, 2 from 1
+        (4, "abcdefghijk"),  # len 11 (long), dist 3 from 0 (excluded)
+        (5, "qrstuvwx"),     # len 8 (short), unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in editdist_near_pairs(df, k=2, q=3).collect()
+    }
+    expect = _brute_pairs(rows, 2)
+    assert (0, 1, 1) in expect  # the advice's reproduced cross-boundary pair
+    assert got == expect
+
+
+def test_editdist_boundary_no_duplicate_pairs(spark):
+    # the fringe extension must not double-emit: candidates from the
+    # band path (short anchor) and the prefix path (both long) are
+    # disjoint, and the result carries each pair exactly once
+    from napalm_logs_spark.operators.docdedup import editdist_near_pairs
+
+    rows = [
+        (0, "abcdefgh"),    # short
+        (1, "abcdefghi"),   # fringe long
+        (2, "abcdefghix"),  # fringe long, dist 1 from 1 (both long: prefix path)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in editdist_near_pairs(df, k=2, q=3).collect()]
+    assert len(out) == len(set(out))
+    assert set(out) == _brute_pairs(rows, 2)
+
+
 def test_editdist_partition_invariant(spark):
     from napalm_logs_spark.operators.docdedup import editdist_near_pairs
 
