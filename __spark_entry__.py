@@ -3183,46 +3183,38 @@ _HTML_POST = (
 _PRIORITY_50 = [
     # Rotation policy (VERDICT r3 item 2): the driver checks the FIRST
     # ~50 queries() entries per round, so each round's list maximizes
-    # CUMULATIVE driver coverage.  This r4 list is derived mechanically
-    # from the union of green rows in CORRECTNESS_r01..r03 (101 of 168
-    # distinct queries driver-green; 67 never green) — NOT from memory:
-    # see tests/test_rotation_policy.py, which recomputes the union from
-    # the committed CORRECTNESS_r0N.json files and asserts every entry
-    # below is either (a) never driver-green, or (b) one of r3's six
-    # dtype-red rows whose oracles were CAST-fixed this round and need a
-    # fresh driver row.  Everything rotated out stays gated by the
-    # sf0.001 pytest mirror and the sf0.01 full-registry driver-mirror
-    # (both dtype-strict as of r4).
+    # CUMULATIVE driver coverage.  This r5 list is derived mechanically
+    # from the union of green rows in CORRECTNESS_r01..r04 (151 of 170
+    # distinct queries driver-green; 19 never green) — NOT from memory:
+    # see tests/test_rotation_policy.py, which recomputes the union
+    # from exactly those four committed round files (pinned, so a
+    # later driver-produced CORRECTNESS_r05.json cannot flip the
+    # invariant — VERDICT r4 finding #2) and asserts every never-green
+    # query holds a slot.  With all 19 seated, cumulative driver
+    # coverage closes at 170/170; the remaining 31 slots deliberately
+    # RE-CONFIRM the heaviest / most novel operators (VERDICT r4 item
+    # 3): golden parity, the banded dedup/ANN joins, the iterative
+    # trainers, the CDC/as-of family, and the multimodal codecs.
     #
-    # --- r3's six dtype-red rows, oracles CAST-fixed this round ---
-    "cv_stats", "r_bt_arena", "t_doremi", "t_bm25", "t_bleu_stats",
-    "g_pagerank",
-    # --- the six r1 `err: no_oracle` rows falsely called "r1-green" by
-    #     r3's rotation comment — first real driver check ---
-    "d_simhash", "d_dup_clusters", "s_ann_lsh", "s_ann_ivf",
-    "s_embedding_near_dup", "mm_features",
-    # --- never-checked: conversation-analytics family ---
-    "cv_fingerprints", "cv_tool_chains", "cv_role_transitions",
-    "cv_latency", "cv_loop_detect", "cv_role_violations",
-    "cv_boilerplate", "cv_prefix_share", "cv_neardup", "cv_pii_scrub",
-    "cv_sft_render", "cv_truncate", "cv_best_of_n",
-    # --- never-checked: ranking/eval family ---
-    "r_grpo_adv", "r_fleiss_kappa", "r_reward_len_bias",
-    # --- never-checked: dedup/decontamination long tail ---
-    "d_leakage_splits", "d_source_cap", "d_segment_dedup",
-    "d_memorization", "d_corpus_overlap", "d_dedup_keep",
-    # --- never-checked: similarity/embedding long tail ---
-    "s_decontaminate", "s_diversity", "s_hard_negatives",
-    "s_jl_projection", "s_quantize_int8",
-    # --- never-checked: SCD2 / sketches / misc ---
-    "q_scd2_asof", "q_scd2_intervals", "q_sketch_cms",
-    "e_hist_quantiles", "mm_frame_plan", "c16_funnel_rates",
-    # --- never-checked: text-pipeline entries with the most bespoke
-    #     oracles (the mechanical JVM-chain t_* and TPC-H q11/q12/q13/
-    #     q17/q20/q21 defer to r5 — 17 remain, all r1-era mirror-green
-    #     plain SQL shapes) ---
-    "t_html_extract", "t_doremi_apply", "t_bpe_train", "t_sample_mix",
-    "t_mix_temperature",
+    # --- the final 19 never-driver-green (closes the registry) ---
+    "d_editdist", "cv_refusals",
+    "q11_important_parts", "q12_late_shipping", "q13_order_distribution",
+    "q17_small_qty_revenue", "q20_excess_suppliers", "q21_waiting_suppliers",
+    "t_c4_rules", "t_char_entropy", "t_chunk_windows", "t_clean",
+    "t_fix_text", "t_gate_agreement", "t_length_buckets",
+    "t_pack_chunks", "t_readability", "t_repetition", "t_url_canon",
+    # --- 31 re-confirmation slots: heaviest / most-novel operators ---
+    "golden_normalize", "m4_timestamps", "k5_prom_expo",
+    "d_minhash_lsh", "d_ngram_jaccard", "d_exact_dup_groups",
+    "d_dup_spans", "d_pipeline_e2e",
+    "s_ann_join", "s_bitext_mine", "s_knn_cosine", "s_ann_pq",
+    "s_ann_ivfpq", "s_semdedup", "s_kmeans", "s_pca",
+    "c16_funnel", "q_cdc_apply", "c8_asof_join", "c7_sessions",
+    "c14_session_window",
+    "mm_phash_dedup", "mm_real_features", "mm_jpeg_fidelity",
+    "mm_mp4_demux", "mm_audio_gates",
+    "t_winnow_pairs", "t_tfidf", "t_bpe_tokens",
+    "q1_pricing_summary", "cv_sft_spans",
 ]
 
 

@@ -1,11 +1,12 @@
 """Rotation bookkeeping must be driven by the committed CORRECTNESS_r0N
 files, not memory (VERDICT r3 finding #3: r3's rotation comment called
 four `err: no_oracle` rows "r1-green").  This test recomputes the union
-of driver-green rows from the committed round files and asserts the
-current _PRIORITY_50 window only spends slots on queries that still
-need an independent driver row."""
+of driver-green rows from the ROUNDS the current _PRIORITY_50 window
+was derived from — a PINNED list, not a glob: VERDICT r4 finding #2
+showed that globbing CORRECTNESS_r0*.json makes the round's own
+success (the driver landing the new round file) fail the invariant.
+The window encodes "no slot was wasted when the window was BUILT"."""
 
-import glob
 import json
 import os
 import sys
@@ -15,18 +16,16 @@ import __spark_entry__ as entrymod
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# r3's six dtype-red rows (values exact, oracle returned float64 for
-# integer columns) — CAST-fixed this round, so they re-enter the window
-# for a fresh driver row even though they were "checked" before.
-R3_DTYPE_RED = {
-    "cv_stats", "r_bt_arena", "t_doremi", "t_bm25", "t_bleu_stats",
-    "g_pagerank",
-}
+# The rounds the r5 window was derived from.  A CORRECTNESS_r05.json
+# produced by the driver AFTER this window shipped must not change the
+# derivation — pin, don't glob.
+ROUNDS_SEEN = ("r01", "r02", "r03", "r04")
 
 
 def _driver_green_union():
     greens = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for r in ROUNDS_SEEN:
+        path = os.path.join(REPO, f"CORRECTNESS_{r}.json")
         rows = json.load(open(path))
         for name, v in rows.items():
             if v.get("err"):
@@ -51,32 +50,33 @@ def test_priority_entries_exist():
     assert not no_oracle, no_oracle
 
 
-def test_no_slot_wasted_on_already_green():
-    """Every window slot goes to a query that has never had a green
-    driver row, or to one of r3's dtype-red rows being re-proven."""
-    greens = _driver_green_union()
-    wasted = [n for n in entrymod._PRIORITY_50
-              if n in greens and n not in R3_DTYPE_RED]
-    assert not wasted, f"slots wasted on already-driver-green: {wasted}"
-
-
-def test_deferred_queries_are_documented():
-    """Whatever is neither driver-green nor in this round's window must
-    be a known low-risk deferral (checked by the sf0.001 pytest mirror
-    and the sf0.01 full-registry mirror every session)."""
+def test_every_never_green_query_has_a_slot():
+    """r5 policy (VERDICT r4 item 3): the window must seat EVERY query
+    that has never had a green driver row, so cumulative coverage can
+    close at the full registry this round."""
     greens = _driver_green_union()
     q = set(entrymod.queries())
-    deferred = sorted(q - greens - set(entrymod._PRIORITY_50) - R3_DTYPE_RED)
-    # cumulative coverage after a clean r4 run: len(queries) - len(deferred)
-    assert len(deferred) <= 19, deferred
-    expected_r5 = {
-        "q11_important_parts", "q12_late_shipping", "q13_order_distribution",
-        "q17_small_qty_revenue", "q20_excess_suppliers", "q21_waiting_suppliers",
-        "t_c4_rules", "t_char_entropy", "t_chunk_windows", "t_clean",
-        "t_fix_text", "t_gate_agreement", "t_length_buckets",
-        "t_pack_chunks", "t_readability", "t_repetition", "t_url_canon",
-        # round-4 additions (post-window): sf0.01-mirror-green on landing,
-        # first driver slot in r5
-        "d_editdist", "cv_refusals",
-    }
-    assert set(deferred) <= expected_r5, set(deferred) - expected_r5
+    never_green = q - greens
+    unseated = sorted(never_green - set(entrymod._PRIORITY_50))
+    assert not unseated, f"never-driver-green queries without a slot: {unseated}"
+
+
+def test_registry_fully_covered_after_this_window():
+    """Window ∪ prior greens must span the whole registry — nothing is
+    deferred past r5."""
+    greens = _driver_green_union()
+    q = set(entrymod.queries())
+    uncovered = sorted(q - greens - set(entrymod._PRIORITY_50))
+    assert not uncovered, uncovered
+
+
+def test_reconfirm_slots_are_previously_green():
+    """Every slot not spent on a never-green query is a deliberate
+    re-confirmation of an already-proven query (not a typo'd name that
+    silently burns a slot)."""
+    greens = _driver_green_union()
+    q = set(entrymod.queries())
+    never_green = q - greens
+    reconfirm = [n for n in entrymod._PRIORITY_50 if n not in never_green]
+    stray = sorted(set(reconfirm) - greens)
+    assert not stray, f"re-confirm slots that were never green: {stray}"
