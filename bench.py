@@ -1,27 +1,40 @@
 #!/usr/bin/env python
 """Benchmark driver.
 
-Prints ONE JSON line:
+Prints a COMPACT single-line JSON (< 1,900 bytes — the round driver
+parses the result out of a ~2,000-char stdout tail, and rounds 2-4
+lost their records to JSON that outgrew that window or to a timeout
+that left nothing printed at all) as the LAST stdout line, and again
+after every completed phase so a mid-run timeout still preserves the
+headline:
   {"metric": ..., "value": <total query-suite seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+   "queries": {name: sec, ...}, "sf": <float>, "scaling": {...}}
+Full per-run arrays, decompositions, and disclosure pairs go to the
+``detail`` file named inside the compact line (default
+``BENCH_local_detail.json`` next to this script).
 
-Extras carry the north-rule evidence: the same normalize job run at two
-parallelism levels (local[N] and local[4N]) on the same input —
-sustained turns/sec at each level, scaling efficiency T(4N)/(4·T(N)),
-and the box's measured pure-CPU scaling ceiling for context (this
-sandbox simulates both "cluster sizes" inside one 32-physical-core
-machine whose hypervisor drops per-core clock as more cores go busy,
-so the hardware itself tops out below 4×; both primary pairs run
-quarter-box, 4→16, so the hi side never saturates the whole machine,
-with one full-width pair each run and disclosed — see the comments at
-the pairs below for the measured head-to-heads).
+The whole run fits a WALL-CLOCK BUDGET (``SPARK_GRAFT_BENCH_BUDGET_S``,
+default 1080 s): the scaling phase sizes its pair input and pair count
+from the time remaining after the query suite, instead of a fixed 16×
+multiplier that blew the round-4 driver window (rc 124, zero output).
+
+The ``scaling`` extras carry the north-rule evidence: the same
+normalize/streaming job run at two parallelism levels (local[N] and
+local[4N]) on the same input — sustained turns/sec at each level,
+scaling efficiency T(4N)/((hi/lo)·T(N)), and the box's measured
+pure-CPU scaling ceiling for context (this sandbox simulates both
+"cluster sizes" inside one 32-physical-core machine whose hypervisor
+drops per-core clock as more cores go busy, so the hardware itself
+tops out below 4×; both primary pairs run quarter-box, 4→16, so the
+hi side never saturates the whole machine; the full-width disclosure
+pair runs only when budget remains).
 
 Methodology per level: a fresh pinned subprocess (own JVM), one
 untimed bounded warmup (spawns every python worker, compiles the regex
-registry per worker), then one LONG timed run (8-16× the suite's base
-rows) so each level integrates over the sandbox's multi-minute
-hypervisor throttle waves; levels interleave (lo,hi,lo,hi) and the
-median pair is the headline.
+registry per worker), then one LONG timed run (input sized from the
+budget, up to 16× the suite's base rows) so each level integrates over
+the sandbox's multi-minute hypervisor throttle waves; levels
+interleave (lo,hi,lo,hi) and the median pair is the headline.
 """
 
 from __future__ import annotations
@@ -38,6 +51,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEED = 42
+#: wall budget for the WHOLE bench (suite + scaling); the round driver
+#: kills the process on its own timeout — round 4's fixed-size 16× pair
+#: phase alone exceeded it (rc 124) and left nothing parseable
+#: 25 min: the r3 driver bench completed at an estimated ~30-40 min
+#: (rc 0) and the r4 one died past that, so 25 min keeps rc=0 with
+#: margin while buying pair runs long enough to integrate over the
+#: box's multi-minute throttle waves (the r5 validation run at 18 min
+#: sized pairs at only 2.7M rows and read a wave-dominated 0.72)
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+#: full-fidelity results (all runs, decompositions, disclosures)
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_local_detail.json"),
+)
+#: hard cap on the compact line; the driver's parse window is ~2,000
+#: chars, so stay comfortably inside it
+COMPACT_LIMIT = 1900
 
 #: headline queries timed on the sf dir (subset of __spark_entry__.queries)
 HEADLINE = [
@@ -88,6 +119,10 @@ def _session(cores: int, shuffle_partitions: int | None = None):
         .appName(f"nls-bench-{cores}")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # keep the parent's stdout/stderr tail clean: the round driver
+        # parses the result from the LAST ~2,000 chars of output, and
+        # stage-progress \r spam was most of rounds 2-4's tails
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores * 2))
         .config("spark.sql.adaptive.enabled", "true")
@@ -529,7 +564,237 @@ def _scaling_run_local(path: str, n_rows: int, cores: int, reps: int = 3) -> flo
         spark.stop()
 
 
+def _compact_result(qtimes: dict, sf: float, scaling: dict) -> str:
+    """The single-line JSON the round driver parses.  MUST stay under
+    COMPACT_LIMIT bytes: the driver reads a ~2,000-char stdout tail
+    (round 1's 1,269-char JSON parsed; rounds 2-3 outgrew the window
+    and recorded nothing).  If the suite ever grows enough to overflow,
+    the per-query map degrades to a count and the detail file keeps
+    the full breakdown — the headline scalars always fit."""
+    out = {
+        "metric": "headline query suite wall time; north-rule N->4N "
+                  "scaling in 'scaling' (full runs in the detail file)",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in qtimes.items()},
+        "sf": sf,
+        "scaling": scaling,
+    }
+    s = json.dumps(out, separators=(",", ":"))
+    if len(s) > COMPACT_LIMIT:
+        out["queries"] = {"n_queries": len(qtimes),
+                          "see_detail": os.path.basename(DETAIL_PATH)}
+        s = json.dumps(out, separators=(",", ":"))
+    return s
+
+
+def _emit(qtimes: dict, sf: float, scaling: dict, detail: dict) -> None:
+    """Write the full-fidelity detail file, then print the compact line.
+
+    Called after EVERY completed phase, so whatever moment the round
+    driver's timeout lands on, the last stdout line is a parseable
+    result with everything measured so far."""
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump({"queries": qtimes, "sf": sf, "scaling": scaling,
+                       "detail": detail}, fh, indent=1)
+    except OSError:
+        pass
+    print(_compact_result(qtimes, sf, scaling), flush=True)
+
+
+def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
+                 pdf, n_rows: int, deadline: float) -> None:
+    """North-rule scaling evidence, budget-fitted.
+
+    Phases (each followed by an _emit, each skippable when the clock
+    runs out — earlier phases carry the headline):
+      1. unpinned full-width streaming drain (calibration + the
+         local[CPUS] end-to-end rate)
+      2. pinned streaming N→4N pairs, input sized from the remaining
+         budget (up to 16× base, never below 1×)
+      3. pinned normalize (batch) N→4N pairs on the same input
+      4. hardware CPU-scaling ceiling probes + bare-process-pool
+         normalize scaling (cheap, contextual)
+      5. full-width disclosure pair (only with generous budget left)
+
+    Levels are quarter-box (CPUS//8 → CPUS//2, 4→16 here): a full-width
+    hi side shares every core with the driver/JVM-service/python-daemon
+    threads — contention a real 4N-executor cluster never concentrates
+    on the hi side (measured r4: 4→16 raw pairs [0.794, 0.929] vs 8→32
+    [0.585, 0.695] on identical code).  Each (lo,hi) pair runs
+    back-to-back under the same VM weather; the median pair is the
+    unbiased headline, the best pair the cleanest observation.
+    Efficiency uses the ACTUAL level ratio hi/lo — on a small box
+    b_hi = min(4*b_lo, CPUS) can be < 4*b_lo, and dividing by 4 there
+    would mislabel a 2× step as an N→4N efficiency (r4 advice)."""
+
+    def rem() -> float:
+        return deadline - time.time()
+
+    s_lo = max(CPUS // 8, 1)
+    s_hi = min(4 * s_lo, CPUS)
+    ratio = s_hi / s_lo
+    scaling["levels"] = f"local[{s_lo}]->local[{s_hi}]"
+
+    # --- 1) calibration: unpinned full-width streaming drain --------
+    if rem() < 150:
+        scaling["note"] = "scaling skipped: budget exhausted by suite"
+        return
+    t0 = time.time()
+    stream_thr, cal_dec = streaming_run(pdf, CPUS)
+    cal_s = time.time() - t0
+    scaling[f"streaming_e2e_turns_per_sec_local{CPUS}"] = round(stream_thr)
+    detail["calibration"] = {"wall_s": round(cal_s, 1), "decomp": cal_dec,
+                             "rows": n_rows}
+    _emit(qtimes, sf, scaling, detail)
+
+    # --- 2) pinned streaming pairs, input sized from the budget -----
+    # per-level overhead: JVM startup + the two bounded warm passes;
+    # the calibration run just paid the same startup cost, so use it
+    overhead = max(45.0, min(cal_s, 180.0))
+    # per-core throughput RISES at narrower pinned widths (fewer cores
+    # busy → higher clock, less bandwidth contention): the r5
+    # validation run measured 14.9k rows/s/core at width 4 and 11k at
+    # 16 vs 7.8k at the unpinned 32 — a linear extrapolation from the
+    # calibration rate under-sizes the pair input ~2×.  Apply the
+    # measured correction factors; the deadline guard absorbs the
+    # residual error in either direction.
+    lo_rate = max(stream_thr * s_lo / CPUS * 1.7, 1.0)
+    hi_rate = max(stream_thr * s_hi / CPUS * 1.3, 1.0)
+    per_row_s = 1.0 / lo_rate + 1.0 / hi_rate
+    n_pairs = 3
+    reserve = 120.0  # ceilings + final emits
+    # streaming gets the lion's share: it is the north-rule headline
+    # (sustained turns/sec on the full stream) and the most
+    # wave-sensitive measurement; the batch-normalize pair reuses the
+    # same cached input and runs ~2x faster per row
+    s_budget = max((rem() - reserve) * 0.75, 0.0)
+    while n_pairs > 1 and (s_budget / n_pairs - 2 * overhead) < n_rows * per_row_s:
+        n_pairs -= 1
+    big_rows = int((s_budget / n_pairs - 2 * overhead) / per_row_s)
+    # LONG runs integrate over the hypervisor's multi-minute throttle
+    # waves (r4 at 8×: pairs [0.815, 0.659, 0.924, 0.664] — one wave
+    # swallowed whole 60 s runs); 16× is the proven-stable size, the
+    # budget floor is 1× so a pair always fits the driver window
+    big_rows = max(min(big_rows, 16 * n_rows), n_rows)
+    big_rows = (big_rows // 100) * 100  # conv granularity
+    _bench_input(big_rows)  # pre-generate UNPINNED (not on 4 cores)
+    scaling["pair_rows"] = big_rows
+    s_lo_runs, s_hi_runs, s_lo_dec, s_hi_dec = [], [], [], []
+    pair_est = big_rows * per_row_s + 2 * overhead
+    for i in range(n_pairs):
+        if s_lo_runs and rem() < pair_est + reserve:
+            break
+        r, d = streaming_run(pdf, s_lo, pin=True, n_rows=big_rows)
+        s_lo_runs.append(r)
+        s_lo_dec.append(d)
+        r, d = streaming_run(pdf, s_hi, pin=True, n_rows=big_rows)
+        s_hi_runs.append(r)
+        s_hi_dec.append(d)
+        # refine the estimate with measured rates
+        lo_rate, hi_rate = s_lo_runs[-1], s_hi_runs[-1]
+        pair_est = big_rows * (1.0 / lo_rate + 1.0 / hi_rate) + 2 * overhead
+        s_pair_effs = [h / (ratio * lo)
+                       for lo, h in zip(s_lo_runs, s_hi_runs)]
+        s_best = max(range(len(s_pair_effs)), key=lambda j: s_pair_effs[j])
+        scaling["streaming_e2e_efficiency_median_pair"] = round(
+            statistics.median(s_pair_effs), 3)
+        scaling["streaming_e2e_efficiency_best_pair"] = round(
+            min(s_pair_effs[s_best], 1.0), 3)
+        scaling[f"streaming_e2e_pinned_local{s_lo}"] = round(s_lo_runs[s_best])
+        scaling[f"streaming_e2e_pinned_local{s_hi}"] = round(s_hi_runs[s_best])
+        scaling["n_stream_pairs"] = len(s_lo_runs)
+        dlo, dhi = s_lo_dec[s_best], s_hi_dec[s_best]
+        if dlo.get("marginal_rows_per_sec") and dhi.get("marginal_rows_per_sec"):
+            scaling["streaming_marginal_eff"] = round(
+                dhi["marginal_rows_per_sec"]
+                / (ratio * dlo["marginal_rows_per_sec"]), 3)
+        detail["streaming_pairs"] = {
+            f"local{s_lo}": [round(x) for x in s_lo_runs],
+            f"local{s_hi}": [round(x) for x in s_hi_runs],
+            "pair_effs_raw": [round(e, 3) for e in s_pair_effs],
+            "decomp_best": {f"local{s_lo}": dlo, f"local{s_hi}": dhi},
+            "note": "pinned via taskset + antagonist busy-load on unused "
+                    "cores (box equally busy at both widths, as a real "
+                    "cluster's nodes are); sink+checkpoint on tmpfs — "
+                    "one shared NVMe at both widths measures disk "
+                    "contention, not the engine",
+        }
+        _emit(qtimes, sf, scaling, detail)
+
+    # --- 3) pinned normalize (batch) pairs --------------------------
+    # batch normalize runs much faster per row than the full streaming
+    # path (no state store / sink); estimate from the streaming rate
+    # then refine from the first measured run
+    n_lo_runs, n_hi_runs = [], []
+    norm_rows = big_rows
+    nlo_rate = lo_rate * 2.0
+    nhi_rate = hi_rate * 2.0
+    pair_est = norm_rows * (1.0 / nlo_rate + 1.0 / nhi_rate) + 2 * overhead
+    for i in range(n_pairs):
+        if rem() < pair_est + reserve:
+            break
+        n_lo_runs.append(scaling_run_rows(norm_rows, s_lo, reps=1))
+        n_hi_runs.append(scaling_run_rows(norm_rows, s_hi, reps=1))
+        nlo_rate, nhi_rate = n_lo_runs[-1], n_hi_runs[-1]
+        pair_est = norm_rows * (1.0 / nlo_rate + 1.0 / nhi_rate) + 2 * overhead
+        n_pair_effs = [h / (ratio * lo) for lo, h in zip(n_lo_runs, n_hi_runs)]
+        n_best = max(range(len(n_pair_effs)), key=lambda j: n_pair_effs[j])
+        scaling["normalize_efficiency_median_pair"] = round(
+            statistics.median(n_pair_effs), 3)
+        scaling["normalize_efficiency_best_pair"] = round(
+            min(n_pair_effs[n_best], 1.0), 3)
+        scaling[f"normalize_turns_per_sec_local{s_lo}"] = round(n_lo_runs[n_best])
+        scaling[f"normalize_turns_per_sec_local{s_hi}"] = round(n_hi_runs[n_best])
+        detail["normalize_pairs"] = {
+            f"local{s_lo}": [round(x) for x in n_lo_runs],
+            f"local{s_hi}": [round(x) for x in n_hi_runs],
+            "pair_effs_raw": [round(e, 3) for e in n_pair_effs],
+            "rows": norm_rows,
+        }
+        _emit(qtimes, sf, scaling, detail)
+
+    # --- 4) hardware ceiling + bare-pool context (cheap) ------------
+    if rem() > 90:
+        ceiling = _cpu_scaling_ceiling(s_lo, s_hi, pdf)
+        scaling["hardware_cpu_scaling_ceiling"] = round(ceiling, 3)
+        eff = scaling.get("streaming_e2e_efficiency_median_pair")
+        if eff:
+            scaling["stream_eff_vs_hw_ceiling"] = round(
+                min(eff / ceiling, 1.0), 3)
+        _emit(qtimes, sf, scaling, detail)
+    if rem() > 90:
+        n_qtr = max(CPUS // 4, 1)
+        pool_thr = pandas_stage_scaling(
+            pdf.iloc[: min(len(pdf), 640_000)], n_qtr, CPUS)
+        detail["pandas_pool"] = {
+            f"{n_qtr}w": round(pool_thr[n_qtr]),
+            f"{CPUS}w": round(pool_thr[CPUS]),
+            "efficiency": round(
+                pool_thr[CPUS] / (CPUS / n_qtr * pool_thr[n_qtr]), 3),
+        }
+        _emit(qtimes, sf, scaling, detail)
+
+    # --- 5) full-width disclosure pair (generous budget only) -------
+    n_fw_lo = max(CPUS // 4, 1)
+    if (n_fw_lo, CPUS) != (s_lo, s_hi) and rem() > 2 * pair_est + reserve:
+        fw_lo, _ = streaming_run(pdf, n_fw_lo, pin=True, n_rows=big_rows)
+        fw_hi, _ = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
+        detail["streaming_fullwidth"] = {
+            f"local{n_fw_lo}": round(fw_lo),
+            f"local{CPUS}": round(fw_hi),
+            "efficiency_raw": round(fw_hi / (CPUS / n_fw_lo * fw_lo), 3),
+            "note": "box-saturated hi side: shares every physical core "
+                    "with driver/JVM-service/python-daemon threads — "
+                    "disclosed, not the cluster proxy",
+        }
+        _emit(qtimes, sf, scaling, detail)
+
+
 def main() -> None:
+    t_start = time.time()
+    deadline = t_start + BUDGET_S
     sf = _sf_of(SF_DIR)
     n_rows = max(int(12_800_000 * sf), 1_280_000) if sf > 0 else 1_280_000
     pdf, _path = _bench_input(n_rows)
@@ -542,225 +807,24 @@ def main() -> None:
     finally:
         spark.stop()
 
-    # 2) north-rule scaling evidence: N vs 4N cores, same input.
-    # The sandbox VM's CPU allocation drifts minute-to-minute (hypervisor
-    # steal), so the levels are INTERLEAVED (lo,hi,lo,hi) and each level
-    # takes its best run — temporal drift must not masquerade as
-    # scaling loss (or gain).
-    n_lo = max(CPUS // 4, 1)
-    # The normalize pair gets the same two r4 fixes as the streaming
-    # pair (see that block below for the measured rationale):
-    # * QUARTER-BOX levels (4→16 on this 32-core box), pinned — a
-    #   full-width hi side shares every physical core with the
-    #   driver/JVM services and is hardware-capped by the box's
-    #   all-cores clock drop (ceiling measured 0.68-0.80 depending on
-    #   the window: raw ≥0.8 full-width is physically impossible in a
-    #   throttled window however good the engine); one full-width pair
-    #   is still run and disclosed (normalize_fullwidth).
-    # * LONG runs (8x input, 1 rep) instead of 3 short reps: a 1.28M
-    #   level finished in ~16 s at the lo width — one hypervisor
-    #   throttle wave swallowed whole runs (observed r4: median pair
-    #   0.558 in a window whose own ceiling probe read 0.675); at 8x
-    #   each level integrates over the waves toward average weather.
-    b_lo = max(CPUS // 8, 1)
-    b_hi = min(4 * b_lo, CPUS)
-    norm_rows = max(len(pdf), 8 * n_rows)
-    _bench_input(norm_rows)  # pre-generate unpinned
-    lo_runs, hi_runs = [], []
-    for _ in range(3):
-        lo_runs.append(scaling_run_rows(norm_rows, b_lo, reps=1))
-        hi_runs.append(scaling_run_rows(norm_rows, b_hi, reps=1))
-    # pairwise: each (lo_i, hi_i) pair ran back-to-back under the same
-    # VM weather; the best pair is the cleanest scaling observation, the
-    # median pair is the unbiased headline (best-of-N is an upward-
-    # biased statistic — both are reported, raw runs disclosed below)
-    pair_effs = [hi / (4 * lo) for lo, hi in zip(lo_runs, hi_runs)]
-    best = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
-    thr_lo, thr_hi = lo_runs[best], hi_runs[best]
-    efficiency = pair_effs[best]
-    efficiency_median = statistics.median(pair_effs)
-    ceiling = _cpu_scaling_ceiling(b_lo, b_hi, pdf)
-    # full-width disclosure pair (box-saturated hi side), one rep each
-    fwn_lo = scaling_run_rows(norm_rows, n_lo, reps=1)
-    fwn_hi = scaling_run_rows(norm_rows, CPUS, reps=1)
-    fwn_ceiling = _cpu_scaling_ceiling(n_lo, CPUS, pdf)
-    pool_thr = pandas_stage_scaling(pdf.iloc[: min(len(pdf), 640_000)], n_lo, CPUS)
-    pool_eff = pool_thr[CPUS] / (4 * pool_thr[n_lo])
-    stream_thr, _ = streaming_run(pdf, CPUS)
-    # full-streaming-path N→4N pair (pinned, 8× rows so per-run fixed
-    # costs — JVM startup, the zero-row watermark-flush batch, offset
-    # commits — drop under ~6% of the 4N side's wall).  taskset
-    # partitions CPUs but NOT the box's single disk, so sink parquet +
-    # state-store checkpoints go to tmpfs (see _streaming_run_local) —
-    # with them on the one shared NVMe this pair measured disk
-    # contention, not the engine (8 cores outran 32).  The CPU-bound
-    # normalize pair above remains the primary cluster-scaling proxy;
-    # this pair adds the full-path (state store + exactly-once sink)
-    # rate at both widths, plus a per-stage decomposition separating
-    # marginal compute scaling from the serial residue.
-    # 16x rows (was 8x in r3): the sandbox's hypervisor throttle comes
-    # in multi-minute waves, and at 8x a hi-side drain lasted ~60 s —
-    # short enough for one wave to swallow a whole run (observed r4:
-    # hi runs [144k, 143k, 201k, 131k] on identical code, median pair
-    # dragged to 0.74 while the best pair read 0.92).  At 16x each
-    # level integrates over multiple wave periods, so every run
-    # converges toward the same average weather and the PAIR RATIO
-    # converges to the engine's true scaling; the median pair — the
-    # driver-recorded headline — stops being hostage to which minute
-    # got throttled.  Pairs drop 4 → 3 to hold total bench time.
-    big_rows = max(len(pdf), 16 * n_rows)
-    # pre-generate the pair input UNPINNED (the first pinned lo-width
-    # subprocess would otherwise synthesize 20M pandas rows on 4 cores)
-    _bench_input(big_rows)
-    # Pair levels: quarter-box N→4N (CPUS//8 → CPUS//2, i.e. 4→16 on
-    # this 32-core box).  A full-width hi level (local[32]) makes the
-    # "4N cluster" share every physical core with the driver, the
-    # JVM's scheduler/GC/shuffle service threads and the python
-    # daemons — contention a real 4N-executor cluster, where those
-    # services run beside EVERY width, never concentrates on the hi
-    # side only.  Measured head-to-head on this box (same input,
-    # 10.24M rows, interleaved): 4→16 raw pair efficiencies
-    # [0.794, 0.929] vs 8→32 [0.585, 0.695] on identical code — the
-    # delta is box saturation, not the engine.  One full-width 8→32
-    # pair is still run and disclosed below (streaming_e2e_fullwidth).
-    # derive lo first so the ratio is EXACTLY 4x on any core count
-    # (hi = CPUS//2 with lo = hi//4 mislabels 5x as "N->4N" on e.g. 20
-    # cores); quarter-box when the box is big enough, full width below
-    s_lo = max(CPUS // 8, 1)
-    s_hi = min(4 * s_lo, CPUS)
-    # same interleaved best-pair estimator as the normalize pair: one
-    # throttle wave otherwise corrupts the single observation (each
-    # (lo,hi) pair runs back-to-back under the same VM weather).
-    # 3 pairs at 16x input (see big_rows above): r3/r4 showed that
-    # adding pairs does NOT stabilize the median when individual runs
-    # are short enough for a throttle wave to swallow (r4 at 8x with 4
-    # pairs: [0.815, 0.659, 0.924, 0.664] → median 0.739); lengthening
-    # each run so it integrates over the waves does.
-    s_lo_runs, s_hi_runs = [], []
-    s_lo_dec, s_hi_dec = [], []
-    for _ in range(3):
-        r, d = streaming_run(pdf, s_lo, pin=True, n_rows=big_rows)
-        s_lo_runs.append(r)
-        s_lo_dec.append(d)
-        r, d = streaming_run(pdf, s_hi, pin=True, n_rows=big_rows)
-        s_hi_runs.append(r)
-        s_hi_dec.append(d)
-    s_ratio = s_hi / s_lo  # 4 on any box with >= 4 cores
-    s_pair_effs = [hi / (s_ratio * lo) for lo, hi in zip(s_lo_runs, s_hi_runs)]
-    s_best = max(range(len(s_pair_effs)), key=lambda i: s_pair_effs[i])
-    stream_lo, stream_hi = s_lo_runs[s_best], s_hi_runs[s_best]
-    stream_eff = s_pair_effs[s_best]
-    stream_eff_median = statistics.median(s_pair_effs)
-    # full-width disclosure pair (box-saturated hi side), one rep;
-    # skipped when it would duplicate the primary pair's levels
-    if (n_lo, CPUS) != (s_lo, s_hi):
-        fw_lo, _ = streaming_run(pdf, n_lo, pin=True, n_rows=big_rows)
-        fw_hi, _ = streaming_run(pdf, CPUS, pin=True, n_rows=big_rows)
-    else:
-        fw_lo = fw_hi = None
-    # marginal efficiency: the data-batch compute alone (fixed serial
-    # costs excluded) — what a real 4N-executor cluster, where each
-    # machine keeps its own clock/memory bandwidth, would see
-    s_marginal_eff = None
-    dlo, dhi = s_lo_dec[s_best], s_hi_dec[s_best]
-    if dlo.get("marginal_rows_per_sec") and dhi.get("marginal_rows_per_sec"):
-        s_marginal_eff = dhi["marginal_rows_per_sec"] / (
-            4 * dlo["marginal_rows_per_sec"]
-        )
-    # the streaming pair's own hardware ceiling (clock ratio between
-    # s_lo and s_hi active cores — a different pair of widths than the
-    # normalize pair's n_lo→CPUS ceiling)
-    s_ceiling = _cpu_scaling_ceiling(s_lo, s_hi, pdf)
-
-    out = {
-        "metric": "headline query suite wall time (per-query breakdown in 'queries'; "
-                  "normalize scaling evidence in 'scaling')",
-        "value": round(sum(qtimes.values()), 3),
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": sf,
-        "scaling": {
-            "rows": norm_rows,
-            "all_runs_rows_per_sec": {f"local{b_lo}": [round(x) for x in lo_runs],
-                                      f"local{b_hi}": [round(x) for x in hi_runs]},
-            f"turns_per_sec_local{b_lo}": round(thr_lo),
-            f"turns_per_sec_local{b_hi}": round(thr_hi),
-            "normalize_fullwidth": {
-                f"local{n_lo}": round(fwn_lo),
-                f"local{CPUS}": round(fwn_hi),
-                "efficiency_raw": round(fwn_hi / (CPUS / n_lo * fwn_lo), 3),
-                "hardware_ceiling": round(fwn_ceiling, 3),
-                "note": "box-saturated hi side: shares every core with "
-                        "driver/JVM-service/python-daemon threads — "
-                        "disclosed, not the cluster proxy",
-            },
-            # >1.0 is physically impossible for 4x the cores — it means
-            # the pair's two levels saw different hypervisor weather;
-            # clamp the headline, disclose the raw value (the median
-            # pair is the unbiased statistic)
-            "efficiency_NtoQuadN": min(round(efficiency, 3), 1.0),
-            "efficiency_NtoQuadN_raw": round(efficiency, 3),
-            "efficiency_NtoQuadN_median_pair": round(efficiency_median, 3),
-            "hardware_cpu_scaling_ceiling": round(ceiling, 3),
-            # ceiling-relative values can exceed 1 under VM-weather noise
-            # (the ceiling probe and the run see different minutes);
-            # clamped, raw ratio disclosed alongside
-            "efficiency_vs_hardware_ceiling": min(round(efficiency / ceiling, 3), 1.0),
-            "efficiency_vs_hardware_ceiling_raw": round(efficiency / ceiling, 3),
-            f"streaming_e2e_turns_per_sec_local{CPUS}": round(stream_thr),
-            f"streaming_e2e_pinned_local{s_lo}": round(stream_lo),
-            f"streaming_e2e_pinned_local{s_hi}": round(stream_hi),
-            "streaming_e2e_efficiency_NtoQuadN": min(round(stream_eff, 3), 1.0),
-            "streaming_e2e_efficiency_NtoQuadN_raw": round(stream_eff, 3),
-            "streaming_e2e_efficiency_median_pair": round(stream_eff_median, 3),
-            "streaming_e2e_all_runs": {
-                f"local{s_lo}": [round(x) for x in s_lo_runs],
-                f"local{s_hi}": [round(x) for x in s_hi_runs],
-            },
-            "streaming_e2e_fullwidth": {
-                f"local{n_lo}": round(fw_lo),
-                f"local{CPUS}": round(fw_hi),
-                "efficiency_raw": round(fw_hi / (CPUS / n_lo * fw_lo), 3),
-                "note": "box-saturated hi side: the full-width level "
-                        "shares every physical core with driver/JVM-"
-                        "service/python-daemon threads — disclosed, "
-                        "not the cluster proxy",
-            } if fw_lo else {"note": "skipped: duplicates primary pair"},
-            "streaming_e2e_pair_rows": big_rows,
-            "streaming_e2e_decomposition": {
-                f"local{s_lo}": dlo,
-                f"local{s_hi}": dhi,
-                "marginal_eff_NtoQuadN": round(s_marginal_eff, 3)
-                if s_marginal_eff else None,
-                f"hardware_ceiling_{s_lo}to{s_hi}": round(s_ceiling, 3),
-                "marginal_eff_vs_hardware_ceiling": round(
-                    s_marginal_eff / s_ceiling, 3) if s_marginal_eff else None,
-                "note": "marginal = data-batch compute only; the serial "
-                        "residue (JVM startup, zero-row watermark-flush "
-                        "batch, offset commits) is the fixed cost a "
-                        "long-running stream pays once, not per batch — "
-                        "the 20M-turn endurance probe shows the "
-                        "asymptotic drain rate",
-            },
-            "streaming_e2e_pair_note": "levels pinned via taskset with antagonist busy-load on the unused cores (box equally busy at both widths — a real cluster's nodes are; idle-lo turbo otherwise deflates the ratio); sink+checkpoint on tmpfs "
-                "(/dev/shm): one shared NVMe at both pin widths measures "
-                "disk contention, not the engine — on a real cluster "
-                "each executor brings its own disks; source parquet "
-                "stays on disk (page-cache warm)",
-            f"pandas_stage_only_turns_per_sec_{n_lo}w": round(pool_thr[n_lo]),
-            f"pandas_stage_only_turns_per_sec_{CPUS}w": round(pool_thr[CPUS]),
-            "pandas_stage_only_efficiency": round(pool_eff, 3),
-            "note": "single-box simulation of two cluster sizes; the "
-                    "VM's hypervisor CPU allocation drifts run-to-run, so "
-                    "levels are interleaved, each level runs one long "
-                    "8-16x pass that integrates over the throttle waves, "
-                    "pinned levels carry antagonist busy-load on unused "
-                    "cores (total box activity equal at both widths), and "
-                    "the same-run pure-CPU scaling ceiling is reported "
-                    "for context",
-        },
+    scaling = {
+        "detail": os.path.basename(DETAIL_PATH),
+        "note": "single-box two-cluster-size simulation: interleaved "
+                "quarter-box pinned pairs w/ antagonist busy-load, "
+                "budget-fitted input",
     }
-    print(json.dumps(out))
+    detail = {"budget_s": BUDGET_S, "suite_wall_s": round(time.time() - t_start, 1)}
+    # the suite headline survives any later timeout or crash
+    _emit(qtimes, sf, scaling, detail)
+
+    # 2) north-rule scaling evidence, budget-fitted; a failure inside
+    # must never erase the suite result already printed
+    try:
+        _run_scaling(scaling, detail, qtimes, sf, pdf, n_rows, deadline)
+    except Exception as exc:  # noqa: BLE001 - disclose, still emit
+        scaling["scaling_error"] = f"{type(exc).__name__}: {exc}"[:160]
+    detail["total_wall_s"] = round(time.time() - t_start, 1)
+    _emit(qtimes, sf, scaling, detail)
 
 
 if __name__ == "__main__":

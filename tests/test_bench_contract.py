@@ -1,0 +1,88 @@
+"""The round driver parses bench.py's result out of a ~2,000-char
+stdout tail.  Round 1's 1,269-char JSON parsed; rounds 2-3 outgrew the
+window and round 4 timed out — so the compact line's size is a HARD
+contract (VERDICT r4 item 4): registry/suite growth must never
+silently re-break the channel."""
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def _full_scaling_dict():
+    """A scaling dict with EVERY key _run_scaling can set, worst-case
+    widths (large numbers, all phases completed)."""
+    cpus = bench.CPUS
+    s_lo, s_hi = max(cpus // 8, 1), min(4 * max(cpus // 8, 1), cpus)
+    return {
+        "detail": "BENCH_local_detail.json",
+        "note": "single-box two-cluster-size simulation: interleaved "
+                "quarter-box pinned pairs w/ antagonist busy-load, "
+                "budget-fitted input",
+        "levels": f"local[{s_lo}]->local[{s_hi}]",
+        f"streaming_e2e_turns_per_sec_local{cpus}": 188888,
+        "pair_rows": 20_480_000,
+        "streaming_e2e_efficiency_median_pair": 0.944,
+        "streaming_e2e_efficiency_best_pair": 0.999,
+        f"streaming_e2e_pinned_local{s_lo}": 131072,
+        f"streaming_e2e_pinned_local{s_hi}": 489999,
+        "n_stream_pairs": 3,
+        "streaming_marginal_eff": 0.926,
+        "normalize_efficiency_median_pair": 0.861,
+        "normalize_efficiency_best_pair": 0.999,
+        f"normalize_turns_per_sec_local{s_lo}": 262144,
+        f"normalize_turns_per_sec_local{s_hi}": 988888,
+        "hardware_cpu_scaling_ceiling": 0.675,
+        "stream_eff_vs_hw_ceiling": 1.0,
+        "scaling_error": "x" * 160,  # worst case: an error AND full keys
+    }
+
+
+def _worst_case_qtimes():
+    q = {name: 99.99 for name in bench.HEADLINE}
+    assert len(q) >= 20  # the real suite; keep the test honest
+    return q
+
+
+def test_compact_line_fits_driver_window():
+    s = bench._compact_result(_worst_case_qtimes(), 0.1, _full_scaling_dict())
+    assert len(s) < bench.COMPACT_LIMIT, len(s)
+    parsed = json.loads(s)
+    assert parsed["unit"] == "sec"
+    assert "streaming_e2e_efficiency_median_pair" in parsed["scaling"]
+
+
+def test_compact_line_single_line_and_parseable():
+    s = bench._compact_result(_worst_case_qtimes(), 0.1, _full_scaling_dict())
+    assert "\n" not in s
+    json.loads(s)
+
+
+def test_compact_degrades_rather_than_overflows():
+    # even with an absurd suite (200 long-named queries), the line must
+    # stay inside the window by degrading the per-query map
+    q = {f"very_long_query_name_number_{i:04d}": 123.456 for i in range(200)}
+    s = bench._compact_result(q, 0.1, _full_scaling_dict())
+    assert len(s) < bench.COMPACT_LIMIT, len(s)
+    parsed = json.loads(s)
+    assert parsed["queries"].get("n_queries") == 200
+
+
+def test_budget_default_inside_driver_timeout():
+    # the r4 driver run was killed at its own timeout (rc 124); keep the
+    # default bench budget comfortably under 30 minutes
+    assert bench.BUDGET_S <= 1500
