@@ -41,3 +41,36 @@ def test_spark_normalize_plan_is_single_stage(spark):
     sdf = transcripts_df(spark, golden_transcripts_pandas())
     plan = normalize(sdf, registry)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_every_corpus_time_format_resolves():
+    """M4 closure (r4 verdict item 6): the vendored profile corpus can
+    only produce the time_format directives written in its YAML — grep
+    them ALL and prove _resolve_epoch handles each (profile-declared
+    strptime path).  dateparser's fuzzy reach (relative dates, free
+    text) stays deliberately out of scope: no profile can emit it."""
+    import calendar
+    import glob
+    import os
+    import re
+    from datetime import datetime
+
+    from napalm_logs_spark.operators.normalize import _resolve_epoch
+    from napalm_logs_spark.profiles import registry as regmod
+
+    root = os.path.join(os.path.dirname(regmod.__file__), "vendored")
+    fmts = set()
+    for path in glob.glob(os.path.join(root, "**", "*.yml"), recursive=True):
+        for m in re.finditer(r"time_format:\s*[\"']([^\"']+)[\"']",
+                             open(path).read()):
+            fmts.add(m.group(1))
+    # the corpus today: BSD syslog + 3 year-full variants; if a new
+    # vendored profile adds a format, this test makes M4 prove it
+    assert len(fmts) >= 4, fmts
+    ref = datetime(2017, 7, 1, 12, 34, 56, 789000)
+    for fmt in sorted(fmts):
+        s = ref.strftime(fmt)
+        epoch = _resolve_epoch(s, "", fmt, 2017)
+        assert epoch is not None, f"unresolvable corpus format: {fmt}"
+        want = ref if "%f" in fmt else ref.replace(microsecond=0)
+        assert epoch == calendar.timegm(want.timetuple()), fmt
