@@ -943,8 +943,17 @@ def editdist_near_pairs(
     * therefore, with every doc's tagged grams ordered by ascending
       global frequency, the two docs must COLLIDE within their first
       ``k*q + 1`` grams (prefix filter) — joining only on that prefix
-      is complete, and the prefix picks each doc's RAREST grams, so
-      join buckets stay small without any frequency cap.
+      is complete, and the prefix picks each doc's RAREST grams.
+
+    Bucket sizes are CORPUS-DEPENDENT: the prefix join's bucket for a
+    tagged gram holds every doc carrying that gram in its rarest
+    prefix, so a low-diversity corpus can still blow it up — ``q`` is
+    the dial.  Measured on 100k templated docs whose only distinct
+    content is hex/digit tails (alphabet ~16, so only ~4k distinct
+    3-grams): q=3 → 91M candidates, 150 s; q=4 → 15 s; q=5 → 5 s
+    (`tools/probe_editdist_scale.py`).  Pick ``q`` so the corpus has
+    ≫ N distinct q-grams; the price is the short-doc bound
+    ``(k+1)*q`` rising with it.
 
     Candidates then pay exact verification via the JVM
     ``levenshtein(a, b, threshold=k)`` (banded DP — early exit past
