@@ -86,3 +86,81 @@ def test_budget_default_inside_driver_timeout():
     # the r4 driver run was killed at its own timeout (rc 124); keep the
     # default bench budget comfortably under 30 minutes
     assert bench.BUDGET_S <= 1500
+
+
+class _FakePdf:
+    """Minimal stand-in for the bench input frame."""
+
+    class _ILoc:
+        def __getitem__(self, s):
+            return _FakePdf()
+
+    iloc = _ILoc()
+
+    def __len__(self):
+        return 1_280_000
+
+
+def _patch_runners(monkeypatch, emitted):
+    # fake runners: cores-proportional rates, instant return — the
+    # tests exercise the BUDGET CONTROL FLOW, not Spark
+    monkeypatch.setattr(bench, "streaming_run",
+                        lambda pdf, cores, pin=False, n_rows=None:
+                        (50_000.0 * cores / 4,
+                         {"marginal_rows_per_sec": 60_000.0 * cores / 4}))
+    monkeypatch.setattr(bench, "scaling_run_rows",
+                        lambda rows, cores, reps=1: 80_000.0 * cores / 4)
+    monkeypatch.setattr(bench, "_bench_input", lambda n: (_FakePdf(), "/tmp/x"))
+    monkeypatch.setattr(bench, "_cpu_scaling_ceiling", lambda lo, hi, pdf: 0.9)
+    monkeypatch.setattr(bench, "pandas_stage_scaling",
+                        lambda pdf, a, b: {a: 100_000.0, b: 300_000.0})
+    monkeypatch.setattr(
+        bench, "_emit",
+        lambda q, s, sc, d: emitted.append(
+            bench._compact_result(q, s, dict(sc))))
+
+
+def test_run_scaling_skips_when_budget_exhausted(monkeypatch):
+    import time as _t
+    emitted = []
+    _patch_runners(monkeypatch, emitted)
+    scaling, detail = {}, {}
+    bench._run_scaling(scaling, detail, {"q": 1.0}, 0.1, _FakePdf(),
+                       1_280_000, deadline=_t.time() + 60)
+    assert "skipped" in scaling.get("note", "")
+    assert "streaming_e2e_efficiency_median_pair" not in scaling
+
+
+def test_run_scaling_full_budget_populates_headline(monkeypatch):
+    import time as _t
+    emitted = []
+    _patch_runners(monkeypatch, emitted)
+    scaling, detail = {}, {}
+    bench._run_scaling(scaling, detail, {"q": 1.0}, 0.1, _FakePdf(),
+                       1_280_000, deadline=_t.time() + 100_000)
+    # all headline scalars present
+    assert scaling["streaming_e2e_efficiency_median_pair"] == 1.0
+    assert scaling["n_stream_pairs"] == 3
+    assert scaling["normalize_efficiency_median_pair"] == 1.0
+    assert scaling["hardware_cpu_scaling_ceiling"] == 0.9
+    assert detail["pandas_pool"]
+    # pair input clamped to [1x, 16x] base rows
+    assert 1_280_000 <= scaling["pair_rows"] <= 16 * 1_280_000
+    # every intermediate emission stayed inside the driver window
+    assert emitted and all(len(s) < bench.COMPACT_LIMIT for s in emitted)
+
+
+def test_run_scaling_never_divides_by_hardcoded_four(monkeypatch):
+    """r4 advice: on a small box min(4*lo, CPUS) < 4*lo — efficiency
+    must use the ACTUAL hi/lo ratio (here 2x on a fake 2-core box)."""
+    import time as _t
+    emitted = []
+    _patch_runners(monkeypatch, emitted)
+    monkeypatch.setattr(bench, "CPUS", 2)
+    scaling, detail = {}, {}
+    bench._run_scaling(scaling, detail, {"q": 1.0}, 0.1, _FakePdf(),
+                       1_280_000, deadline=_t.time() + 100_000)
+    # lo=1, hi=2: rates are cores-proportional, so the TRUE ratio-based
+    # efficiency is exactly 1.0; a hard-coded /4 would read 0.5
+    assert scaling["levels"] == "local[1]->local[2]"
+    assert scaling["streaming_e2e_efficiency_median_pair"] == 1.0
