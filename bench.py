@@ -726,9 +726,14 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
     # --- 3) pinned normalize (batch) pairs --------------------------
     # batch normalize runs much faster per row than the full streaming
     # path (no state store / sink); estimate from the streaming rate
-    # then refine from the first measured run
+    # then refine from the first measured run.  HALF the streaming
+    # rows: the r5b run sized streaming pairs up to 8.7M and the
+    # deadline guard then skipped normalize entirely — half-length
+    # runs still integrate over the throttle waves while fitting the
+    # budget's remainder in most weather windows
     n_lo_runs, n_hi_runs = [], []
-    norm_rows = big_rows
+    norm_rows = max((big_rows // 200) * 100, n_rows)
+    _bench_input(norm_rows)
     nlo_rate = lo_rate * 2.0
     nhi_rate = hi_rate * 2.0
     pair_est = norm_rows * (1.0 / nlo_rate + 1.0 / nhi_rate) + 2 * overhead
