@@ -610,12 +610,13 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
     Phases (each followed by an _emit, each skippable when the clock
     runs out — earlier phases carry the headline):
       1. unpinned full-width streaming drain (calibration + the
-         local[CPUS] end-to-end rate)
+         local[CPUS] end-to-end rate), then the cheap hardware
+         CPU-scaling ceiling probe (~1 min) so every record carries
+         the engine-vs-clock context
       2. pinned streaming N→4N pairs, input sized from the remaining
          budget (up to 16× base, never below 1×)
-      3. pinned normalize (batch) N→4N pairs on the same input
-      4. hardware CPU-scaling ceiling probes + bare-process-pool
-         normalize scaling (cheap, contextual)
+      3. pinned normalize (batch) N→4N pairs at half the pair rows
+      4. bare-process-pool normalize scaling (cheap, contextual)
       5. full-width disclosure pair (only with generous budget left)
 
     Levels are quarter-box (CPUS//8 → CPUS//2, 4→16 here): a full-width
@@ -648,6 +649,15 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
     detail["calibration"] = {"wall_s": round(cal_s, 1), "decomp": cal_dec,
                              "rows": n_rows}
     _emit(qtimes, sf, scaling, detail)
+
+    # hardware ceiling FIRST (cheap, ~1 min): the r5c run spent the
+    # whole budget on the streaming pairs and lost this context scalar
+    # to the deadline guard — probing it up front guarantees every
+    # driver record carries the engine-vs-clock comparison
+    if rem() > 150:
+        ceiling = _cpu_scaling_ceiling(s_lo, s_hi, pdf)
+        scaling["hardware_cpu_scaling_ceiling"] = round(ceiling, 3)
+        _emit(qtimes, sf, scaling, detail)
 
     # --- 2) pinned streaming pairs, input sized from the budget -----
     # per-level overhead: JVM startup + the two bounded warm passes;
@@ -702,6 +712,10 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
             statistics.median(s_pair_effs), 3)
         scaling["streaming_e2e_efficiency_best_pair"] = round(
             min(s_pair_effs[s_best], 1.0), 3)
+        if "hardware_cpu_scaling_ceiling" in scaling:
+            scaling["stream_eff_vs_hw_ceiling"] = round(min(
+                scaling["streaming_e2e_efficiency_median_pair"]
+                / scaling["hardware_cpu_scaling_ceiling"], 1.0), 3)
         scaling[f"streaming_e2e_pinned_local{s_lo}"] = round(s_lo_runs[s_best])
         scaling[f"streaming_e2e_pinned_local{s_hi}"] = round(s_hi_runs[s_best])
         scaling["n_stream_pairs"] = len(s_lo_runs)
@@ -760,15 +774,7 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
         }
         _emit(qtimes, sf, scaling, detail)
 
-    # --- 4) hardware ceiling + bare-pool context (cheap) ------------
-    if rem() > 90:
-        ceiling = _cpu_scaling_ceiling(s_lo, s_hi, pdf)
-        scaling["hardware_cpu_scaling_ceiling"] = round(ceiling, 3)
-        eff = scaling.get("streaming_e2e_efficiency_median_pair")
-        if eff:
-            scaling["stream_eff_vs_hw_ceiling"] = round(
-                min(eff / ceiling, 1.0), 3)
-        _emit(qtimes, sf, scaling, detail)
+    # --- 4) bare-pool context (cheap; ceiling already probed above) -
     if rem() > 90:
         n_qtr = max(CPUS // 4, 1)
         pool_thr = pandas_stage_scaling(
