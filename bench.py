@@ -686,8 +686,13 @@ def _run_scaling(scaling: dict, detail: dict, qtimes: dict, sf: float,
     # LONG runs integrate over the hypervisor's multi-minute throttle
     # waves (r4 at 8×: pairs [0.815, 0.659, 0.924, 0.664] — one wave
     # swallowed whole 60 s runs); 16× is the proven-stable size, the
-    # budget floor is 1× so a pair always fits the driver window
-    big_rows = max(min(big_rows, 16 * n_rows), n_rows)
+    # budget floor is 1× so a pair always fits the driver window.
+    # QUANTIZED to whole multiples of the base rows: the synthesized
+    # pair input is cached in /tmp by exact row count, so quantizing
+    # means at most 16 possible cache keys and repeat runs (including
+    # the round driver's) skip the multi-minute synthesis instead of
+    # missing the cache on every new calibration rate
+    big_rows = max(min(round(big_rows / n_rows), 16), 1) * n_rows
     big_rows = (big_rows // 100) * 100  # conv granularity
     _bench_input(big_rows)  # pre-generate UNPINNED (not on 4 cores)
     scaling["pair_rows"] = big_rows
